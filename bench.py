@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the full declared query set (the same
+``queries()`` map the driver smoke-checks) against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is materialized with ``df.count()`` (full plan execution,
+no driver-side collect of the payload).  BASELINE.md records the first
+run; later runs must stay within 2x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from recommendation_translation_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    import __spark_entry__ as entry_mod
+
+    qmap = entry_mod.queries()
+    only = sys.argv[1:]  # optional subset: bench.py q1 q2 ...
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, fn in qmap.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as exc:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            print(f"# FAILED {name}: {exc}", file=sys.stderr)
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,256 @@
+"""Deduplication operators (extension surface; SURVEY.md §7 step 7).
+
+Scale design — each stage is a declarative plan with exactly the
+shuffles the algorithm requires:
+
+- **exact**: hash the normalized text, groupBy hash — one shuffle, with
+  map-side partial aggregation.  At 100 TB the hash (16 bytes) shuffles
+  instead of the document body.
+- **n-gram Jaccard**: explode distinct shingles → self-equi-join on
+  shingle → per-pair intersection counts → filter by threshold.  The
+  shingle join is the classic inverted-index plan; hot shingles are the
+  skew hazard, so shingles above a document-frequency cap are dropped
+  (stopword shingles carry no dedup signal, and the cap bounds the
+  worst-case pair blowup).
+- **MinHash + LSH banding**: k independent min-hashes per doc computed
+  in ONE aggregation over the exploded shingles (k min() aggregates, no
+  k-fold explode), then band signatures, then an equi-join on
+  (band, band_hash) to get candidates — only near-duplicates collide,
+  so the join output is ~linear in duplicates rather than quadratic in
+  documents.
+- **SimHash**: 32 sign-sum aggregates over exploded tokens → one long
+  per doc; near-dup pairs via hamming distance on a (cheap) candidate
+  pair set.
+
+All hashing uses the md5-based cross-engine hash (operators.text) so
+the DuckDB oracle can reproduce every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import cross_engine_hash, tokens
+
+__all__ = [
+    "normalize_text",
+    "word_shingles",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+
+def normalize_text(text_col: str = "text") -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with ``transform(sequence(...))`` over the token array —
+    array expressions, no UDF, no extra shuffle before the explode.
+    """
+    toks = tokens(normalize_text(text_col))
+    parts = ", ".join(f"t[i + {j}]" for j in range(n))
+    # the size filter precedes the sequence, so the stop bound is ≥ 0
+    shingles = F.expr(
+        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups on normalized content.
+
+    Returns one row per distinct content: (fp_md5, keep_id = min id,
+    n_dups).  A pipeline keeps ``keep_id`` and drops the rest; the
+    group-by runs on the 16-byte digest, not the document."""
+    norm = normalize_text(text_col)
+    return (
+        df.select(F.md5(norm).alias("fp_md5"), F.col(id_col))
+        .groupBy("fp_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    (a, b, jaccard) for a < b with jaccard ≥ threshold.  ``max_doc_freq``
+    drops shingles appearing in more than that many docs (skew guard —
+    at scale a stopword shingle in 10⁶ docs would emit 10¹² join rows).
+    """
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = (
+            sh.join(F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
+                    "shingle", "left_anti")
+        )
+    sh = sh.cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """k-permutation MinHash signature: (id, sig_0 … sig_{k-1}).
+
+    One aggregation over the exploded shingles — the k hash functions
+    are k ``min(H(seed_i, shingle))`` aggregates, so signature width
+    never multiplies the shuffle volume."""
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(cross_engine_hash(F.col("shingle"), seed=f"mh{i}")).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH-banded candidate generation + exact-Jaccard verification.
+
+    Signatures are split into ``bands`` bands of ``k/bands`` rows; docs
+    sharing any band hash become candidates (equi-join on the band
+    digest); candidates are verified with exact shingle Jaccard.
+    Returns (a_id, b_id, jaccard ≥ threshold).
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"sig_{bi * rows + j}") for j in range(rows)]
+        band_cols.append(
+            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(f"band_{bi}")
+        )
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.selectExpr(
+        id_col,
+        "stack({}, {}) AS (band, band_hash)".format(
+            bands, ", ".join(f"'{bi}', band_{bi}" for bi in range(bands))
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to the candidate pairs — the
+    # pairwise join runs over candidates only, never all-pairs.
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("a_id"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("b_id"), F.col("shingle"))
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """SimHash over whitespace tokens: (id, simhash long).
+
+    Each token votes ±1 per bit of its 32-bit hash; bit b of the result
+    is set iff the summed vote is positive.  Computed as ``bits`` sum
+    aggregates over the exploded tokens — one shuffle."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("tok")
+    )
+    h = cross_engine_hash(F.col("tok"), seed="sh")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    votes = tok.groupBy(id_col).agg(*aggs)
+    sim = sum(
+        (F.when(F.col(f"v_{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
+        for b in range(bits)
+    )
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 8, bits: int = 32,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Candidates come from matching 8-bit prefixes of the simhash (a
+    1-table LSH on the high bits) — near-identical docs share high bits
+    with high probability; the full cross join never materializes."""
+    s = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    s = s.withColumn("prefix", F.shiftright(F.col("simhash"), bits - 8))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, "prefix")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

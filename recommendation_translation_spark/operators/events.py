@@ -1,0 +1,96 @@
+"""Event-time window aggregations over the ``events`` table
+(SURVEY.md §2.9 extension — the reference has no streaming surface at
+all; these are the batch-windowed forms, with Structured Streaming
+variants in ``streaming/``).
+
+Window starts are emitted as epoch seconds (bigint) rather than
+timestamps so the DuckDB oracle comparison is immune to timestamp
+rendering differences; both engines bucket relative to the Unix epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["tumbling_agg", "sliding_agg", "sessionize"]
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows per event_type: count + sum(value).
+
+    ``F.window`` is the native bucketing operator — epoch-aligned, one
+    shuffle on (window, event_type) with map-side partial aggregation.
+    """
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding windows (width/slide overlapping buckets) per event_type.
+
+    Each event lands in width/slide windows; ``F.window`` replicates
+    rows window-side before the aggregation — shuffle volume is
+    (width/slide)× the input, which is the algorithmic floor."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user (batch form).
+
+    lag(ts) over (user order by ts, event_id) → new-session flag on gap
+    > threshold → running sum numbers the sessions → aggregate.  Two
+    window passes over one (user) partitioning — a single shuffle, both
+    windows reuse the exchange.  The streaming equivalent is
+    ``session_window``/``applyInPandasWithState`` (streaming module).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.lit(gap_minutes * 60)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w) > gap,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "new_session",
+        F.when(F.lag("ts", 1).over(w).isNull(), 1).otherwise(F.col("new_session")),
+    )
+    sessioned = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Text-analysis operators over the ``documents`` table (extension
+surface; SURVEY.md §7 step 7).
+
+Everything here is native Column expressions — no Python UDFs — so the
+whole stage compiles into whole-stage codegen and scales linearly with
+input splits.  Every function is deliberately expressible in ANSI SQL so
+the DuckDB oracle can verify it value-for-value:
+
+- tokenization: regex split / extract (JVM regex ≡ RE2 for the classes
+  used here);
+- deterministic cross-engine hashing: ``H(s) = int(md5(s)[:8], 16)``
+  (Spark ``conv(substr(md5(s),1,8),16,10)``; DuckDB
+  ``('0x' || substr(md5(s),1,8))::BIGINT``) — 32-bit, uniform enough
+  for fingerprints/minhash, stable across engines and JVM versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cross_engine_hash",
+    "tokens",
+    "token_stats",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "LANG_MARKERS",
+]
+
+# BPE-ish chunking: runs of alphanumerics or single non-space symbols.
+BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Stopword markers per language for the n-gram/stopword language-ID
+# heuristic.  Counts of whole-token occurrences vote for a language;
+# ties break alphabetically.  (Tiny marker sets — a real pipeline would
+# load a dictionary per language; the mechanism is the point.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "die", "nicht"],
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "y", "de", "que"],
+    "fr": ["le", "et", "la", "est"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws if w.isascii()})
+
+
+def cross_engine_hash(col: Column | str, seed: str = "") -> Column:
+    """32-bit deterministic hash identical in Spark and DuckDB SQL.
+
+    ``H(s) = int(md5(seed ~ ':' ~ s)[:8], 16)`` — see module docstring.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if seed:
+        c = F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens; empty/blank text → empty array (not [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def _count_token(text: Column, word: str) -> Column:
+    """Whole-token occurrence count of ``word`` in ``text``."""
+    # \b word boundaries behave identically in Java regex and RE2 for
+    # ASCII words; CJK single chars use plain substring counting.
+    if word.isascii():
+        pat = rf"\b{word}\b"
+        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(word), F.lit(""))))
+        / F.length(F.lit(word))
+    ).cast("int")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: whitespace tokens, BPE-ish chunks,
+    distinct tokens, average token length."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_RE), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def _lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum((_count_token(text, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword votes,
+    alphabetical tie-break, 'und' (undetermined) when no marker hits."""
+    scores = _lang_scores(F.col(text_col))
+    langs = sorted(scores)  # alphabetical ⇒ deterministic argmax tie-break
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fold in reverse-alphabetical order with >=, so of equal scores the
+    # alphabetically-first language ends up winning
+    for lang in reversed(langs):
+        s = scores[lang]
+        best = F.when((s > F.lit(0)) & (s >= best_score), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(s, best_score)
+    out = df.select(
+        F.col(id_col),
+        best.alias("lang_pred"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+    )
+    return out
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0, 1] from length, punctuation
+    ratio, stopword ratio, and mean token length — the standard cheap
+    pre-filters of a training-data pipeline."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_stop = sum((_count_token(t, w) for w in STOPWORDS), F.lit(0))
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = n_stop / safe_tokens
+    len_component = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_component
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized content fingerprint: md5 hex of lowercase,
+    whitespace-collapsed text, plus the 32-bit numeric hash (for
+    bucketing / rolling comparisons)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        cross_engine_hash(norm).alias("fp_hash"),
+    )

@@ -1,0 +1,923 @@
+"""The query catalog: every implemented operator as a (spark, sf_dir) →
+DataFrame builder plus, where SQL-expressible, a DuckDB oracle SQL string
+computing the identical relation (same column names, same types, same
+rounding) — the driver hash-compares the two at sf0.01.
+
+Cross-engine conventions (learned the hard way; keep them):
+
+- integer outputs are ``long`` in Spark / ``CAST(... AS BIGINT)`` in
+  DuckDB (DuckDB ``sum(int)`` is HUGEINT, ``len(list)`` is BIGINT,
+  Spark ``size`` is INT — normalize everything);
+- double aggregates are ``round``-ed identically on both sides, with
+  the decimal count chosen so cross-engine summation-order noise
+  (≲1e-10 relative) cannot straddle a rounding boundary;
+- values that feed an ORDER BY are rounded *before* ranking so tie
+  order can't diverge between engines; every ranking has an explicit
+  id tie-break;
+- timestamps are exported as epoch seconds (BIGINT), never as raw
+  timestamps, to dodge rendering/precision differences;
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all semantics.
+
+The reference-semantics queries (rank / pivot / exists / fold) treat
+``lineitem`` as the long table with ``site := l_returnflag``,
+``id := l_partkey``, ``pageviews := sum(l_extendedprice)``
+(FIXTURES.md §B) — the same operator DAG the reference runs on
+sitelink/pageview data (FeatureExtractor.scala:50-104).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .operators.events import sessionize, sliding_agg, tumbling_agg
+from .operators.features import pivot_features
+from .operators.multimodal import attach_fake_media, decode_image_meta
+from .operators.rank import normalized_rank
+from .operators.similarity import (
+    ann_lsh_topk,
+    centroids_by_label,
+    cosine_topk,
+    hyperplane_weight,
+)
+from .operators.text import LANG_MARKERS, STOPWORDS, fingerprint, lang_id, quality_score, token_stats
+from .sources.readers import read_events
+
+# ---------------------------------------------------------------------------
+# shared plan fragments
+# ---------------------------------------------------------------------------
+
+SITES = ["A", "N", "R"]  # l_returnflag domain (TPC-H)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def long_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → the reference's long form (site, id, pageviews).
+
+    pageviews is rounded to 2dp BEFORE any ranking so downstream order
+    is engine-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("site"),
+        F.col("l_partkey").cast("string").alias("id"),
+    ).agg(F.round(F.sum("l_extendedprice"), 2).alias("pageviews"))
+
+
+_LONG_SQL = """
+    SELECT l_returnflag AS site,
+           CAST(l_partkey AS VARCHAR) AS id,
+           ROUND(SUM(l_extendedprice), 2) AS pageviews
+    FROM lineitem
+    GROUP BY 1, 2
+"""
+
+_RANKED_SQL = f"""
+    SELECT site, id, pageviews,
+           CAST(ROW_NUMBER() OVER (PARTITION BY site ORDER BY pageviews, id) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY site) AS rank
+    FROM ({_LONG_SQL})
+"""
+
+
+def ranked_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalized_rank(long_table(spark, sf_dir))
+
+
+_PIVOT_SQL = f"""
+    SELECT id,
+           {', '.join(
+               f'''COALESCE(MAX(CASE WHEN site = '{s}' THEN pageviews END), 0.0) AS "pageviews_{s}",
+           COALESCE(MAX(CASE WHEN site = '{s}' THEN rank END), 0.0) AS "rank_{s}",
+           COALESCE(MAX(CASE WHEN site = '{s}' THEN 1.0 END), 0.0) AS "exists_{s}"'''
+               for s in SITES)}
+    FROM ({_RANKED_SQL})
+    GROUP BY id
+"""
+
+
+def feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pivot_features(ranked_table(spark, sf_dir), SITES)
+
+
+# normalized text + tokens, shared by the text/dedup oracles
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+
+
+def _hash_sql(expr: str, seed: str = "") -> str:
+    """DuckDB side of operators.text.cross_engine_hash."""
+    inner = f"concat('{seed}:', {expr})" if seed else expr
+    return f"('0x' || substr(md5({inner}), 1, 8))::BIGINT"
+
+
+def _count_token_sql(word: str) -> str:
+    if word.isascii():
+        return f"CAST(len(regexp_extract_all(text, '\\b{word}\\b')) AS BIGINT)"
+    return (
+        f"CAST((length(text) - length(replace(text, '{word}', ''))) // length('{word}') AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference-core queries (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+def q_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 — FeatureExtractor.scala:50-75 as window functions."""
+    return ranked_table(spark, sf_dir)
+
+
+def q_feature_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 — FeatureExtractor.scala:80-103 as groupBy().pivot()."""
+    return feature_table(spark, sf_dir)
+
+
+def q_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — Utils.scala:30-32 exists-predicate as a native expression;
+    (id, label) training projection for target site 'A'."""
+    feats = feature_table(spark, sf_dir)
+    return feats.filter(F.col("exists_A") == 1.0).select(
+        "id", F.col("rank_A").alias("label")
+    )
+
+
+def q_predictions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — ScorePredictor.scala:47 chained full-outer join fold."""
+    ranked = ranked_table(spark, sf_dir)
+    frames = [
+        ranked.filter(F.col("site") == s).select("id", F.col("rank").alias(f"score_{s}"))
+        for s in SITES
+    ]
+    from functools import reduce
+
+    return reduce(lambda l, r: l.join(r, ["id"], "outer"), frames)
+
+
+def q_ingest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — DataGatherer.scala:48 inner equi-join USING, on the star
+    schema: orders ⋈ customer ⋈ nation ⋈ region, revenue per region.
+    Dimensions are broadcast — no shuffle of the fact side beyond the
+    final aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — sum + GROUP BY (DataGatherer.scala:70-73), in its classic
+    TPC-H Q1 shape: one scan, map-side partial agg, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_count_by_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — countByValue kept distributed (FeatureExtractor.scala:51)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("site")).agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+def q_distinct_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — distinct site list (JobRunner.scala:50)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(F.col("l_returnflag").alias("site")).distinct()
+
+
+def q_suffix_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/F1/F2 — endsWith filter + regex rewrite
+    (DataGatherer.scala:94-98) on the part table."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").endswith("O"))
+        .withColumn("brand_code", F.regexp_replace("p_brand", r"^Brand#", "B-"))
+        .select("p_partkey", "p_type", "brand_code", "p_retailprice")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 parts by revenue within each returnflag — window top-k
+    (extension of §2.6; the reference has no top-k)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("l_returnflag", "l_partkey", "revenue", "rk")
+    )
+
+
+def q_median_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window: per supplier, the first lineitem (by shipdate)
+    at which cumulative quantity reaches half the supplier's total."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_order = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_suppkey")
+    run = (
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .withColumn(
+            "run_qty",
+            F.sum("l_quantity").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("tot_qty", F.sum("l_quantity").over(w_all))
+    )
+    crossed = run.filter(F.col("run_qty") >= F.col("tot_qty") / 2)
+    w_first = Window.partitionBy("l_suppkey").orderBy(
+        "run_qty", "l_orderkey", "l_linenumber"
+    )
+    return (
+        crossed.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("run_qty"), 2).alias("run_qty"),
+            F.round(F.col("tot_qty"), 2).alias("tot_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events (windowed aggregations; §2.9 extension)
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(_t(spark, sf_dir, "events"))
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(_t(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming replay of the tumbling aggregation — same
+    relation as q_events_tumbling, computed incrementally."""
+    from .streaming.events_stream import run_stream_to_memory, stream_tumbling_agg
+
+    return run_stream_to_memory(stream_tumbling_agg(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup (extension)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = token_stats(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "avg_token_len",
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = lang_id(_t(spark, sf_dir, "documents"))
+    casts = [F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)]
+    return df.select("doc_id", "lang_pred", *casts)
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = quality_score(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.05)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=16, bands=8, n=3, threshold=0.02
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10).select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search (extension)
+# ---------------------------------------------------------------------------
+
+
+def _queries_frame(emb: DataFrame) -> DataFrame:
+    """Deterministic query subset: every 50th vector."""
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, _queries_frame(emb), k=5)
+    return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_lsh_topk(emb, _queries_frame(emb), k=5, n_bits=4, dim=64)
+    return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
+
+
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = centroids_by_label(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        "centroid",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (extension)
+# ---------------------------------------------------------------------------
+
+
+def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload size + digest via column exprs."""
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "sample_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (deterministic fake decoder);
+    the oracle reproduces the md5-derived dimensions in SQL."""
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    out = decode_image_meta(media)
+    return out.select(
+        "sample_id",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mode",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML pipeline (rows-only checks — RF internals aren't SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_ml_train_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M4 — per-site seeded RF train/eval; one row per site."""
+    from .pipeline.train import build_models
+
+    feats = feature_table(spark, sf_dir).cache()
+    results = build_models(feats, SITES, seed=42, parallelism=3)
+    rows = [
+        (site, float(r.rmse) if r.rmse is not None else None, r.error)
+        for site, r in sorted(results.items())
+    ]
+    return spark.createDataFrame(rows, "site string, rmse double, error string")
+
+
+def q_ml_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 + J2 — score items missing on each target site, assemble via
+    union+pivot (single shuffle), top-10 per site by score."""
+    from .pipeline.score import score_items
+    from .pipeline.train import build_models
+
+    feats = feature_table(spark, sf_dir).cache()
+    models = build_models(feats, SITES, seed=42, parallelism=3)
+    scored = score_items(feats, models, parallelism=3)
+    frames = []
+    for site, df in scored.items():
+        frames.append(
+            df.select(F.lit(site).alias("site"), "id", F.col(site).alias("score"))
+        )
+    from functools import reduce
+
+    melted = reduce(DataFrame.unionByName, frames)
+    w = Window.partitionBy("site").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        melted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("site", "id", F.round("score", 4).alias("score"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+
+def _pivot_cols_sql() -> str:
+    return _PIVOT_SQL
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = {
+        lang: "(" + " + ".join(_count_token_sql(w) for w in LANG_MARKERS[lang]) + ")"
+        for lang in langs
+    }
+    # same fold as operators.text.lang_id: reverse-alphabetical with >=
+    pred = "'und'"
+    best = "CAST(0 AS BIGINT)"
+    for lang in reversed(langs):
+        s = f"s_{lang}"
+        pred = f"CASE WHEN {s} > 0 AND {s} >= {best} THEN '{lang}' ELSE {pred} END"
+        best = f"GREATEST({s}, {best})"
+    selects = ", ".join(f"{score_exprs[lang]} AS s_{lang}" for lang in langs)
+    outer = ", ".join(f"s_{lang} AS score_{lang}" for lang in langs)
+    return f"""
+        WITH scored AS (SELECT doc_id, {selects} FROM documents)
+        SELECT doc_id, {pred} AS lang_pred, {outer} FROM scored
+    """
+
+
+def _quality_sql() -> str:
+    n_stop = " + ".join(_count_token_sql(w) for w in STOPWORDS)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len({_TOKS.replace('text', 'text')}) AS BIGINT) AS n_tokens,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                 ({n_stop}) AS n_stop
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(n_punct / GREATEST(n_chars, 1)::DOUBLE, 4) AS punct_ratio,
+               ROUND(n_stop / GREATEST(n_tokens, 1)::DOUBLE, 4) AS stopword_ratio,
+               ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                     + 0.3 * LEAST(n_stop / GREATEST(n_tokens, 1)::DOUBLE * 4, 1.0)
+                     + 0.3 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1)::DOUBLE * 4, 1.0)),
+                     4) AS quality
+        FROM base
+    """
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS w FROM documents),
+         LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t
+    WHERE len(w) >= 3
+"""
+
+
+def _minhash_sigs_sql(k: int = 16) -> str:
+    aggs = ", ".join(
+        f"MIN({_hash_sql('shingle', seed=f'mh{i}')}) AS sig_{i}" for i in range(k)
+    )
+    return f"SELECT doc_id, {aggs} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+
+
+def _minhash_lsh_sql(k: int = 16, bands: int = 8, threshold: float = 0.02) -> str:
+    rows = k // bands
+    band_exprs = ", ".join(
+        "md5(concat_ws('_', {})) AS band_{}".format(
+            ", ".join(f"CAST(sig_{bi * rows + j} AS VARCHAR)" for j in range(rows)), bi
+        )
+        for bi in range(bands)
+    )
+    stack_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{bi}' AS band, band_{bi} AS band_hash FROM banded"
+        for bi in range(bands)
+    )
+    return f"""
+        WITH sigs AS ({_minhash_sigs_sql(k)}),
+        banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+        stacked AS ({stack_union}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM stacked a JOIN stacked b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a_id
+          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+          GROUP BY c.a_id, c.b_id
+        )
+        SELECT i.a_id, i.b_id,
+               ROUND(n_inter / (na.n_sh + nb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.a_id
+        JOIN sizes nb ON nb.doc_id = i.b_id
+        WHERE ROUND(n_inter / (na.n_sh + nb.n_sh - n_inter)::DOUBLE, 6) >= {threshold}
+    """
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    h = _hash_sql("tok", seed="sh")
+    votes = ", ".join(
+        f"CAST(SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v_{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+        SELECT doc_id, ({sim}) AS simhash FROM votes
+    """
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Left-to-right fold matching operators.similarity.dot exactly."""
+    expr = "0.0"
+    for i in range(1, dim + 1):
+        expr = f"({expr} + CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+    return expr
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    expr = "0.0"
+    for i in range(1, dim + 1):
+        expr = f"({expr} + CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE))"
+    return f"sqrt({expr})"
+
+
+def _cosine_topk_sql(k: int = 5) -> str:
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv, {_norm_sql('embedding')} AS qnorm
+          FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        c AS (
+          SELECT vec_id AS cand_id, embedding AS cv, {_norm_sql('embedding')} AS cnorm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT query_id, cand_id,
+                 ROUND({_dot_sql('qv', 'cv')} / (qnorm * cnorm), 8) AS cosine
+          FROM q JOIN c ON cand_id <> query_id
+        )
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= {k}
+    """
+
+
+def _hyperplane_proj_sql(vec: str, i: int, dim: int = 64) -> str:
+    expr = "0.0"
+    for j in range(dim):
+        w = hyperplane_weight(i, j)
+        expr = f"({expr} + CAST({vec}[{j + 1}] AS DOUBLE) * {w!r})"
+    return expr
+
+
+def _bucket_sql(vec: str, n_bits: int = 4, dim: int = 64) -> str:
+    terms = [
+        f"CASE WHEN {_hyperplane_proj_sql(vec, i, dim)} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(n_bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_sql(k: int = 5, n_bits: int = 4, dim: int = 64) -> str:
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 {_norm_sql('embedding', dim)} AS qnorm,
+                 {_bucket_sql('embedding', n_bits, dim)} AS bucket
+          FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        c AS (
+          SELECT vec_id AS cand_id, embedding AS cv,
+                 {_norm_sql('embedding', dim)} AS cnorm,
+                 {_bucket_sql('embedding', n_bits, dim)} AS bucket
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT query_id, cand_id,
+                 ROUND({_dot_sql('qv', 'cv', dim)} / (qnorm * cnorm), 8) AS cosine
+          FROM q JOIN c ON q.bucket = c.bucket AND cand_id <> query_id
+        )
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= {k}
+    """
+
+
+ORACLES: dict[str, str] = {
+    "rank_normalized": _RANKED_SQL,
+    "feature_pivot": _PIVOT_SQL,
+    "exists_filter": f"""
+        SELECT id, "rank_A" AS label FROM ({_PIVOT_SQL}) WHERE "exists_A" = 1.0
+    """,
+    "predictions_fold": f"""
+        WITH ranked AS ({_RANKED_SQL}),
+        a AS (SELECT id, rank AS score_A FROM ranked WHERE site = 'A'),
+        n AS (SELECT id, rank AS score_N FROM ranked WHERE site = 'N'),
+        r AS (SELECT id, rank AS score_R FROM ranked WHERE site = 'R')
+        SELECT id, score_A, score_N, score_R
+        FROM a FULL JOIN n USING (id) FULL JOIN r USING (id)
+    """,
+    "ingest_join": """
+        SELECT r_name,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "count_by_site": """
+        SELECT l_returnflag AS site, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+    """,
+    "distinct_sites": """
+        SELECT DISTINCT l_returnflag AS site FROM lineitem
+    """,
+    "suffix_filter_rewrite": """
+        SELECT p_partkey, p_type,
+               regexp_replace(p_brand, '^Brand#', 'B-') AS brand_code,
+               p_retailprice
+        FROM part WHERE p_type LIKE '%O'
+    """,
+    "topk_per_group": """
+        WITH rev AS (
+          SELECT l_returnflag, l_partkey,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag, l_partkey, revenue,
+               CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                       ORDER BY revenue DESC, l_partkey) AS BIGINT) AS rk
+        FROM rev QUALIFY rk <= 5
+    """,
+    "median_crossing": """
+        WITH run AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                       ROWS UNBOUNDED PRECEDING) AS run_qty,
+                 SUM(l_quantity) OVER (PARTITION BY l_suppkey) AS tot_qty
+          FROM lineitem
+        ),
+        crossed AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                       ORDER BY run_qty, l_orderkey, l_linenumber) AS rn
+          FROM run WHERE run_qty >= tot_qty / 2
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               ROUND(run_qty, 2) AS run_qty, ROUND(tot_qty, 2) AS tot_qty
+        FROM crossed WHERE rn = 1
+    """,
+    "events_tumbling": """
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP))) AS BIGINT)
+                 AS window_start_epoch,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sliding": """
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP)))
+                    AS BIGINT) - k.k * 1800 AS window_start_epoch,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events, (SELECT unnest([0, 1]) AS k) k
+        GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)
+                           - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT)
+                           > 1800 THEN 1
+                      ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessioned AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(floor(epoch(MIN(ts)::TIMESTAMP)) AS BIGINT) AS session_start_epoch,
+               CAST(floor(epoch(MAX(ts)::TIMESTAMP)) AS BIGINT) AS session_end_epoch,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM sessioned GROUP BY user_id, session_seq
+    """,
+    "doc_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                 AS n_bpe_tokens,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
+               ROUND(length(regexp_replace(text, '\\s+', '', 'g'))
+                     / GREATEST(len({_TOKS}), 1)::DOUBLE, 4) AS avg_token_len
+        FROM documents
+    """,
+    "doc_lang_id": _lang_id_sql(),
+    "doc_quality": _quality_sql(),
+    "doc_fingerprint": f"""
+        SELECT doc_id, md5({_NORM}) AS fp_md5,
+               {_hash_sql(_NORM)} AS fp_hash
+        FROM documents
+    """,
+    "dedup_exact": f"""
+        SELECT md5({_NORM}) AS fp_md5,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               ROUND(n_inter / (na.n_sh + nb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = a_id
+        JOIN sizes nb ON nb.doc_id = b_id
+        WHERE ROUND(n_inter / (na.n_sh + nb.n_sh - n_inter)::DOUBLE, 6) >= 0.05
+    """,
+    "dedup_minhash_lsh": _minhash_lsh_sql(k=16, bands=8, threshold=0.02),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_simhash_pairs": f"""
+        WITH s AS ({_simhash_sql()}),
+        pref AS (SELECT doc_id, simhash, simhash >> 24 AS prefix FROM s)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    """,
+    "emb_cosine_topk": _cosine_topk_sql(),
+    "emb_ann_lsh": _ann_lsh_sql(),
+    "emb_centroids": """
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(i - 1 AS BIGINT) AS pos,
+               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 8) AS centroid
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY 1, 2
+    """,
+    "mm_media_meta": """
+        SELECT doc_id AS sample_id,
+               'image/fake' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+    "mm_decode_meta": """
+        SELECT doc_id AS sample_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 240 AS BIGINT) AS width,
+               CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 240 AS BIGINT) AS height,
+               'RGB' AS mode
+        FROM documents
+    """,
+    # events_stream_tumbling shares the tumbling oracle — the streaming
+    # replay must converge to the batch relation.
+    "events_stream_tumbling": """
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP))) AS BIGINT)
+                 AS window_start_epoch,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    # ml_train_rmse / ml_score_topk: no oracle (RF not SQL-expressible);
+    # driver records rows-only checks.
+}
+
+
+QUERIES = {
+    "rank_normalized": q_rank_normalized,
+    "feature_pivot": q_feature_pivot,
+    "exists_filter": q_exists_filter,
+    "predictions_fold": q_predictions_fold,
+    "ingest_join": q_ingest_join,
+    "pricing_summary": q_pricing_summary,
+    "count_by_site": q_count_by_site,
+    "distinct_sites": q_distinct_sites,
+    "suffix_filter_rewrite": q_suffix_filter_rewrite,
+    "topk_per_group": q_topk_per_group,
+    "median_crossing": q_median_crossing,
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_sessionize": q_events_sessionize,
+    "events_stream_tumbling": q_events_stream_tumbling,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_centroids": q_emb_centroids,
+    "mm_media_meta": q_mm_media_meta,
+    "mm_decode_meta": q_mm_decode_meta,
+    "ml_train_rmse": q_ml_train_rmse,
+    "ml_score_topk": q_ml_score_topk,
+}

@@ -1,0 +1,183 @@
+"""Source operators S1-S4, S6-S7 (SURVEY.md §2.1).
+
+Each reader reproduces the reference's exact reader options
+(DataGatherer.scala) but stays fully declarative so Catalyst keeps
+pushdown/pruning.  Scale notes:
+
+- ``inferSchema`` costs an extra full pass over the file; the reference
+  pays it (DataGatherer.scala:40,55).  We accept an optional explicit
+  schema to skip that pass at 100 TB — inference is only the default to
+  match reference behavior.
+- ``DROPMALFORMED`` drops bad rows inside the scan task — no shuffle,
+  scales linearly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import (
+    PAGECOUNT_SCHEMA,
+    SITELINK_PAGEVIEWS_SCHEMA,
+    SITELINK_SCHEMA,
+)
+
+__all__ = [
+    "read_sitelinks_tsv",
+    "read_raw_data_tsv",
+    "read_pagecounts",
+    "read_pageview_sql",
+    "read_parsed_parquet",
+    "read_features_parquet",
+    "load_testdata",
+    "TESTDATA_TABLES",
+]
+
+# Tables the driver generates per scale factor (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _tsv_reader(spark: SparkSession, infer: bool):
+    # DataGatherer.scala:37-44 / 52-59: header, inferSchema, DROPMALFORMED, tab sep.
+    return (
+        spark.read.option("header", True)
+        .option("inferSchema", infer)
+        .option("mode", "DROPMALFORMED")
+        .option("sep", "\t")
+    )
+
+
+def read_sitelinks_tsv(spark: SparkSession, path: str, infer_schema: bool = True) -> DataFrame:
+    """S1 — sitelinks TSV → (id, site, title).  DataGatherer.scala:37-44.
+
+    Extra columns (the sample fixture has a leading row-index) are dropped
+    by the trailing select, matching the reference's by-name encoder bind.
+    """
+    reader = _tsv_reader(spark, infer_schema)
+    if not infer_schema:
+        reader = reader.schema(SITELINK_SCHEMA)
+    df = reader.csv(path)
+    return df.select(
+        F.col("id").cast("string").alias("id"),
+        F.col("site").cast("string").alias("site"),
+        F.col("title").cast("string").alias("title"),
+    )
+
+
+def read_raw_data_tsv(spark: SparkSession, path: str, infer_schema: bool = True) -> DataFrame:
+    """S2 — combined raw data TSV → (id, site, title, pageviews).
+    DataGatherer.scala:52-59; column contract ArgParser.scala:68-74."""
+    reader = _tsv_reader(spark, infer_schema)
+    if not infer_schema:
+        reader = reader.schema(SITELINK_PAGEVIEWS_SCHEMA)
+    df = reader.csv(path)
+    return df.select(
+        F.col("id").cast("string").alias("id"),
+        F.col("site").cast("string").alias("site"),
+        F.col("title").cast("string").alias("title"),
+        F.col("pageviews").cast("double").alias("pageviews"),
+    )
+
+
+def read_pagecounts(spark: SparkSession, path: str) -> DataFrame:
+    """S3 + P1 + P2 — pagecounts dump → (site, title, pageviews).
+
+    DataGatherer.scala:78-98: space-separated, no header, quote/escape
+    disabled via \\u0000, explicit 3-column schema, DROPMALFORMED; then
+    keep only ``site`` ending in ``.z`` and rewrite the suffix to
+    ``wiki``.  Filter and rewrite are native Column expressions (NOT
+    Python lambdas like the reference's typed filter/map), so the suffix
+    predicate pushes down into the scan.
+    """
+    df = (
+        spark.read.schema(PAGECOUNT_SCHEMA)
+        .option("header", False)
+        .option("sep", " ")
+        .option("quote", "\x00")
+        .option("escape", "\x00")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return df.filter(F.col("site").endswith(".z")).withColumn(
+        "site", F.regexp_replace("site", r"\.z$", "wiki")
+    )
+
+
+def read_pageview_sql(spark: SparkSession, table: str = "wmf.pageview_hourly",
+                      year: int = 2017, month: int = 1, day: int = 1) -> DataFrame:
+    """S4 — warehouse SQL source.  DataGatherer.scala:68-74.
+
+    Static partition predicates (year/month/day) prune partitions at
+    plan time; GROUP BY + sum aggregates a day of hourly pageviews.
+    Requires a Hive-enabled session with the table registered.
+    """
+    return spark.sql(
+        f"""
+        SELECT project AS site, page_title AS title,
+               CAST(sum(view_count) AS DOUBLE) AS pageviews
+        FROM {table}
+        WHERE year = {int(year)} AND month = {int(month)} AND day = {int(day)}
+        GROUP BY project, page_title
+        """
+    )
+
+
+def read_parsed_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S6 — parsed-data parquet → enforce SitelinkPageviewsEntry shape.
+    DataGatherer.scala:23-24."""
+    df = spark.read.parquet(path)
+    return df.select(
+        F.col("id").cast("string"),
+        F.col("site").cast("string"),
+        F.col("title").cast("string"),
+        F.col("pageviews").cast("double"),
+    )
+
+
+def read_features_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S7 — wide feature-matrix parquet.  FeatureExtractor.scala:30."""
+    return spark.read.parquet(path)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with ``ts`` normalized to TimestampType.
+
+    The driver writes ``ts`` as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as a long
+    of nanoseconds, which we truncate to microseconds (matching what
+    DuckDB's TIMESTAMP cast does) and convert."""
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # integer division — float division loses ns precision at 1e18 magnitudes
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load driver testdata tables (TESTDATA.md) as DataFrames.
+
+    ``events`` goes through :func:`read_events` for timestamp
+    normalization; everything else is a plain parquet scan."""
+    names = names or TESTDATA_TABLES
+    out = {}
+    for n in names:
+        if n == "events":
+            out[n] = read_events(spark, sf_dir)
+        else:
+            out[n] = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+    return out

@@ -1,0 +1,77 @@
+"""Structured Streaming forms of the event-window operators.
+
+The reference is pure batch (SURVEY.md §2.9); this module gives the
+``readStream`` equivalents so the same logical aggregation runs
+incrementally.  For tests/smoke the parquet events table is replayed as
+a bounded stream and drained synchronously into a memory sink.
+
+Scale notes: in production these would read Kafka with a watermark and
+``outputMode("append")``; the memory-sink/complete-mode combination
+here is the deterministic bounded-replay harness, not the deployment
+shape.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["stream_tumbling_agg", "run_stream_to_memory"]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the events parquet as a stream.
+
+    Schema comes from a batch peek (readStream requires an explicit
+    schema); the ns-as-long timestamp gets the same normalization as
+    sources.readers.read_events."""
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    # FileStreamSource needs a directory; the sf dir holds one parquet
+    # file per table, so glob-filter down to the events file.
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window count/sum per event_type — the
+    incremental form of operators.events.tumbling_agg (same output)."""
+    events = _events_stream(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a bounded streaming aggregation synchronously; returns the
+    final result as a batch DataFrame (memory sink)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(name)
