@@ -1,0 +1,218 @@
+"""End-to-end pipeline + stage-gating tests (SURVEY.md §5).
+
+Generates a lite-sitelinks-pagecounts-shaped fixture (FIXTURES.md A1-A3)
+and runs the full CLI pipeline: parse → features → train → score → CSV,
+asserting the §5 property invariants:
+
+- rank ∈ (0, 1], exactly one max-rank row per site;
+- exists ∈ {0.0, 1.0}; absent (id, site) pairs fill (0.0, 0.0, 0.0);
+- feature width == 1 + 3·|sites|;
+- prediction fold preserves the union of scored ids.
+
+``check_config`` combinations mirror ArgParser.scala:132-144.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import bz2
+import os
+import random
+
+import pytest
+
+from recommendation_translation_spark.cli import Params, check_config, run
+
+# ---------------------------------------------------------------------------
+# fixture generation (FIXTURES.md A1-A3 invariants)
+# ---------------------------------------------------------------------------
+
+SITES = ["dewiki", "enwiki", "eswiki", "frwiki"]
+N_IDS = 24
+
+
+def _gen_rows():
+    rng = random.Random(7)
+    rows = []
+    for i in range(N_IDS):
+        qid = f"Q{100 + i}"
+        title = f"Article_{i}"
+        for site in SITES:
+            # holes: each site misses a deterministic ~1/4 of ids
+            if (i + SITES.index(site)) % 4 == 0:
+                continue
+            pv = float(rng.randint(1, 500))
+            rows.append((qid, site, title, pv))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lite")
+    rows = _gen_rows()
+    # A1: combined raw-data TSV with a leading unnamed index column
+    with open(d / "raw.tsv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["", "id", "site", "title", "pageviews"])
+        for i, (qid, site, title, pv) in enumerate(rows):
+            w.writerow([i, qid, site, title, pv])
+    # A2: sitelinks TSV
+    with open(d / "sitelinks.tsv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["id", "site", "title"])
+        for qid, site, title, _pv in rows:
+            w.writerow([qid, site, title])
+    # A3: pagecounts dump — no header, space-sep, sites end in .z,
+    # plus noise rows that must be dropped by the .z filter
+    with open(d / "pagecounts", "w") as f:
+        for _qid, site, title, pv in rows:
+            f.write(f"{site[:-4]}.z {title} {pv}\n")
+        f.write("commons.m Some_File 99.0\n")
+        f.write("en.mw Another 12.0\n")
+    return d
+
+
+# ---------------------------------------------------------------------------
+# check_config (X3 — ArgParser.scala:132-144)
+# ---------------------------------------------------------------------------
+
+
+def test_check_config_rejects_empty():
+    assert check_config(Params())
+
+
+def test_check_config_parse_needs_input():
+    assert check_config(Params(parse_raw_data=True, output_dir="/tmp/x"))
+
+
+def test_check_config_raw_inputs_exclusive():
+    p = Params(parse_raw_data=True, raw_data="a", raw_sitelinks="b",
+               raw_pagecounts="c", output_dir="/tmp/x")
+    assert any("mutually exclusive" in e for e in check_config(p))
+
+
+def test_check_config_features_need_parsed():
+    assert check_config(Params(extract_features=True, output_dir="/tmp/x"))
+
+
+def test_check_config_score_needs_models():
+    p = Params(score_items=True, feature_data="f", output_dir="/tmp/x")
+    assert any("--build-models or --model-dir" in e for e in check_config(p))
+
+
+def test_check_config_stage_conflicts_with_artifact():
+    p = Params(parse_raw_data=True, raw_data="a", parsed_data="p", output_dir="/tmp/x")
+    assert any("conflicts" in e for e in check_config(p))
+
+
+def test_check_config_valid_full_pipeline():
+    p = Params(parse_raw_data=True, extract_features=True, build_models=True,
+               score_items=True, raw_data="a", output_dir="/tmp/x")
+    assert check_config(p) == []
+
+
+def test_check_config_valid_resume_from_features():
+    p = Params(build_models=True, score_items=True, feature_data="f",
+               output_dir="/tmp/x")
+    assert check_config(p) == []
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline (EP1→EP2→EP3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def full_run(spark, fixture_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("run")
+    p = Params(
+        parse_raw_data=True,
+        extract_features=True,
+        build_models=True,
+        score_items=True,
+        raw_data=str(fixture_dir / "raw.tsv"),
+        output_dir=str(out),
+        seed=42,
+    )
+    return run(spark, p)
+
+
+def test_artifacts_exist(full_run):
+    for key in ("parsed_data", "feature_data", "model_dir", "predictions"):
+        assert key in full_run and os.path.exists(full_run[key]), key
+
+
+def test_parsed_matches_fixture(spark, full_run):
+    parsed = spark.read.parquet(full_run["parsed_data"])
+    rows = _gen_rows()
+    assert parsed.count() == len(rows)
+    assert set(parsed.columns) == {"id", "site", "title", "pageviews"}
+
+
+def test_feature_invariants(spark, full_run):
+    feats = spark.read.parquet(full_run["feature_data"])
+    # width == 1 + 3·|sites|
+    assert len(feats.columns) == 1 + 3 * len(SITES)
+    pdf = feats.toPandas().set_index("id")
+    rows = _gen_rows()
+    present = {(q, s) for q, s, _t, _pv in rows}
+    per_site = {}
+    for site in SITES:
+        ranks, exists = pdf[f"rank_{site}"], pdf[f"exists_{site}"]
+        assert set(exists.unique()) <= {0.0, 1.0}
+        on = exists == 1.0
+        # rank ∈ (0,1] where present; all-zero triple where absent
+        assert ((ranks[on] > 0) & (ranks[on] <= 1.0)).all()
+        assert (ranks[~on] == 0.0).all()
+        assert (pdf[f"pageviews_{site}"][~on] == 0.0).all()
+        # exactly one row per site carries the max rank 1.0
+        assert (ranks[on] == 1.0).sum() == 1
+        per_site[site] = {qid for qid in pdf.index[on]}
+        assert per_site[site] == {q for q, s in present if s == site}
+
+
+def test_predictions_shape(full_run):
+    files = glob.glob(os.path.join(full_run["predictions"], "*.csv.bz2"))
+    assert len(files) == 1, "coalesce(1) must yield a single csv file"
+    with bz2.open(files[0], "rt") as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        body = list(reader)
+    assert header == ["id"] + SITES
+    # every scored id appears exactly once, and at least one site has
+    # missing items to score (fixture guarantees holes)
+    ids = [r[0] for r in body]
+    assert len(ids) == len(set(ids)) and len(ids) > 0
+
+
+def test_resume_from_artifacts(spark, full_run, tmp_path_factory):
+    """X3: a second run can resume from the first run's parquet + models."""
+    out = tmp_path_factory.mktemp("resume")
+    p = Params(
+        score_items=True,
+        feature_data=full_run["feature_data"],
+        model_dir=full_run["model_dir"],
+        output_dir=str(out),
+        target_wikis=SITES,
+    )
+    artifacts = run(spark, p)
+    files = glob.glob(os.path.join(artifacts["predictions"], "*.csv.bz2"))
+    assert len(files) == 1
+
+
+def test_split_inputs_equal_combined(spark, fixture_dir, tmp_path_factory):
+    """EP1 parity: sitelinks ⋈ pagecounts (with .z filter/rewrite)
+    produces the same parsed relation as the combined raw-data TSV."""
+    out = tmp_path_factory.mktemp("split")
+    p = Params(
+        parse_raw_data=True,
+        raw_sitelinks=str(fixture_dir / "sitelinks.tsv"),
+        raw_pagecounts=str(fixture_dir / "pagecounts"),
+        output_dir=str(out),
+    )
+    artifacts = run(spark, p)
+    joined = spark.read.parquet(artifacts["parsed_data"])
+    rows = _gen_rows()
+    got = {(r.id, r.site, r.title, r.pageviews) for r in joined.collect()}
+    assert got == set(rows)

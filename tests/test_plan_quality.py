@@ -1,0 +1,123 @@
+"""Physical-plan assertions (SURVEY.md §4) — the scale contract.
+
+Correctness says the operators compute the right relation; these tests
+pin HOW: filters reach the parquet scan, small dimensions broadcast,
+whole-stage codegen covers the hot path, and shuffle counts stay at the
+algorithmic floor.  A regression here is a 100-TB performance bug even
+when sf0.01 results still match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommendation_translation_spark.plans.checks import (
+    assert_whole_stage_codegen,
+    assert_broadcast_join,
+    assert_pushed_filters,
+    count_exchanges,
+    physical_plan,
+)
+from recommendation_translation_spark.queries import QUERIES, long_table
+
+from .conftest import SF_SMALL
+
+
+def test_pricing_summary_pushdown_and_codegen(spark):
+    df = QUERIES["pricing_summary"](spark, SF_SMALL)
+    # shipdate predicate must reach the parquet reader
+    assert_pushed_filters(df, "l_shipdate")
+    assert_whole_stage_codegen(df)
+    # scan must prune to the referenced columns, not read all 16
+    assert "l_comment" not in physical_plan(df)
+
+
+def test_suffix_filter_pushdown(spark):
+    df = QUERIES["suffix_filter_rewrite"](spark, SF_SMALL)
+    assert_pushed_filters(df, "EndsWith(p_type")
+
+
+def test_ingest_join_broadcasts_dims(spark):
+    df = QUERIES["ingest_join"](spark, SF_SMALL)
+    # customer, nation, region all broadcast: the orders fact side is
+    # never shuffled for the joins — only the final agg exchanges.
+    assert_broadcast_join(df, at_least=3)
+    assert count_exchanges(df) <= 1
+
+
+def test_pricing_summary_single_shuffle(spark):
+    df = QUERIES["pricing_summary"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_rank_uses_two_shuffles(spark):
+    # groupBy (site,id) then window by site: 2 exchanges is the floor
+    # for the windowed formulation.
+    df = QUERIES["rank_normalized"](spark, SF_SMALL)
+    assert count_exchanges(df) <= 2
+
+
+def test_exact_dedup_single_shuffle(spark):
+    df = QUERIES["dedup_exact"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df)
+    # the groupBy must run on the digest, not ship document bodies
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_minhash_signature_single_aggregation(spark):
+    from recommendation_translation_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sigs = minhash_signatures(docs, k=16)
+    # k min-aggregates in ONE groupBy: exactly one exchange, no k-fold
+    # explode of the shuffle.
+    assert count_exchanges(sigs) == 1
+
+
+def test_events_tumbling_single_shuffle(spark):
+    df = QUERIES["events_tumbling"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_long_table_partial_aggregation(spark):
+    # map-side combine before the shuffle: two HashAggregates around
+    # one Exchange.
+    lt = long_table(spark, SF_SMALL)
+    plan = physical_plan(lt)
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(lt) == 1
+
+
+def test_broadcast_threshold_respected(spark):
+    # a dim joined WITHOUT explicit broadcast still broadcasts under AQE
+    # / size estimation at this scale — guard that autoBroadcast stays on.
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    customer = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    j = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in physical_plan(j, mode="simple")
+
+
+def test_feature_pivot_two_shuffles(spark):
+    # long_table agg + pivot groupBy(id): floor is 2 exchanges
+    # (site,id) → (id).  The window rank rides the second.
+    df = QUERIES["feature_pivot"](spark, SF_SMALL)
+    assert count_exchanges(df) <= 3
+
+
+def test_scan_prunes_columns(spark):
+    df = long_table(spark, SF_SMALL)
+    plan = physical_plan(df)
+    # ReadSchema must carry only the 3 referenced lineitem columns
+    for col in ("l_quantity", "l_shipdate", "l_comment", "l_orderkey"):
+        assert col not in plan, f"column {col} not pruned from scan"
+
+
+def test_filter_before_join_pushdown(spark):
+    # a filter written AFTER a join must still reach the scan
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey).filter(
+        F.col("o_totalprice") > 1000.0
+    )
+    assert_pushed_filters(j, "o_totalprice")
