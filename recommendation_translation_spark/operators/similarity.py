@@ -32,6 +32,8 @@ __all__ = [
     "cosine_topk",
     "hyperplane_bits",
     "ann_lsh_topk",
+    "embedding_cosine_pairs",
+    "ivf_topk",
     "centroids_by_label",
 ]
 
@@ -140,6 +142,108 @@ def ann_lsh_topk(
         .withColumn(
             "cosine",
             F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 8),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cosine", F.col("rk").alias("rk"))
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup surface).
+
+    The scale path of embedding dedup: hyperplane-LSH bucket both sides,
+    equi-join on the bucket (same-bucket vectors are the near-dup
+    candidates), verify with the exact cosine, keep pairs ≥ threshold.
+    The full |N|² cross join never materializes; recall is tuned with
+    ``n_bits`` (fewer bits → bigger buckets → higher recall).
+    Output: (a_id, b_id, cosine) with a_id < b_id.
+    """
+    v = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec"))
+    v = v.withColumn("bucket", hyperplane_bits(F.col("vec"), n_bits, dim)) \
+         .withColumn("nrm", l2_norm(F.col("vec")))
+    a = v.select(F.col("vid").alias("a_id"), F.col("vec").alias("avec"),
+                 F.col("nrm").alias("anrm"), "bucket")
+    b = v.select(F.col("vid").alias("b_id"), F.col("vec").alias("bvec"),
+                 F.col("nrm").alias("bnrm"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("avec"), F.col("bvec")) / (F.col("anrm") * F.col("bnrm")), 8),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantize to centroid lists, probe the
+    query's ``nprobe`` nearest lists, exact top-k within.
+
+    Centroids are the per-label means (10-ish lists here; at scale a
+    k-means pass).  They are tiny by construction — collected once and
+    broadcast — so list assignment is a broadcast join + codegen'd dot
+    product over the full corpus: one scan, no shuffle of the vectors.
+    The query side probes ``nprobe`` lists to trade recall for cost.
+    Output: (query_id, cand_id, cosine, rk) like the other ANN ops.
+    """
+    spark = emb.sparkSession
+    cent_long = centroids_by_label(emb, label_col=label_col, vec_col=vec_col)
+    # lists × dim doubles — always driver-safe; deterministic rounding
+    rows = cent_long.orderBy("label", "pos").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(float(r["centroid"]))
+    cent = spark.createDataFrame(
+        [(int(lbl), vec) for lbl, vec in sorted(by_label.items())],
+        "list_label int, cvec array<double>",
+    ).withColumn("cnorm2", l2_norm(F.col("cvec")))
+
+    def assign(df: DataFrame, out_id: str, vec_out: str, keep_n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+            "ccos",
+            F.round(dot(F.col(vec_out), F.col("cvec")) / (F.col("nrm") * F.col("cnorm2")), 6),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("ccos").desc(), F.col("list_label").asc())
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= keep_n)
+            .select(out_id, vec_out, "nrm", "list_label")
+        )
+
+    cand = emb.select(F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec2"))
+    cand = cand.withColumn("nrm", l2_norm(F.col("cvec2")))
+    cand_lists = assign(cand, "cand_id", "cvec2", 1).withColumnRenamed("nrm", "cnrm")
+    q = queries.select(F.col("query_id"), F.col("query_vec").cast("array<double>").alias("qvec"))
+    q = q.withColumn("nrm", l2_norm(F.col("qvec")))
+    q_lists = assign(q, "query_id", "qvec", nprobe).withColumnRenamed("nrm", "qnrm")
+
+    scored = (
+        cand_lists.join(F.broadcast(q_lists), "list_label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("qvec"), F.col("cvec2")) / (F.col("qnrm") * F.col("cnrm")), 8),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())

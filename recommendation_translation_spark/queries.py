@@ -46,7 +46,9 @@ from .operators.similarity import (
     ann_lsh_topk,
     centroids_by_label,
     cosine_topk,
+    embedding_cosine_pairs,
     hyperplane_weight,
+    ivf_topk,
 )
 from .operators.text import LANG_MARKERS, STOPWORDS, fingerprint, lang_id, quality_score, token_stats
 from .sources.readers import read_events
@@ -397,6 +399,35 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: per-label centroid lists, nprobe=2, exact top-k within
+    the probed lists."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, _queries_frame(emb), k=5, nprobe=2)
+    return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
+
+
+def q_dedup_emb_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (dedup surface)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.3, n_bits=4, dim=64)
+
+
+def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window sessionization (append mode); emits the
+    watermark-finalized subset of the batch sessions."""
+    from .streaming.events_stream import run_stream_to_memory, stream_sessionize
+
+    return run_stream_to_memory(stream_sessionize(spark, sf_dir), output_mode="append")
+
+
+def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user running stats (update mode)."""
+    from .streaming.events_stream import run_stream_to_memory, stream_user_stats
+
+    return run_stream_to_memory(stream_user_stats(spark, sf_dir), output_mode="update")
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = centroids_by_label(_t(spark, sf_dir, "embeddings"))
     return out.select(
@@ -684,6 +715,113 @@ def _ann_lsh_sql(k: int = 5, n_bits: int = 4, dim: int = 64) -> str:
     """
 
 
+def _emb_cosine_pairs_sql(threshold: float = 0.3, n_bits: int = 4, dim: int = 64) -> str:
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding,
+                 {_norm_sql('embedding', dim)} AS nrm,
+                 {_bucket_sql('embedding', n_bits, dim)} AS bucket
+          FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 8) AS cosine
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 8) >= {threshold}
+    """
+
+
+def _ivf_topk_sql(k: int = 5, nprobe: int = 2, dim: int = 64) -> str:
+    # list-based centroid dot products: both engines fold the 64 elements
+    # left-to-right; the coarse cosine is rounded to 6dp before ranking.
+    cdot = ("list_sum(list_transform(list_zip(CAST({v} AS DOUBLE[]), {c}), t -> t[1] * t[2]))")
+    return f"""
+        WITH cent AS (
+          SELECT list_label, list(c ORDER BY pos) AS cvec
+          FROM (
+            SELECT CAST(label AS INT) AS list_label, i AS pos,
+                   ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 8) AS c
+            FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) t
+            GROUP BY 1, 2
+          ) GROUP BY list_label
+        ),
+        centn AS (
+          SELECT list_label, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm2
+          FROM cent
+        ),
+        cand AS (
+          SELECT vec_id AS cand_id, embedding, {_norm_sql('embedding', dim)} AS nrm
+          FROM embeddings
+        ),
+        cassign AS (
+          SELECT cand_id, embedding, nrm, list_label FROM (
+            SELECT c.cand_id, c.embedding, c.nrm, n.list_label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.cand_id
+                     ORDER BY ROUND({cdot.format(v='c.embedding', c='n.cvec')} / (c.nrm * n.cnorm2), 6) DESC,
+                              n.list_label
+                   ) AS crn
+            FROM cand c CROSS JOIN centn n
+          ) WHERE crn = 1
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding, {_norm_sql('embedding', dim)} AS nrm
+          FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        qassign AS (
+          SELECT query_id, embedding, nrm, list_label FROM (
+            SELECT qq.query_id, qq.embedding, qq.nrm, n.list_label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY qq.query_id
+                     ORDER BY ROUND({cdot.format(v='qq.embedding', c='n.cvec')} / (qq.nrm * n.cnorm2), 6) DESC,
+                              n.list_label
+                   ) AS crn
+            FROM q qq CROSS JOIN centn n
+          ) WHERE crn <= {nprobe}
+        ),
+        scored AS (
+          SELECT qa.query_id, ca.cand_id,
+                 ROUND({_dot_sql('qa.embedding', 'ca.embedding', dim)} / (qa.nrm * ca.nrm), 8) AS cosine
+          FROM qassign qa JOIN cassign ca
+            ON qa.list_label = ca.list_label AND ca.cand_id <> qa.query_id
+        )
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+        FROM scored QUALIFY rk <= {k}
+    """
+
+
+# streaming sessionize: the batch gap-sessions whose window end
+# (last event + gap) the final watermark (max ts − gap) has passed.
+_STREAM_SESSIONIZE_SQL = """
+    WITH ev AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
+    mx AS (SELECT max(ts) AS mts FROM ev),
+    flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en,
+             COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+      FROM sessioned GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(floor(epoch(st)) AS BIGINT) AS session_start_epoch,
+           n_events, sum_value
+    FROM sess, mx
+    WHERE en + INTERVAL 30 MINUTE <= mts - INTERVAL 30 MINUTE
+"""
+
+
 ORACLES: dict[str, str] = {
     "rank_normalized": _RANKED_SQL,
     "feature_pivot": _PIVOT_SQL,
@@ -851,6 +989,16 @@ ORACLES: dict[str, str] = {
     """,
     "emb_cosine_topk": _cosine_topk_sql(),
     "emb_ann_lsh": _ann_lsh_sql(),
+    "emb_ivf_topk": _ivf_topk_sql(),
+    "dedup_emb_cosine": _emb_cosine_pairs_sql(),
+    "events_stream_sessionize": _STREAM_SESSIONIZE_SQL,
+    "events_stream_stateful": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id
+    """,
     "emb_centroids": """
         SELECT CAST(label AS BIGINT) AS label,
                CAST(i - 1 AS BIGINT) AS pos,
@@ -915,6 +1063,10 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "dedup_emb_cosine": q_dedup_emb_cosine,
+    "events_stream_sessionize": q_events_stream_sessionize,
+    "events_stream_stateful": q_events_stream_stateful,
     "emb_centroids": q_emb_centroids,
     "mm_media_meta": q_mm_media_meta,
     "mm_decode_meta": q_mm_decode_meta,

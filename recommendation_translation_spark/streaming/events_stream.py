@@ -19,7 +19,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["stream_tumbling_agg", "run_stream_to_memory"]
+__all__ = [
+    "stream_tumbling_agg",
+    "stream_sessionize",
+    "stream_user_stats",
+    "run_stream_to_memory",
+]
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,6 +62,82 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str, width: str = "1 hour")
             "event_type",
             "n_events",
             "sum_value",
+        )
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Streaming gap-sessionization via ``session_window`` + watermark.
+
+    The incremental form of operators.events.sessionize: state is one
+    open session per (user, window), merged as events arrive, emitted in
+    append mode once the watermark passes the session end.  In a bounded
+    replay the watermark stops at ``max(ts) − gap``, so sessions ending
+    after that cutoff stay open (never emitted) — the deterministic
+    subset the oracle reproduces with the same cutoff rule.
+    """
+    events = _events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (n_events, sum_value, max_value).
+
+    The state handle holds one row per user and survives across
+    micro-batches; each batch emits the user's updated running totals
+    (update mode).  This is the Arrow-batched escape hatch for stateful
+    logic ``session_window`` can't express (counters, model state,
+    custom eviction).  The bounded replay here arrives as one batch
+    (single input file), so the drained memory sink holds exactly one
+    final row per user — which is what the oracle checks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _events_stream(spark, sf_dir)
+
+    output_schema = "user_id bigint, n_events bigint, sum_value double, max_value double"
+    state_schema = "n bigint, s double, m double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 4)],
+                "max_value": [m],
+            }
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 
