@@ -87,7 +87,10 @@ def build_models(
     Callers should ``features.cache()`` first; this function triggers
     many actions per site.
     """
-    features = features.cache()
+    if not features.is_cached:
+        features = features.cache()
+    features.count()  # materialize before fan-out: concurrent per-site jobs
+    # would otherwise each recompute the uncached feature lineage
 
     def run(site: str) -> TrainResult:
         try:
