@@ -59,19 +59,35 @@ class TrainResult:
     extra: dict = field(default_factory=dict)
 
 
+# Rows per partition for the training set.  The per-site work data is a
+# filtered slice of the feature matrix, usually far smaller than the
+# upstream partitioning assumes; tree training runs one job per depth
+# level, so hundreds of near-empty tasks dominate wall-clock.  Sizing
+# partitions by row count keeps tasks dense locally AND on a 1000-executor
+# cluster (where rows//TRAIN_ROWS_PER_PARTITION is large again).
+TRAIN_ROWS_PER_PARTITION = 50_000
+
+
 def _train_one(features: DataFrame, site: str, seed: int, model_dir: str | None) -> TrainResult:
     """ModelBuilder.scala:18-38 for a single target site."""
-    work = get_work_data(features, site, exists=True)
-    train, test = work.randomSplit([0.7, 0.3], seed=seed)  # ModelBuilder.scala:23, seeded
-    model = _regressor(seed).fit(train)
-    result = TrainResult(site=site, model=model)
-    if model_dir is not None:
-        path = os.path.join(model_dir, site)  # ModelBuilder.scala:29
-        model.write().overwrite().save(path)
-        result.model_path = path
-    predictions = model.transform(test)  # ModelBuilder.scala:32
-    result.rmse = _evaluator().evaluate(predictions)  # ModelBuilder.scala:33-34
-    return result
+    cached = get_work_data(features, site, exists=True).cache()
+    n = cached.count()
+    parallelism = features.sparkSession.sparkContext.defaultParallelism
+    target = max(1, min(parallelism, n // TRAIN_ROWS_PER_PARTITION + 1))
+    work = cached.coalesce(target)
+    try:
+        train, test = work.randomSplit([0.7, 0.3], seed=seed)  # ModelBuilder.scala:23, seeded
+        model = _regressor(seed).fit(train)
+        result = TrainResult(site=site, model=model)
+        if model_dir is not None:
+            path = os.path.join(model_dir, site)  # ModelBuilder.scala:29
+            model.write().overwrite().save(path)
+            result.model_path = path
+        predictions = model.transform(test)  # ModelBuilder.scala:32
+        result.rmse = _evaluator().evaluate(predictions)  # ModelBuilder.scala:33-34
+        return result
+    finally:
+        cached.unpersist()
 
 
 def build_models(
