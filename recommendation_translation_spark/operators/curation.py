@@ -1,0 +1,248 @@
+"""Corpus-curation operators for training-data pipelines (extension
+surface; complements operators.text and operators.dedup).
+
+All single-document metrics are native Column expressions (whole-stage
+codegen, linear scale-out, SQL-oracle-verifiable).  The one iterative
+operator — duplicate-cluster assignment — is a bounded fixpoint of
+DataFrame joins (see ``dup_clusters``).
+
+Design notes for 100 TB:
+
+- every per-document stage is embarrassingly parallel: no shuffle at
+  all until an aggregation/join is asked for;
+- ``hash_split`` is deterministic in the document id — re-running the
+  pipeline on a grown corpus never moves an old document across splits
+  (the property training pipelines need for train/test hygiene);
+- ``token_budget_sample`` is one window over a single global ordering;
+  at extreme scale swap the global sort for a 2-pass quantile cut
+  (sample → per-partition prefix sums), same semantics;
+- ``dup_clusters`` does O(log n) self-joins; each iteration is a plain
+  shuffle join AQE can re-plan, and the edge set (near-dup pairs) is
+  orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = [
+    "quality_flags",
+    "repetition_stats",
+    "pii_redact",
+    "hash_split",
+    "token_budget_sample",
+    "dup_clusters",
+    "EMAIL_RE",
+    "PHONE_RE",
+]
+
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def quality_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_mean_word_len: float = 2.0, max_mean_word_len: float = 12.0,
+                  max_symbol_ratio: float = 0.1) -> DataFrame:
+    """Gopher/C4-style boolean quality gates, one column per rule plus
+    the conjunction — the cheap first pass of a corpus pipeline.
+
+    Rules (Rae et al. 2021 "Scaling Language Models" app. A; Raffel et
+    al. 2020 C4): word-count bounds, mean-word-length bounds, symbol
+    ratio (# and … vs words), bullet/ellipsis line ratios, and the C4
+    lorem-ipsum / curly-brace tripwires.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = F.length(F.regexp_replace(t, r"\s+", "")) / safe_words
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0)))
+    lines = F.split(t, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_len = (mean_word_len >= min_mean_word_len) & (mean_word_len <= max_mean_word_len)
+    ok_symbols = (n_symbols / safe_words) <= max_symbol_ratio
+    ok_bullets = (n_bullet / n_lines) <= 0.9
+    ok_ellipsis = (n_ellipsis / n_lines) <= 0.3
+    ok_lorem = ~F.lower(t).contains("lorem ipsum")
+    ok_braces = ~t.contains("{")
+
+    keep = (ok_words & ok_mean_len & ok_symbols & ok_bullets & ok_ellipsis
+            & ok_lorem & ok_braces)
+    return df.select(
+        F.col(id_col),
+        F.col("n_chars") if "n_chars" in df.columns else F.length(t).alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_bullets.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_lorem.alias("ok_no_lorem"),
+        ok_braces.alias("ok_no_braces"),
+        keep.alias("keep"),
+    )
+
+
+def repetition_stats(df: DataFrame, n: int = 2, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition metrics: fraction of the document taken by its single
+    most frequent word n-gram, and distinct/total n-gram ratio.
+
+    The Gopher "repetition" family — high top-ngram share ⇒ boilerplate
+    or looping generations.  Explode + two aggregations; the shuffle key
+    is (doc, ngram) so it scales with corpus size, not document count.
+    """
+    toks = tokens(F.col(text_col))
+    parts = ", ".join(f"t[i + {j}]" for j in range(n))
+    grams = F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))")
+    g = (
+        df.select(F.col(id_col), toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+    per_gram = g.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.max("c").alias("top_gram_count"),
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct_grams"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_distinct_grams").cast("long").alias("n_distinct_grams"),
+            F.round(F.col("top_gram_count") / F.col("n_grams"), 6).alias("top_gram_ratio"),
+            F.round(F.col("n_distinct_grams") / F.col("n_grams"), 6).alias("distinct_ratio"),
+        )
+    )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails and phone-number-shaped spans, keeping counts.
+
+    Pure ``regexp_replace``/``regexp_extract_all`` — codegen'd, no UDF.
+    Returns (id, redacted text, n_emails, n_phones).
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    redacted = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(redacted, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        redacted.alias("text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               train: int = 80, val: int = 10, salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by hashing the id into
+    100 buckets: [0, train) → train, [train, train+val) → val, rest →
+    test.  Stable under corpus growth and engine-independent (md5)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
+                                          F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train, "train")
+        .when(F.col("split_bucket") < train + val, "val")
+        .otherwise("test"),
+    )
+
+
+def token_budget_sample(df: DataFrame, budget_tokens: int,
+                        quality_col: str = "quality", tokens_col: str = "n_tokens",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Select the highest-quality documents until a global token budget
+    is reached: rank by (quality desc, id) and keep every document whose
+    *running* token total stays within budget.
+
+    One window over one global ordering.  The first document is always
+    kept (a budget below the best document's length yields that one
+    document, not zero).
+    """
+    w = Window.orderBy(F.col(quality_col).desc(), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = F.sum(tokens_col).over(w)
+    return (
+        df.withColumn("running_tokens", running)
+        .filter(
+            (F.col("running_tokens") <= budget_tokens)
+            | (F.col("running_tokens") == F.col(tokens_col))  # first doc
+        )
+    )
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
+                 max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id,
+    cluster_id = min id reachable) — the standard "keep one per
+    cluster" step after MinHash/SimHash candidate generation.
+
+    Min-label propagation to a fixpoint: every node repeatedly adopts
+    the smallest label among itself and its neighbours.  Converges in
+    O(diameter) joins — near-dup clusters are tiny and dense, so
+    usually 2-3 iterations; each iteration is one shuffle join + one
+    aggregation over the *edge* set only.  (The large-star/small-star
+    variant [Kiveris et al. 2014] halves iteration count at extreme
+    diameters; min-propagation keeps the plan simpler and the edge set
+    here is small relative to the corpus.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("minv"))
+        .select(F.col("u").alias("node"), F.least("minv", "u").alias("label"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["v"] == labels["node"], "inner")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        new_labels.count()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,136 @@
+"""Temporal join operators the reference lacks (extension surface).
+
+The reference's only joins are equi-joins (SURVEY.md §2.3 — J1 inner
+USING, J2 outer fold); event pipelines also need *as-of* and *range*
+joins, which Spark has no physical operator for.  Both are built here as
+compositions of existing DataFrame ops — no UDF, no cartesian product —
+so Catalyst still sees a fully declarative plan:
+
+- **as-of join**: the union-and-window trick.  Tag both inputs, union
+  them, and for each left row take ``last(right_value, ignorenulls)``
+  over ``Window.partitionBy(keys).orderBy(ts, side)``.  Exactly ONE
+  shuffle (by key), no join blowup, and per-key skew is bounded by the
+  window sort — the same plan a hand-written merge-asof would produce,
+  except AQE still gets to pick partitioning.
+- **range join**: bucketed equi-join.  Quantize the probe timestamp to
+  fixed-width buckets, explode each probe row to the (few) buckets its
+  window overlaps, equi-join on (key, bucket), then re-filter with the
+  exact range predicate.  Join fan-out is bounded by
+  ``window/bucket + 1`` per row instead of the per-key cross product a
+  naive ``a.ts BETWEEN ...`` theta-join would cost (which Spark executes
+  as BroadcastNestedLoop or a per-key cartesian).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_count"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` and equal key(s) — pandas ``merge_asof``
+    semantics (direction='backward', inclusive), distributed.
+
+    Right rows must be unique per (key, ts); pre-aggregate if not, or
+    the matched row among equal timestamps is undefined.  Output = all
+    left columns + ``<prefix><c>`` for each right value column (null
+    when no right row precedes the left row).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != right_ts]
+
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys and c != left_ts],
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # side orders right (0) before left (1) at equal ts ⇒ ties are
+    # inclusive, matching ASOF JOIN's l.ts >= r.ts
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")).otherwise(F.lit(None)),
+               ignorenulls=True).over(w).alias(f"_f__ts"),
+    )
+    out_left = [c for c in left.columns if c not in keys and c != left_ts]
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *keys,
+            F.col("_ts").alias(left_ts),
+            *out_left,
+            *[F.col(f"_f_{c}").alias(f"{prefix}{c}") for c in value_cols],
+            F.col("_f__ts").alias(f"{prefix}{right_ts}"),
+        )
+    )
+
+
+def range_count(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    window_seconds: int,
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    probe_id: str = "event_id",
+) -> DataFrame:
+    """Per probe row, count build rows with the same key whose timestamp
+    falls in ``[probe.ts − window, probe.ts)`` — a range (interval)
+    join, executed as a bucketed equi-join (module docstring).
+
+    Returns the probe rows + ``n_in_range`` (0 when nothing matched).
+    """
+    bucket_us = F.lit(int(window_seconds) * 1_000_000)
+    p_b = (F.unix_micros(F.col(probe_ts)) / bucket_us).cast("long")
+    b_b = (F.unix_micros(F.col(build_ts)) / bucket_us).cast("long")
+
+    probes = probe.select(
+        F.col(probe_id), F.col(on), F.col(probe_ts),
+        F.explode(F.array(p_b - 1, p_b)).alias("_bkt"),
+    )
+    builds = build.select(
+        F.col(on).alias("_bon"), F.col(build_ts).alias("_bts"), b_b.alias("_bkt")
+    )
+    lo = F.col(probe_ts) - F.make_dt_interval(secs=F.lit(window_seconds))
+    matched = (
+        probes.join(
+            builds,
+            (probes["_bkt"] == builds["_bkt"]) & (F.col(on) == F.col("_bon")),
+            "inner",
+        )
+        .filter((F.col("_bts") >= lo) & (F.col("_bts") < F.col(probe_ts)))
+        .groupBy(probe_id)
+        .agg(F.count("*").alias("n_in_range"))
+    )
+    return (
+        probe.join(matched, probe_id, "left")
+        .withColumn("n_in_range", F.coalesce("n_in_range", F.lit(0)))
+    )

@@ -38,8 +38,19 @@ from .operators.dedup import (
     simhash,
     simhash_pairs,
 )
+from .operators.curation import (
+    EMAIL_RE,
+    PHONE_RE,
+    dup_clusters,
+    hash_split,
+    pii_redact,
+    quality_flags,
+    repetition_stats,
+    token_budget_sample,
+)
 from .operators.events import sessionize, sliding_agg, tumbling_agg
 from .operators.features import pivot_features
+from .operators.joins import asof_join, range_count
 from .operators.multimodal import attach_fake_media, decode_image_meta
 from .operators.rank import normalized_rank
 from .operators.similarity import (
@@ -523,6 +534,158 @@ def q_ml_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("site", "id", F.round("score", 4).alias("score"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins + TPC-H-style analytics (extension; operators.joins)
+# ---------------------------------------------------------------------------
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the latest same-user
+    click at-or-before it (pandas merge_asof semantics, distributed via
+    union+window — ONE shuffle, no join blowup; operators.joins)."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)  # unique (user, ts) ⇒ deterministic match
+        .select("user_id", "ts", "value")
+    )
+    joined = asof_join(left, right, on="user_id", value_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("asof_value", 4).alias("asof_value"),
+        F.unix_micros(F.col("asof_ts")).alias("asof_ts_us"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: per error event, how many same-user events
+    landed in the preceding 5 minutes — bucketed equi-join, bounded
+    fan-out (operators.joins.range_count)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    out = range_count(errors, ev, on="user_id", window_seconds=300)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("n_in_range").cast("long").alias("n_in_range"),
+    )
+
+
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + rounded-revenue top-10.
+    Filters sit directly on the scans (pushdown), the dims stay
+    broadcast-able, and AQE picks the join strategy."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_date_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through region→nation→(customer,
+    supplier)→orders→lineitem.  region/nation are broadcast explicitly —
+    their domains are bounded at ANY scale factor, so the hint is safe
+    at 100 TB where the fact-side joins shuffle."""
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, (li["l_suppkey"] == supp["s_suppkey"])
+              & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation (extension; operators.curation)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-rule quality gates + the keep conjunction."""
+    return quality_flags(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram repetition metrics (top-gram share, distinct ratio)."""
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction exercised on synthesized spans: every document gets
+    a deterministic email + phone appended, then redacted; output is the
+    md5 of the redacted text + per-kind counts."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 123-4567 now"),
+        ),
+    )
+    red = pii_redact(aug)
+    return red.select(
+        "doc_id", F.md5("text").alias("fp_redacted"), "n_emails", "n_phones"
+    )
+
+
+def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 train/val/test split; output = per-split doc
+    counts (split assignment is stable under corpus growth)."""
+    out = hash_split(_t(spark, sf_dir, "documents"))
+    return out.groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a global token budget (running-sum
+    window over (quality desc, doc_id))."""
+    q = quality_score(_t(spark, sf_dir, "documents"))
+    sel = token_budget_sample(q, budget_tokens=100_000)
+    return sel.select(
+        "doc_id", "n_tokens", "quality", F.col("running_tokens").cast("long").alias("running_tokens")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over SimHash near-dup pairs → (doc_id,
+    cluster_id).  Iterative min-label propagation (not SQL-expressible;
+    rows-only check here, exactness covered by tests/ vs a union-find
+    oracle)."""
+    pairs = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
+    return dup_clusters(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -1048,7 +1211,155 @@ ORACLES: dict[str, str] = {
     """,
     # ml_train_rmse / ml_score_topk: no oracle (RF not SQL-expressible);
     # driver records rows-only checks.
+    "events_asof_join": """
+        WITH r AS (
+          SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click')
+          WHERE rn = 1),
+        l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+               ROUND(r.value, 4) AS asof_value, epoch_us(r.ts) AS asof_ts_us
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "events_range_join": """
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+               CAST(COUNT(a.event_id) AS BIGINT) AS n_in_range
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        LEFT JOIN events a
+          ON a.user_id = e.user_id
+         AND a.ts >= e.ts - INTERVAL 5 MINUTE AND a.ts < e.ts
+        GROUP BY e.event_id, e.user_id, e.ts
+    """,
+    "tpch_q3_shipping": """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               epoch_us(o_orderdate) AS o_date_us,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "tpch_q5_regional": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "doc_quality_flags": r"""
+        WITH base AS (
+          SELECT doc_id, n_chars, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
+                 len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id, n_chars, n_words,
+                 n_nospace / GREATEST(n_words, 1)::DOUBLE AS mwl_raw,
+                 n_symbols / GREATEST(n_words, 1)::DOUBLE AS sym_ratio,
+                 len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])')))
+                   / GREATEST(len(lines), 1)::DOUBLE AS bullet_ratio,
+                 len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$')))
+                   / GREATEST(len(lines), 1)::DOUBLE AS ell_ratio,
+                 NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem,
+                 NOT contains(text, '{') AS ok_no_braces
+          FROM base
+        )
+        SELECT doc_id, n_chars, CAST(n_words AS BIGINT) AS n_words,
+               ROUND(mwl_raw, 4) AS mean_word_len,
+               (n_words >= 50 AND n_words <= 100000) AS ok_words,
+               (mwl_raw >= 2.0 AND mwl_raw <= 12.0) AS ok_mean_word_len,
+               (sym_ratio <= 0.1) AS ok_symbol_ratio,
+               (bullet_ratio <= 0.9) AS ok_bullet_lines,
+               (ell_ratio <= 0.3) AS ok_ellipsis_lines,
+               ok_no_lorem, ok_no_braces,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (mwl_raw >= 2.0 AND mwl_raw <= 12.0)
+                AND (sym_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+                AND (ell_ratio <= 0.3) AND ok_no_lorem AND ok_no_braces) AS keep
+        FROM m
+    """,
+    "doc_repetition": r"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        ), g AS (
+          SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+          FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+          WHERE len(w) >= 2
+        ), pg AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+               ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_gram_ratio,
+               ROUND(COUNT(*)::DOUBLE / SUM(c), 6) AS distinct_ratio
+        FROM pg GROUP BY doc_id
+    """,
+    "doc_pii_redact": f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1 (555) 123-4567 now' AS text
+          FROM documents
+        ), e AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS text
+          FROM aug
+        ), p AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+                 regexp_replace(text, '{PHONE_RE}', '<PHONE>', 'g') AS text
+          FROM e
+        )
+        SELECT doc_id, md5(text) AS fp_redacted,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_phones AS BIGINT) AS n_phones
+        FROM p
+    """,
+    "corpus_hash_split": """
+        WITH b AS (
+          SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bucket
+          FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs
+        FROM b GROUP BY 1
+    """,
+    # corpus_token_budget appended below (needs _quality_sql());
+    # dedup_clusters: iterative fixpoint, not SQL-expressible — rows-only.
 }
+
+ORACLES["corpus_token_budget"] = f"""
+    WITH q AS ({_quality_sql()}),
+    r AS (
+      SELECT doc_id, n_tokens, quality,
+             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS running_tokens
+      FROM q
+    )
+    SELECT doc_id, n_tokens, quality, CAST(running_tokens AS BIGINT) AS running_tokens
+    FROM r WHERE running_tokens <= 100000 OR running_tokens = n_tokens
+"""
 
 
 QUERIES = {
@@ -1087,4 +1398,14 @@ QUERIES = {
     "mm_decode_meta": q_mm_decode_meta,
     "ml_train_rmse": q_ml_train_rmse,
     "ml_score_topk": q_ml_score_topk,
+    "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_regional": q_tpch_q5_regional,
+    "doc_quality_flags": q_doc_quality_flags,
+    "doc_repetition": q_doc_repetition,
+    "doc_pii_redact": q_doc_pii_redact,
+    "corpus_hash_split": q_corpus_hash_split,
+    "corpus_token_budget": q_corpus_token_budget,
+    "dedup_clusters": q_dedup_clusters,
 }

@@ -22,6 +22,11 @@ def test_oracle_parity(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+# Queries with no SQL oracle: ML model fits and the iterative
+# connected-components fixpoint (driver records rows-only checks).
+NO_ORACLE = {"ml_train_rmse", "ml_score_topk", "dedup_clusters"}
+
+
 def test_all_queries_have_oracle_or_are_ml():
     missing = set(QUERIES) - set(ORACLES)
-    assert missing == {"ml_train_rmse", "ml_score_topk"}, missing
+    assert missing == NO_ORACLE, missing

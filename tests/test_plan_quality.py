@@ -121,3 +121,62 @@ def test_filter_before_join_pushdown(spark):
         F.col("o_totalprice") > 1000.0
     )
     assert_pushed_filters(j, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# temporal joins + TPC-H shapes + curation (operators.joins / .curation)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_no_join_blowup(spark):
+    # union+window formulation: NO join operator at all — the as-of
+    # match rides a single window sort; floor is 2 exchanges (the
+    # right-side (user,ts) dedup window + the union window by user).
+    df = QUERIES["events_asof_join"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # it's a window, not a join
+    assert count_exchanges(df) <= 2
+
+
+def test_range_join_is_equi_join(spark):
+    # bucketed range join must plan as a hash/sort-merge EQUI join on
+    # (key, bucket) — never a nested-loop theta join, whose cost is the
+    # per-key cross product.
+    df = QUERIES["events_range_join"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert_pushed_filters(df, "event_type")
+
+
+def test_tpch_q3_pushdown(spark):
+    # all three dimension/fact filters must reach their parquet scans
+    df = QUERIES["tpch_q3_shipping"](spark, SF_SMALL)
+    assert_pushed_filters(df, "c_mktsegment", "l_shipdate", "o_orderdate")
+
+
+def test_tpch_q5_broadcasts_bounded_dims(spark):
+    # region + nation are broadcast by hint (domain-bounded at any SF);
+    # customer broadcasts at this scale via size estimation.
+    df = QUERIES["tpch_q5_regional"](spark, SF_SMALL)
+    assert_broadcast_join(df, at_least=2)
+    assert_pushed_filters(df, "r_name", "o_orderdate")
+
+
+def test_quality_flags_zero_shuffle(spark):
+    # per-document metrics are embarrassingly parallel: NO exchange.
+    df = QUERIES["doc_quality_flags"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+    assert_whole_stage_codegen(df)
+
+
+def test_pii_redact_zero_shuffle(spark):
+    df = QUERIES["doc_pii_redact"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+
+
+def test_hash_split_single_shuffle(spark):
+    # only the final per-split count aggregates; the assignment itself
+    # is a pure projection.
+    df = QUERIES["corpus_hash_split"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
