@@ -191,58 +191,64 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
 
 
 def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
-                 max_iter: int = 20) -> DataFrame:
+                 max_iter: int = 15) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id,
     cluster_id = min id reachable) — the standard "keep one per
     cluster" step after MinHash/SimHash candidate generation.
 
-    Min-label propagation to a fixpoint: every node repeatedly adopts
-    the smallest label among itself and its neighbours.  Converges in
-    O(diameter) joins — near-dup clusters are tiny and dense, so
-    usually 2-3 iterations; each iteration is one shuffle join + one
-    aggregation over the *edge* set only.  (The large-star/small-star
-    variant [Kiveris et al. 2014] halves iteration count at extreme
-    diameters; min-propagation keeps the plan simpler and the edge set
-    here is small relative to the corpus.)
+    Min-label propagation **with pointer jumping** (path doubling, as
+    in Rastogi et al. 2013 "Finding Connected Components in Map-Reduce
+    in Logarithmic Rounds"): each round every node adopts the smallest
+    label among (self, 1-hop neighbours), then replaces its label with
+    its *label's* label.  The jump halves remaining chain length, so
+    convergence is O(log diameter) rounds instead of the O(diameter)
+    of plain propagation — the difference between 3-4 Spark jobs and
+    hundreds on chain-shaped near-dup graphs.  Each round is three
+    shuffle joins over the *edge/label* sets only (orders of magnitude
+    smaller than the corpus), materialized via ``localCheckpoint`` —
+    the jump self-join makes the logical plan reference the previous
+    round twice, so without lineage truncation the plan tree doubles
+    every round and Catalyst re-analysis goes exponential (a cache
+    alone does NOT truncate the logical plan).  Labels are
+    monotonically non-increasing, so `min(new) < old` is the complete
+    change test.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("minv"))
         .select(F.col("u").alias("node"), F.least("minv", "u").alias("label"))
-        .cache()
+        .localCheckpoint()
     )
-    labels.count()
     for _ in range(max_iter):
+        # 1-hop: smallest label among my neighbours
         neigh = (
             edges.join(labels, edges["v"] == labels["node"], "inner")
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        hop = labels.join(neigh, labels["node"] == neigh["u"], "left").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+        )
+        # pointer jump: adopt my label's label (labels are node ids, so
+        # every label resolves; left+coalesce guards the root case)
+        parent = hop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        # localCheckpoint materializes the round AND truncates lineage,
+        # keeping every round's analyzed plan the same (small) size
         new_labels = (
-            labels.join(neigh, labels["node"] == neigh["u"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-            )
-            .cache()
+            hop.join(parent, hop["label"] == parent["pnode"], "left")
+            .select("node", "old", F.coalesce("plabel", F.col("label")).alias("label"))
+            .localCheckpoint()
         )
-        new_labels.count()
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,56 @@
+"""Unit tests for operators.curation that aren't SQL-oracle-expressible:
+dup_clusters (iterative connected components) vs a driver-side
+union-find oracle, including the chain topology that punishes plain
+min-propagation.
+"""
+
+from __future__ import annotations
+
+import random
+
+from recommendation_translation_spark.operators.curation import dup_clusters
+
+
+def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, pairs: list[tuple[int, int]]):
+    df = spark.createDataFrame(pairs, ["a_id", "b_id"])
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
+    assert got == _union_find(pairs)
+
+
+def test_clusters_chain(spark):
+    # a 200-node chain: worst case for 1-hop propagation; pointer
+    # jumping must still converge within the iteration cap.
+    _check(spark, [(i, i + 1) for i in range(200)])
+
+
+def test_clusters_random_graph(spark):
+    rng = random.Random(7)
+    pairs = [(rng.randrange(300), rng.randrange(300)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    _check(spark, pairs)
+
+
+def test_clusters_cliques_and_singletons(spark):
+    # two cliques + an isolated edge; nodes with no edges don't appear
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(10 + a, 10 + b) for a in range(4) for b in range(a + 1, 4)]
+    pairs += [(100, 101)]
+    _check(spark, pairs)
