@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_count"]
+__all__ = ["asof_join", "range_count", "salted_join"]
 
 
 def asof_join(
@@ -134,3 +134,33 @@ def range_count(
         probe.join(matched, probe_id, "left")
         .withColumn("n_in_range", F.coalesce("n_in_range", F.lit(0)))
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt: int = 16,
+    salt_on: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for skewed fact keys.
+
+    A hot key (one customer with 10% of all events) concentrates a
+    shuffle join's work on one reducer; AQE's skew-join split handles
+    the sort-merge case, but salting is the portable fix that also
+    covers aggregations downstream.  The fact side gets a deterministic
+    salt in ``[0, salt)`` (hash of ``salt_on``, defaulting to all fact
+    columns), the dim side is replicated ``salt``× with ``explode``,
+    and the join runs on ``(key, salt)`` — splitting each hot key into
+    ``salt`` evenly-sized shuffle partitions.  Result is exactly the
+    unsalted join; dim replication cost is ``salt × |dim|`` rows,
+    which is the knob to balance against the skew factor.
+    """
+    salt_src = F.concat_ws("", *[F.col(c).cast("string") for c in fact.columns]) \
+        if salt_on is None else F.col(salt_on).cast("string")
+    f = fact.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt)).cast("int"))
+    d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = f.join(d, (f[fact_key] == d[dim_key]) & (f["_salt"] == d["_salt"]), how)
+    return out.drop("_salt")

@@ -50,7 +50,7 @@ from .operators.curation import (
 )
 from .operators.events import sessionize, sliding_agg, tumbling_agg
 from .operators.features import pivot_features
-from .operators.joins import asof_join, range_count
+from .operators.joins import asof_join, range_count, salted_join
 from .operators.multimodal import attach_fake_media, decode_image_meta
 from .operators.rank import normalized_rank
 from .operators.similarity import (
@@ -686,6 +686,144 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle)."""
     pairs = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
     return dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# multi-level aggregation, set ops, semi/anti joins, skew salting, JSON
+# (extension breadth; the reference has none of these — SURVEY.md §2.4/§2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag, and
+    grand totals in ONE pass — Catalyst expands the grouping sets into
+    a single Expand + aggregate, not three scans."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "sum_price",
+            "n_rows",
+        )
+    )
+
+
+def q_customer_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer counts split by has-orders: LEFT SEMI and
+    LEFT ANTI joins against orders (both plan as one-sided hash joins —
+    the orders side ships only its join key, never its payload)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_nationkey", "outer")
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over the customer-nation and
+    supplier-nation key sets, tagged by operation."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    return (
+        cn.union(sn).distinct().withColumn("op", F.lit("union"))
+        .union(cn.intersect(sn).withColumn("op", F.lit("intersect")))
+        .union(cn.exceptAll(sn).withColumn("op", F.lit("except")))
+        .select("op", F.col("nk").cast("long").alias("nationkey"))
+    )
+
+
+def q_orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: lineitem ⋈ orders on orderkey with
+    a 16-way salt (operators.joins.salted_join), aggregated to revenue
+    per order priority.  Result is EXACTLY the unsalted join — the
+    oracle is the plain SQL join — but each hot orderkey's rows spread
+    over 16 shuffle partitions instead of one reducer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount", "l_linenumber")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=16)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion funnel: per user, the first click, the
+    first purchase at-or-after it, and whether it converted within 30
+    minutes.  Two conditional aggregations over one shuffle by user —
+    no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        )
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        per_user.filter(F.col("first_click").isNotNull())
+        .join(purch, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("first_click").alias("first_click_us"),
+            F.unix_micros("first_purchase").alias("first_purchase_us"),
+            (
+                F.col("first_purchase").isNotNull()
+                & (F.unix_micros("first_purchase") - F.unix_micros("first_click")
+                   <= 1800 * 1_000_000)
+            ).alias("converted_30m"),
+        )
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events props column (get_json_object —
+    codegen'd, no UDF): distribution of the k property by event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1347,6 +1485,75 @@ ORACLES: dict[str, str] = {
     """,
     # corpus_token_budget appended below (needs _quality_sql());
     # dedup_clusters: iterative fixpoint, not SQL-expressible — rows-only.
+    "pricing_rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "customer_semi_anti": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               COUNT(*) FILTER (WHERE EXISTS (
+                   SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+               COUNT(*) FILTER (WHERE NOT EXISTS (
+                   SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    "nation_set_ops": """
+        WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+             sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        SELECT 'union' AS op, CAST(nk AS BIGINT) AS nationkey
+          FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+        UNION ALL
+        SELECT 'intersect', CAST(nk AS BIGINT)
+          FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+        UNION ALL
+        SELECT 'except', CAST(nk AS BIGINT)
+          FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+    """,
+    "orders_salted_join": """
+        SELECT o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "events_funnel": """
+        WITH pu AS (
+          SELECT user_id,
+                 MIN(ts) FILTER (WHERE event_type = 'click') AS first_click
+          FROM events GROUP BY user_id
+        ), pp AS (
+          SELECT e.user_id, MIN(e.ts) AS first_purchase
+          FROM events e JOIN pu ON e.user_id = pu.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= pu.first_click
+          GROUP BY e.user_id
+        )
+        SELECT pu.user_id,
+               epoch_us(pu.first_click) AS first_click_us,
+               epoch_us(pp.first_purchase) AS first_purchase_us,
+               (pp.first_purchase IS NOT NULL
+                AND epoch_us(pp.first_purchase) - epoch_us(pu.first_click)
+                    <= 1800 * 1000000) AS converted_30m
+        FROM pu LEFT JOIN pp ON pu.user_id = pp.user_id
+        WHERE pu.first_click IS NOT NULL
+    """,
+    "events_json_props": """
+        WITH k AS (
+          SELECT event_type,
+                 CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+          FROM events
+          WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+        )
+        SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM k GROUP BY event_type
+    """,
 }
 
 ORACLES["corpus_token_budget"] = f"""
@@ -1408,4 +1615,10 @@ QUERIES = {
     "corpus_hash_split": q_corpus_hash_split,
     "corpus_token_budget": q_corpus_token_budget,
     "dedup_clusters": q_dedup_clusters,
+    "pricing_rollup": q_pricing_rollup,
+    "customer_semi_anti": q_customer_semi_anti,
+    "nation_set_ops": q_nation_set_ops,
+    "orders_salted_join": q_orders_salted_join,
+    "events_funnel": q_events_funnel,
+    "events_json_props": q_events_json_props,
 }
