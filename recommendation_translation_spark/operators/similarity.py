@@ -202,33 +202,65 @@ def ivf_topk(
 
     Centroids are the per-label means (10-ish lists here; at scale a
     k-means pass).  They are tiny by construction — collected once and
-    broadcast — so list assignment is a broadcast join + codegen'd dot
-    product over the full corpus: one scan, no shuffle of the vectors.
-    The query side probes ``nprobe`` lists to trade recall for cost.
+    **inlined as plan literals**, so list assignment is a pure
+    projection: per row, an ``array_sort`` over the literal
+    (label, centroid, norm) structs by coarse cosine.  ZERO shuffle and
+    no join for the assignment of the full corpus — the earlier
+    crossJoin + per-id window formulation shuffled every vector twice;
+    this shuffles none (the only remaining exchanges are the final
+    candidate⋈query bucket join + the per-query top-k window).
+    Centroid norms fold left-to-right driver-side, bit-identical to the
+    in-plan fold.  The query side probes ``nprobe`` lists to trade
+    recall for cost.
     Output: (query_id, cand_id, cosine, rk) like the other ANN ops.
     """
-    spark = emb.sparkSession
+    import math
+
     cent_long = centroids_by_label(emb, label_col=label_col, vec_col=vec_col)
     # lists × dim doubles — always driver-safe; deterministic rounding
     rows = cent_long.orderBy("label", "pos").collect()
     by_label: dict = {}
     for r in rows:
-        by_label.setdefault(r["label"], []).append(float(r["centroid"]))
-    cent = spark.createDataFrame(
-        [(int(lbl), vec) for lbl, vec in sorted(by_label.items())],
-        "list_label int, cvec array<double>",
-    ).withColumn("cnorm2", l2_norm(F.col("cvec")))
+        by_label.setdefault(int(r["label"]), []).append(float(r["centroid"]))
+    cents = []
+    for lbl, vec in sorted(by_label.items()):
+        s = 0.0
+        for x in vec:
+            s += x * x
+        cents.append((lbl, vec, math.sqrt(s)))
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(lbl).alias("l"),
+            F.array(*[F.lit(c) for c in vec]).alias("cv"),
+            F.lit(nrm).alias("cn"),
+        )
+        for lbl, vec, nrm in cents
+    ])
 
     def assign(df: DataFrame, out_id: str, vec_out: str, keep_n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).withColumn(
-            "ccos",
-            F.round(dot(F.col(vec_out), F.col("cvec")) / (F.col("nrm") * F.col("cnorm2")), 6),
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(dot(F.col(vec_out), c["cv"]) / (F.col("nrm") * c["cn"]), 6).alias("ccos"),
+                c["l"].alias("l"),
+            ),
         )
-        w = Window.partitionBy(out_id).orderBy(F.col("ccos").desc(), F.col("list_label").asc())
-        return (
-            scored.withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") <= keep_n)
-            .select(out_id, vec_out, "nrm", "list_label")
+        top = F.slice(
+            F.array_sort(
+                scored,
+                lambda x, y: F.when(x["ccos"] > y["ccos"], F.lit(-1))
+                .when(x["ccos"] < y["ccos"], F.lit(1))
+                .otherwise(x["l"] - y["l"])
+                .cast("int"),
+            ),
+            1,
+            keep_n,
+        )
+        return df.withColumn("_lists", top).select(
+            out_id,
+            vec_out,
+            "nrm",
+            F.explode(F.col("_lists").getField("l")).alias("list_label"),
         )
 
     cand = emb.select(F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec2"))
