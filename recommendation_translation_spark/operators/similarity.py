@@ -30,6 +30,7 @@ __all__ = [
     "dot",
     "l2_norm",
     "cosine_topk",
+    "cosine_topk_np",
     "hyperplane_bits",
     "ann_lsh_topk",
     "embedding_cosine_pairs",
@@ -87,6 +88,78 @@ def cosine_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cosine", F.col("rk").alias("rk"))
+    )
+
+
+def cosine_topk_np(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Arrow-batched numpy variant of ``cosine_topk`` — the vectorized
+    Python path for when array expressions aren't enough (here it also
+    happens to beat the expression fold: one BLAS matmul per Arrow
+    batch vs an interpreted per-element HOF).
+
+    The query matrix is small by construction — collected once,
+    row-normalized, and closed over into a ``mapInPandas`` stage that
+    computes the |Q|×|batch| cosine block and keeps only each query's
+    local top-k (ties broken by candidate id).  The shuffle therefore
+    carries ≤ |Q|·k rows per input batch, never the full score matrix;
+    a final per-query window reduces local winners to the global top-k.
+
+    BLAS sums in SIMD/pairwise order, not left-to-right, so scores are
+    rounded to ``decimals`` (coarser than cosine_topk's 8) before
+    ranking — 1e-13-scale reassociation noise cannot straddle a 1e-4
+    rounding boundary, keeping results engine-independent.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qv")
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["cand_id"].to_numpy(dtype=np.int64)
+            C = np.stack(pdf["cvec"].to_list()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = np.round(Qn @ Cn.T, decimals)  # |Q| × |batch|
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                row = S[qi].copy()
+                row[ids == q_ids[qi]] = -np.inf  # self-match
+                order = np.lexsort((ids, -row))[:k]
+                keep = order[np.isfinite(row[order])]
+                out_q.append(np.full(len(keep), q_ids[qi]))
+                out_c.append(ids[keep])
+                out_s.append(row[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec")
+    )
+    local = cand.mapInPandas(score, "query_id long, cand_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cosine", "rk")
     )
 
 

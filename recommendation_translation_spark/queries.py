@@ -55,6 +55,7 @@ from .operators.multimodal import attach_fake_media, decode_image_meta
 from .operators.rank import normalized_rank
 from .operators.similarity import (
     ann_lsh_topk,
+    cosine_topk_np,
     centroids_by_label,
     cosine_topk,
     embedding_cosine_pairs,
@@ -401,6 +402,15 @@ def _queries_frame(emb: DataFrame) -> DataFrame:
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, _queries_frame(emb), k=5)
+    return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
+
+
+def q_emb_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute-force cosine top-k (mapInPandas + BLAS
+    matmul with per-batch local top-k) — same relation as
+    emb_cosine_topk at 4dp rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_np(emb, _queries_frame(emb), k=5, decimals=4)
     return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
 
 
@@ -967,7 +977,7 @@ def _norm_sql(a: str, dim: int = 64) -> str:
     return f"sqrt({expr})"
 
 
-def _cosine_topk_sql(k: int = 5) -> str:
+def _cosine_topk_sql(k: int = 5, decimals: int = 8) -> str:
     return f"""
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS qv, {_norm_sql('embedding')} AS qnorm
@@ -979,7 +989,7 @@ def _cosine_topk_sql(k: int = 5) -> str:
         ),
         scored AS (
           SELECT query_id, cand_id,
-                 ROUND({_dot_sql('qv', 'cv')} / (qnorm * cnorm), 8) AS cosine
+                 ROUND({_dot_sql('qv', 'cv')} / (qnorm * cnorm), {decimals}) AS cosine
           FROM q JOIN c ON cand_id <> query_id
         )
         SELECT query_id, cand_id, cosine,
@@ -1304,6 +1314,7 @@ ORACLES: dict[str, str] = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
     """,
     "emb_cosine_topk": _cosine_topk_sql(),
+    "emb_cosine_topk_np": _cosine_topk_sql(decimals=4),
     "emb_ann_lsh": _ann_lsh_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
     "dedup_emb_cosine": _emb_cosine_pairs_sql(),
@@ -1595,6 +1606,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_cosine_topk_np": q_emb_cosine_topk_np,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ivf_topk": q_emb_ivf_topk,
     "dedup_emb_cosine": q_dedup_emb_cosine,
