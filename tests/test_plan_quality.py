@@ -180,3 +180,48 @@ def test_hash_split_single_shuffle(spark):
     # is a pure projection.
     df = QUERIES["corpus_hash_split"](spark, SF_SMALL)
     assert count_exchanges(df) == 1
+
+
+# ---------------------------------------------------------------------------
+# storage-layout contracts: partition pruning + bucketed co-located joins
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from recommendation_translation_spark.sources.writers import write_parquet
+
+    lt = long_table(spark, SF_SMALL)
+    path = str(tmp_path / "long_by_site")
+    write_parquet(lt, path, partition_by=["site"])
+    rd = spark.read.parquet(path).filter(F.col("site") == "A")
+    plan = physical_plan(rd)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # the site predicate must prune at partition-listing time, never
+    # reach row-level filtering, and the scan must not read `site` data
+    assert pf and "site" in pf[0], plan
+    assert rd.count() > 0
+
+
+def test_bucketed_join_zero_exchange(spark, tmp_path):
+    from recommendation_translation_spark.sources.writers import write_bucketed_table
+
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    write_bucketed_table(cust, "t_cust_b", ["c_custkey"], 8,
+                         sort_cols=["c_custkey"], path=str(tmp_path / "c"))
+    write_bucketed_table(orders, "t_ord_b", ["o_custkey"], 8,
+                         sort_cols=["o_custkey"], path=str(tmp_path / "o"))
+    try:
+        tc, to = spark.table("t_cust_b"), spark.table("t_ord_b")
+        j = tc.hint("merge").join(to, tc["c_custkey"] == to["o_custkey"])
+        # both sides pre-hashed into matching buckets: the sort-merge
+        # join consumes them with NO shuffle (the 100-TB fact-join plan)
+        assert count_exchanges(j) == 0, physical_plan(j, mode="simple")
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
