@@ -767,13 +767,14 @@ def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted join: lineitem ⋈ orders on orderkey with
-    a 16-way salt (operators.joins.salted_join), aggregated to revenue
+    an 8-way salt (operators.joins.salted_join), aggregated to revenue
     per order priority.  Result is EXACTLY the unsalted join — the
     oracle is the plain SQL join — but each hot orderkey's rows spread
-    over 16 shuffle partitions instead of one reducer."""
+    over 8 shuffle partitions instead of one reducer (the salt factor
+    scales with the observed skew, not the data size)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount", "l_linenumber")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    j = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=16)
+    j = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
     return (
         j.groupBy("o_orderpriority")
         .agg(
@@ -815,6 +816,26 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                    <= 1800 * 1_000_000)
             ).alias("converted_30m"),
         )
+    )
+
+
+def q_events_user_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family over the event stream: per user-ordered
+    event, gap since the previous event (lag), position (row_number),
+    value decile within its event type (ntile) and cumulative
+    distribution (cume_dist) — one shuffle per distinct partitioning,
+    both partitioned (a global ORDER BY window would single-thread at
+    scale; per-type deciles keep every window parallel)."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("event_type").orderBy(F.round("value", 4), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(wu).alias("pos_in_user"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))).alias("gap_us"),
+        F.ntile(10).over(wv).alias("value_decile"),
+        F.round(F.cume_dist().over(wv), 8).alias("value_cume"),
     )
 
 
@@ -1554,6 +1575,16 @@ ORACLES: dict[str, str] = {
         FROM pu LEFT JOIN pp ON pu.user_id = pp.user_id
         WHERE pu.first_click IS NOT NULL
     """,
+    "events_user_lag": """
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER wu AS INT) AS pos_in_user,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER wu) AS gap_us,
+               CAST(NTILE(10) OVER wv AS INT) AS value_decile,
+               ROUND(CUME_DIST() OVER wv, 8) AS value_cume
+        FROM events
+        WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wv AS (PARTITION BY event_type ORDER BY ROUND(value, 4), event_id)
+    """,
     "events_json_props": """
         WITH k AS (
           SELECT event_type,
@@ -1632,5 +1663,6 @@ QUERIES = {
     "nation_set_ops": q_nation_set_ops,
     "orders_salted_join": q_orders_salted_join,
     "events_funnel": q_events_funnel,
+    "events_user_lag": q_events_user_lag,
     "events_json_props": q_events_json_props,
 }
