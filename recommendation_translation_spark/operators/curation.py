@@ -213,9 +213,18 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
     monotonically non-increasing, so `min(new) < old` is the complete
     change test.
     """
+    # symmetrize in ONE pass over `pairs` — a union of two selects would
+    # recompute the (possibly expensive) candidate-pair pipeline twice
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                    F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint()
     )
