@@ -23,7 +23,7 @@ so Catalyst still sees a fully declarative plan:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join", "range_count", "salted_join"]
