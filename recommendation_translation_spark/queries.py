@@ -819,6 +819,23 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per return flag: sample stddev,
+    Pearson correlation, sample covariance, and the exact interpolated
+    median (percentile 0.5) — all JVM-side aggregates in one pass, one
+    shuffle with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        )
+    )
+
+
 def q_events_user_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function family over the event stream: per user-ordered
     event, gap since the previous event (lag), position (row_number),
@@ -1575,6 +1592,15 @@ ORACLES: dict[str, str] = {
         FROM pu LEFT JOIN pp ON pu.user_id = pp.user_id
         WHERE pu.first_click IS NOT NULL
     """,
+    "lineitem_stats": """
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "events_user_lag": """
         SELECT event_id, user_id,
                CAST(ROW_NUMBER() OVER wu AS INT) AS pos_in_user,
@@ -1663,6 +1689,7 @@ QUERIES = {
     "nation_set_ops": q_nation_set_ops,
     "orders_salted_join": q_orders_salted_join,
     "events_funnel": q_events_funnel,
+    "lineitem_stats": q_lineitem_stats,
     "events_user_lag": q_events_user_lag,
     "events_json_props": q_events_json_props,
 }
