@@ -225,3 +225,34 @@ def test_bucketed_join_zero_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_lineitem_stats_single_shuffle(spark):
+    # four statistical aggregates in ONE pass: partial aggregation
+    # map-side, a single exchange on the group key.
+    df = QUERIES["lineitem_stats"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_pricing_rollup_single_expand_pass(spark):
+    # ROLLUP = Expand + one aggregate, not one scan per grouping set
+    df = QUERIES["pricing_rollup"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("Expand") == 1
+    assert count_exchanges(df) == 1
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_semi_anti_no_nested_loop(spark):
+    df = QUERIES["customer_semi_anti"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_user_lag_two_partitioned_windows(spark):
+    # both window families are partitioned — a global ORDER BY window
+    # (single reducer) must never appear.
+    df = QUERIES["events_user_lag"](spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 2
