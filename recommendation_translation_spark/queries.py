@@ -819,6 +819,32 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB path where exact distinct
+    counts / quantiles would shuffle every value: HyperLogLog++ distinct
+    users and approximate value percentiles per event type, fixed-size
+    state per group regardless of data volume.  No SQL oracle (sketches
+    are approximate by construction); tests/test_curation.py bounds the
+    error against the exact answers instead."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_pcts"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(F.col("value_pcts")[0], 2).alias("p50"),
+            F.round(F.col("value_pcts")[1], 2).alias("p95"),
+            F.round(F.col("value_pcts")[2], 2).alias("p99"),
+            "n",
+        )
+    )
+
+
 def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family per return flag: sample stddev,
     Pearson correlation, sample covariance, and the exact interpolated
@@ -1689,6 +1715,7 @@ QUERIES = {
     "nation_set_ops": q_nation_set_ops,
     "orders_salted_join": q_orders_salted_join,
     "events_funnel": q_events_funnel,
+    "events_approx_stats": q_events_approx_stats,
     "lineitem_stats": q_lineitem_stats,
     "events_user_lag": q_events_user_lag,
     "events_json_props": q_events_json_props,

@@ -54,3 +54,30 @@ def test_clusters_cliques_and_singletons(spark):
     pairs += [(10 + a, 10 + b) for a in range(4) for b in range(a + 1, 4)]
     pairs += [(100, 101)]
     _check(spark, pairs)
+
+
+def test_approx_stats_error_bounds(spark):
+    """Sketch aggregates have no SQL oracle; bound their error against
+    the exact answers instead (HLL++ rsd=2% -> allow 6%; KLL-style
+    percentile with accuracy 10k -> allow 2% rank error ~ small value
+    error on this distribution)."""
+    from pyspark.sql import functions as F
+    from recommendation_translation_spark.queries import QUERIES, _t
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["event_type"]: r for r in QUERIES["events_approx_stats"](spark, sf).collect()}
+    ev = _t(spark, sf, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) <= 0.06 * e["users"], et
+        assert abs(a["p50"] - e["p50"]) <= 0.05 * max(abs(e["p50"]), 1.0), et

@@ -256,3 +256,10 @@ def test_user_lag_two_partitioned_windows(spark):
     plan = physical_plan(df)
     assert "SinglePartition" not in plan
     assert count_exchanges(df) <= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    # top-k + driver merge), never a global sort of all rows.
+    df = QUERIES["tpch_q3_shipping"](spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in physical_plan(df, mode="simple")
