@@ -901,6 +901,209 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H shape breadth (Q6/Q10/Q13/Q14/Q18/Q22 adapted to the testdata
+# schema), CUBE, and a decorrelated correlated-subquery shape.  The
+# reference has no SQL surface (SURVEY.md §2.7) — these extend the
+# engine's analytic coverage with standard warehouse query patterns.
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan → conjunctive filter → global agg.  Every
+    predicate is a native Column expr, so all four reach the parquet
+    reader as PushedFilters and row groups outside the shipdate range
+    never leave disk — the 100 TB case reads a fraction of the table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    The returnflag/orderdate filters cut both fact tables at the scan;
+    nation broadcasts; the customer join shuffles only the filtered
+    survivors."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution via a LEFT
+    OUTER join with a compound join condition (the priority predicate
+    must ride the join, not a WHERE, to keep order-less customers).
+    Two aggregations but only the first shuffles on a wide key; the
+    second groups on the tiny count domain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship-month —
+    conditional aggregation (sum of CASE) over a fact⋈dim join; part
+    is broadcast so the only shuffle is the month-keyed aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.unix_timestamp(F.date_trunc("month", "l_shipdate")).alias("month_epoch"))
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_rev"),
+            F.round(F.sum(disc_price), 2).alias("total_rev"),
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc_price), 4).alias("promo_share"),
+        )
+    )
+
+
+def q_tpch_q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — HAVING SUM(qty) > 250
+    computed once on lineitem (map-side partials), then joined back to
+    orders/customer.  The having-filter runs BEFORE the joins, so only
+    qualifying orderkeys (a tiny set) enter the join — broadcast-able
+    at any scale factor."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q22_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the global
+    average balance with no orders, counted per nation.  The scalar
+    subquery becomes a 1-row broadcast cross join (no driver collect);
+    the NOT EXISTS becomes a LEFT ANTI join that ships only o_custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(F.col("c_nationkey").cast("long").alias("nationkey"), "n_cust", "total_bal")
+    )
+
+
+def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping-set
+    levels in ONE pass (Catalyst Expand + single aggregate, same as
+    rollup but with the extra per-linestatus marginal).  grouping_id
+    disambiguates levels exactly — no sentinel-collision risk."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "sum_disc_price",
+            "n_rows",
+        )
+    )
+
+
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (orders above their customer's
+    average order value), decorrelated into a single window pass: the
+    per-customer average rides an AVG() OVER (PARTITION BY custkey)
+    instead of a self-join — one shuffle on custkey, no second scan."""
+    orders = _t(spark, sf_dir, "orders")
+    # prices are 2-decimal values stored as doubles; integer cents make
+    # every comparison and the avg exact (no float summation-order or
+    # ROUND-at-.5 divergence between engines)
+    w = Window.partitionBy("o_custkey")
+    with_cents = orders.withColumn(
+        "tp_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    sum_cents = F.sum("tp_cents").over(w)
+    n = F.count("*").over(w)
+    return (
+        with_cents.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("tp_cents"),
+            F.floor(sum_cents / n).cast("long").alias("cust_avg_cents"),
+            n.cast("long").alias("n_orders"),
+            sum_cents.alias("_sum"),
+        )
+        .filter(F.col("tp_cents") * F.col("n_orders") > F.col("_sum"))
+        .drop("_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
 
@@ -1663,6 +1866,113 @@ ORACLES["corpus_token_budget"] = f"""
 """
 
 
+ORACLES["tpch_q6_forecast"] = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+ORACLES["tpch_q10_returns"] = """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(c_acctbal, 2) AS acctbal,
+           n_name
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+ORACLES["tpch_q13_custdist"] = """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                       AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY 1
+"""
+
+ORACLES["tpch_q14_promo"] = """
+    SELECT CAST(floor(epoch(date_trunc('month', l_shipdate::TIMESTAMP))) AS BIGINT)
+             AS month_epoch,
+           ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+             AS promo_rev,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+"""
+
+ORACLES["tpch_q18_bigorders"] = """
+    WITH big AS (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice, sum_qty
+    FROM orders
+    JOIN big      ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY sum_qty DESC, o_orderkey
+    LIMIT 100
+"""
+
+ORACLES["tpch_q22_acctbal"] = """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+"""
+
+ORACLES["pricing_cube"] = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["orders_above_cust_avg"] = """
+    WITH c AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp_cents
+      FROM orders
+    ), w AS (
+      SELECT *,
+             SUM(tp_cents) OVER (PARTITION BY o_custkey) AS sum_cents,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM c
+    )
+    SELECT o_custkey, o_orderkey, tp_cents,
+           CAST(FLOOR(sum_cents * 1.0 / n_orders) AS BIGINT) AS cust_avg_cents,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM w WHERE tp_cents * n_orders > sum_cents
+"""
+
+
 QUERIES = {
     "rank_normalized": q_rank_normalized,
     "feature_pivot": q_feature_pivot,
@@ -1719,4 +2029,12 @@ QUERIES = {
     "lineitem_stats": q_lineitem_stats,
     "events_user_lag": q_events_user_lag,
     "events_json_props": q_events_json_props,
+    "tpch_q6_forecast": q_tpch_q6_forecast,
+    "tpch_q10_returns": q_tpch_q10_returns,
+    "tpch_q13_custdist": q_tpch_q13_custdist,
+    "tpch_q14_promo": q_tpch_q14_promo,
+    "tpch_q18_bigorders": q_tpch_q18_bigorders,
+    "tpch_q22_acctbal": q_tpch_q22_acctbal,
+    "pricing_cube": q_pricing_cube,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
 }

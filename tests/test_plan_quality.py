@@ -263,3 +263,56 @@ def test_topk_uses_take_ordered(spark):
     # top-k + driver merge), never a global sort of all rows.
     df = QUERIES["tpch_q3_shipping"](spark, SF_SMALL)
     assert "TakeOrderedAndProject" in physical_plan(df, mode="simple")
+
+
+def test_q6_predicates_all_pushed(spark):
+    # every Q6 predicate is a native expr → all reach the parquet scan
+    df = QUERIES["tpch_q6_forecast"](spark, SF_SMALL)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    assert count_exchanges(df) == 1  # single-row global agg
+
+
+def test_q14_broadcasts_part_single_shuffle(spark):
+    df = QUERIES["tpch_q14_promo"](spark, SF_SMALL)
+    assert_broadcast_join(df, at_least=1)
+    assert count_exchanges(df) == 1  # only the month-keyed agg
+
+
+def test_q18_filters_before_join_and_broadcasts(spark):
+    # the HAVING-filtered orderkey set must broadcast into the joins
+    df = QUERIES["tpch_q18_bigorders"](spark, SF_SMALL)
+    assert_broadcast_join(df, at_least=1)
+    assert "TakeOrderedAndProject" in physical_plan(df, mode="simple")
+
+
+def test_q22_anti_join_no_nested_loop(spark):
+    # NOT EXISTS → LeftAnti hash join; the scalar avg is a 1-row
+    # broadcast, never a driver collect or a nested-loop compare
+    df = QUERIES["tpch_q22_acctbal"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cube_single_expand_pass(spark):
+    # CUBE = one Expand (4 grouping sets) + one aggregate, one shuffle
+    df = QUERIES["pricing_cube"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("Expand") == 1
+    assert count_exchanges(df) == 1
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_orders_above_avg_single_window_shuffle(spark):
+    # decorrelated correlated subquery: one exchange on custkey, both
+    # window aggregates share it; no self-join appears
+    df = QUERIES["orders_above_cust_avg"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_q13_left_join_keeps_orderless_customers(spark):
+    df = QUERIES["tpch_q13_custdist"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
