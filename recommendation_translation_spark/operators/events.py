@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tumbling_agg", "sliding_agg", "sessionize"]
+__all__ = ["tumbling_agg", "sliding_agg", "sessionize", "resample_ffill"]
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -92,5 +92,54 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def resample_ffill(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Time-series resampling with gap-fill + forward-fill per event
+    type: bucket to a fixed grid, materialize EVERY grid cell between
+    each type's first and last bucket (``sequence`` + ``explode`` —
+    distributed, no driver-side date loop), left-join the observed
+    aggregates back, and carry the last observed sum forward across
+    empty cells with ``last(ignorenulls)`` over an ordered window.
+
+    Scale shape: the observed aggregation is one shuffle with map-side
+    partials; the grid is |types| × span/width rows generated
+    executor-side; the fill window partitions by type so no global
+    ordering appears.  The dense grid joins on (type, bucket) and the
+    observed side is already aggregated — tiny versus the raw stream.
+    """
+    hourly = (
+        events.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "sum_value")
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {width}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket"], "left_outer")
+        .select(
+            "event_type",
+            F.unix_timestamp("bucket").alias("bucket_epoch"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_filled"),
+            F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
         )
     )

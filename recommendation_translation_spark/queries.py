@@ -48,7 +48,7 @@ from .operators.curation import (
     repetition_stats,
     token_budget_sample,
 )
-from .operators.events import sessionize, sliding_agg, tumbling_agg
+from .operators.events import resample_ffill, sessionize, sliding_agg, tumbling_agg
 from .operators.features import pivot_features
 from .operators.joins import asof_join, range_count, salted_join
 from .operators.multimodal import attach_fake_media, decode_image_meta
@@ -316,6 +316,22 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"))
+
+
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: hourly grid per event type with gap-fill
+    (sequence+explode dense grid) and forward-filled running value
+    (last ignorenulls over a per-type window)."""
+    return resample_ffill(_t(spark, sf_dir, "events"))
+
+
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (errors ⋈ same-user clicks in the
+    preceding 30 min), drained from a bounded replay — equals the batch
+    time-bounded join, so the oracle is exact."""
+    from .streaming.events_stream import run_stream_to_memory, stream_stream_join
+
+    return run_stream_to_memory(stream_stream_join(spark, sf_dir), output_mode="append")
 
 
 def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1866,6 +1882,42 @@ ORACLES["corpus_token_budget"] = f"""
 """
 
 
+ORACLES["events_resample_ffill"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS bucket,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(MIN(bucket), MAX(bucket),
+                                    INTERVAL '1 hour')) AS bucket
+      FROM hourly GROUP BY event_type
+    )
+    SELECT g.event_type,
+           CAST(floor(epoch(g.bucket)) AS BIGINT) AS bucket_epoch,
+           COALESCE(h.n_events, 0) AS n_events,
+           last_value(h.sum_value IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING) AS sum_value_filled,
+           CAST(CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM grid g
+    LEFT JOIN hourly h ON g.event_type = h.event_type AND g.bucket = h.bucket
+"""
+
+ORACLES["events_stream_join"] = """
+    SELECT e.event_id AS err_id,
+           c.event_id AS click_id,
+           e.user_id,
+           epoch_us(e.ts) AS err_ts_us,
+           epoch_us(c.ts) AS click_ts_us
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL '30 minutes' AND c.ts <= e.ts
+"""
+
 ORACLES["tpch_q6_forecast"] = """
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
            COUNT(*) AS n_lines
@@ -1989,6 +2041,8 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "events_stream_tumbling": q_events_stream_tumbling,
+    "events_resample_ffill": q_events_resample_ffill,
+    "events_stream_join": q_events_stream_join,
     "doc_token_stats": q_doc_token_stats,
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,

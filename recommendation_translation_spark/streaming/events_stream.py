@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "stream_tumbling_agg",
     "stream_sessionize",
+    "stream_stream_join",
     "stream_user_stats",
     "run_stream_to_memory",
 ]
@@ -139,6 +140,58 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each error event joined to
+    the same user's click events in the preceding ``window_minutes``.
+
+    Both sides carry watermarks and the join condition carries the
+    event-time range — the contract Structured Streaming needs to bound
+    the join state (click rows are evicted once the error-side watermark
+    passes click_ts + window).  State is therefore O(window × rate), not
+    O(stream).  In the bounded single-batch replay nothing is evicted
+    mid-join, so the result equals the batch time-bounded join and the
+    oracle is exact SQL.
+    """
+    wm = f"{window_minutes} minutes"
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", wm)
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", wm)
+    )
+    return errors.join(
+        clicks,
+        F.expr(
+            f"""err_user = click_user
+                AND click_ts >= err_ts - INTERVAL {window_minutes} MINUTES
+                AND click_ts <= err_ts"""
+        ),
+        "inner",
+    ).select(
+        "err_id",
+        "click_id",
+        F.col("err_user").alias("user_id"),
+        F.unix_micros("err_ts").alias("err_ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
     )
 
 

@@ -316,3 +316,14 @@ def test_q13_left_join_keeps_orderless_customers(spark):
     df = QUERIES["tpch_q13_custdist"](spark, SF_SMALL)
     plan = physical_plan(df, mode="simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_resample_grid_is_distributed_and_partitioned(spark):
+    # the dense grid comes from sequence+explode on executors (no
+    # driver date loop → no LocalTableScan of materialized rows), and
+    # the forward-fill window is per-type (never a global sort)
+    df = QUERIES["events_resample_ffill"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
