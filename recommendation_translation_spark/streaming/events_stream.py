@@ -195,17 +195,34 @@ def stream_stream_join(
     )
 
 
-def run_stream_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    agg: DataFrame, output_mode: str = "complete", shuffle_partitions: int = 8
+) -> DataFrame:
     """Drain a bounded streaming aggregation synchronously; returns the
-    final result as a batch DataFrame (memory sink)."""
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    final result as a batch DataFrame (memory sink).
+
+    Stateful streaming allocates one state store per shuffle partition,
+    and store setup/commit dominates a small bounded replay — 32
+    partitions cost ~4× the wall clock of 8 for identical results.  The
+    conf is set for the duration of the drain and restored after.  In
+    production the number is sized to stateful-key cardinality ×
+    throughput (hundreds+ for a real Kafka stream), not to this replay
+    default — results are partition-count-independent either way.
+    """
     spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        name = f"stream_out_{uuid.uuid4().hex[:8]}"
+        query = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
