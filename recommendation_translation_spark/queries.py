@@ -160,6 +160,52 @@ def q_feature_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_table(spark, sf_dir)
 
 
+def q_feature_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse of A5: wide feature matrix back to long form via
+    ``stack`` (Spark's unpivot) — one Generate per row, no shuffle at
+    all; the wide→long direction is pure row-local expansion.  At scale
+    this is how a 1+3·|sites| column matrix re-enters long-format
+    processing without a per-column union of scans."""
+    wide = feature_table(spark, sf_dir)
+    stack_args = ", ".join(
+        f"'{s}', pageviews_{s}, rank_{s}, exists_{s}" for s in SITES
+    )
+    return wide.select(
+        "id",
+        F.expr(
+            f"stack({len(SITES)}, {stack_args}) AS (site, pageviews, rank, exists)"
+        ),
+    )
+
+
+def q_customer_balance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert shape: per-customer order spend merged into a
+    customer target (restricted to nationkey < 13 so all three MERGE
+    branches fire): matched rows update the balance, target-only rows
+    keep it, source-only rows insert.  Expressed as one FULL OUTER
+    join + CASE — a single shuffle on the merge key; at 100 TB the
+    same plan under AQE, with the source side broadcast when small."""
+    target = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 13)
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    merged = target.join(spend, target["c_custkey"] == spend["o_custkey"], "full_outer")
+    return merged.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), "update")
+        .when(F.col("o_custkey").isNull(), "keep")
+        .otherwise("insert")
+        .alias("action"),
+        F.round("c_acctbal", 2).alias("balance_before"),
+        F.col("spend"),
+        F.round(F.coalesce("c_acctbal", F.lit(0.0)) + F.coalesce("spend", F.lit(0.0)), 2).alias(
+            "balance_after"
+        ),
+    )
+
+
 def q_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 — Utils.scala:30-32 exists-predicate as a native expression;
     (id, label) training projection for target site 'A'."""
@@ -222,6 +268,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+def q_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-frontend form of pricing_summary: the base table registered
+    as a temp view and the ORACLE's own ANSI-SQL text submitted through
+    spark.sql — one dialect-neutral query string runs unchanged on both
+    engines, and Catalyst plans it identically to the DataFrame form
+    (same pushdown, same single shuffle)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(ORACLES["pricing_summary_sql"])
 
 
 def q_count_by_site(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1918,6 +1974,34 @@ ORACLES["events_stream_join"] = """
      AND c.ts >= e.ts - INTERVAL '30 minutes' AND c.ts <= e.ts
 """
 
+ORACLES["pricing_summary_sql"] = ORACLES["pricing_summary"]
+
+ORACLES["feature_unpivot"] = f"""
+    WITH wide AS ({_PIVOT_SQL})
+    SELECT id, 'A' AS site, "pageviews_A" AS pageviews, "rank_A" AS rank,
+           "exists_A" AS "exists" FROM wide
+    UNION ALL
+    SELECT id, 'N', "pageviews_N", "rank_N", "exists_N" FROM wide
+    UNION ALL
+    SELECT id, 'R', "pageviews_R", "rank_R", "exists_R" FROM wide
+"""
+
+ORACLES["customer_balance_merge"] = """
+    WITH target AS (SELECT * FROM customer WHERE c_nationkey < 13),
+    spend AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'update'
+                WHEN o_custkey IS NULL THEN 'keep'
+                ELSE 'insert' END AS action,
+           ROUND(c_acctbal, 2) AS balance_before,
+           spend,
+           ROUND(COALESCE(c_acctbal, 0.0) + COALESCE(spend, 0.0), 2) AS balance_after
+    FROM target FULL OUTER JOIN spend ON c_custkey = o_custkey
+"""
+
 ORACLES["tpch_q6_forecast"] = """
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
            COUNT(*) AS n_lines
@@ -2028,10 +2112,13 @@ ORACLES["orders_above_cust_avg"] = """
 QUERIES = {
     "rank_normalized": q_rank_normalized,
     "feature_pivot": q_feature_pivot,
+    "feature_unpivot": q_feature_unpivot,
+    "customer_balance_merge": q_customer_balance_merge,
     "exists_filter": q_exists_filter,
     "predictions_fold": q_predictions_fold,
     "ingest_join": q_ingest_join,
     "pricing_summary": q_pricing_summary,
+    "pricing_summary_sql": q_pricing_summary_sql,
     "count_by_site": q_count_by_site,
     "distinct_sites": q_distinct_sites,
     "suffix_filter_rewrite": q_suffix_filter_rewrite,

@@ -327,3 +327,18 @@ def test_resample_grid_is_distributed_and_partitioned(spark):
     assert "Generate explode" in plan or "Generate" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unpivot_adds_no_shuffle(spark):
+    # stack() is row-local expansion — the wide→long direction must not
+    # add a single exchange beyond what building the wide matrix costs
+    wide = QUERIES["feature_pivot"](spark, SF_SMALL)
+    long_ = QUERIES["feature_unpivot"](spark, SF_SMALL)
+    assert count_exchanges(long_) == count_exchanges(wide)
+
+
+def test_merge_single_join_no_cartesian(spark):
+    df = QUERIES["customer_balance_merge"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "FullOuter" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
