@@ -170,8 +170,10 @@ def minhash_lsh_pairs(
     band_cols = []
     for bi in range(bands):
         cols = [F.col(f"sig_{bi * rows + j}") for j in range(rows)]
+        # band digest is an internal join key only — xxhash64 gives an
+        # 8-byte key (vs a 32-char md5 string) with identical grouping
         band_cols.append(
-            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(f"band_{bi}")
+            F.xxhash64(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(f"band_{bi}")
         )
     banded = sigs.select(F.col(id_col), *band_cols)
     stacked = banded.selectExpr(
@@ -188,8 +190,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification restricted to the candidate pairs — the
-    # pairwise join runs over candidates only, never all-pairs.
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).cache()
+    # pairwise join runs over candidates only, never all-pairs.  Shingles
+    # are internal here too, so ship 64-bit hashes, not strings.
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    ).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("a_id"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("b_id"), F.col("shingle"))
