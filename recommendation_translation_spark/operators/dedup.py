@@ -22,8 +22,11 @@ shuffles the algorithm requires:
   per doc; near-dup pairs via hamming distance on a (cheap) candidate
   pair set.
 
-All hashing uses the md5-based cross-engine hash (operators.text) so
-the DuckDB oracle can reproduce every stage bit-for-bit.
+Hashes that reach query output use the md5-based cross-engine hash
+(operators.text) so the DuckDB oracle reproduces every stage
+bit-for-bit; purely internal join keys (shingle self-join, LSH band
+digests) use xxhash64 longs instead — smaller shuffle rows, same
+grouping.
 """
 
 from __future__ import annotations
