@@ -342,3 +342,13 @@ def test_merge_single_join_no_cartesian(spark):
     plan = physical_plan(df, mode="simple")
     assert "FullOuter" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sql_frontend_plans_like_dataframe(spark):
+    # the same query text through spark.sql must produce the same
+    # physical shape as the DataFrame form: pushdown intact, same
+    # shuffle count — the frontend is syntax, not a different engine
+    a = QUERIES["pricing_summary"](spark, SF_SMALL)
+    b = QUERIES["pricing_summary_sql"](spark, SF_SMALL)
+    assert count_exchanges(b) == count_exchanges(a)
+    assert_pushed_filters(b, "l_shipdate")
