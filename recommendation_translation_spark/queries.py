@@ -954,6 +954,31 @@ def q_events_user_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection (|z| > 3): one pass computes
+    the per-type mean/stddev (map-side partials), broadcast back onto
+    the stream, and the z filter runs scan-side — the stats side is
+    |types| rows at ANY scale factor, so the join never shuffles the
+    facts.  Stats are rounded before the division so the z boundary is
+    engine-deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events props column (get_json_object —
     codegen'd, no UDF): distribution of the k property by event type."""
@@ -1976,6 +2001,20 @@ ORACLES["events_stream_join"] = """
 
 ORACLES["pricing_summary_sql"] = ORACLES["pricing_summary"]
 
+ORACLES["events_zscore_outliers"] = """
+    WITH stats AS (
+      SELECT event_type,
+             ROUND(AVG(value), 6) AS mu,
+             ROUND(STDDEV_SAMP(value), 6) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           ROUND((e.value - mu) / sd, 4) AS zscore
+    FROM events e JOIN stats USING (event_type)
+    WHERE ABS((e.value - mu) / sd) > 3
+"""
+
 ORACLES["feature_unpivot"] = f"""
     WITH wide AS ({_PIVOT_SQL})
     SELECT id, 'A' AS site, "pageviews_A" AS pageviews, "rank_A" AS rank,
@@ -2170,6 +2209,7 @@ QUERIES = {
     "lineitem_stats": q_lineitem_stats,
     "events_user_lag": q_events_user_lag,
     "events_json_props": q_events_json_props,
+    "events_zscore_outliers": q_events_zscore_outliers,
     "tpch_q6_forecast": q_tpch_q6_forecast,
     "tpch_q10_returns": q_tpch_q10_returns,
     "tpch_q13_custdist": q_tpch_q13_custdist,

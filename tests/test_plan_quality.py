@@ -352,3 +352,11 @@ def test_sql_frontend_plans_like_dataframe(spark):
     b = QUERIES["pricing_summary_sql"](spark, SF_SMALL)
     assert count_exchanges(b) == count_exchanges(a)
     assert_pushed_filters(b, "l_shipdate")
+
+
+def test_zscore_stats_broadcast_onto_facts(spark):
+    # the |types|-row stats side must broadcast — the event facts are
+    # never shuffled for the join (only the stats agg exchanges)
+    df = QUERIES["events_zscore_outliers"](spark, SF_SMALL)
+    assert_broadcast_join(df, at_least=1)
+    assert count_exchanges(df) <= 1
