@@ -156,10 +156,18 @@ def read_features_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table with ``ts`` normalized to TimestampType.
 
-    The driver writes ``ts`` as parquet TIMESTAMP(NANOS); with
+    The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    TimestampType (µs) cannot represent natively; with
     ``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as a long
     of nanoseconds, which we truncate to microseconds (matching what
-    DuckDB's TIMESTAMP cast does) and convert."""
+    DuckDB's TIMESTAMP cast does) and convert.
+
+    The conf is set here — not only in ``session.get_spark`` — because
+    callers (e.g. the correctness driver) may hand us a vanilla session
+    that would otherwise fail with PARQUET_TYPE_ILLEGAL.  It is a
+    runtime-settable SQL conf and is idempotent for sessions that
+    already carry it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":

@@ -35,6 +35,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema); the ns-as-long timestamp gets the same normalization as
     sources.readers.read_events."""
     path = os.path.join(sf_dir, "events.parquet")
+    # Vanilla sessions (the correctness driver's) can't read the
+    # TIMESTAMP(NANOS) column without this; see sources.readers.read_events.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(path).schema
     # FileStreamSource needs a directory; the sf dir holds one parquet
     # file per table, so glob-filter down to the events file.
