@@ -35,6 +35,11 @@ __all__ = [
     "hash_split",
     "token_budget_sample",
     "dup_clusters",
+    "stratified_sample",
+    "interleave_sources",
+    "keep_best_per_pair",
+    "doc_ngrams",
+    "ngram_contamination",
     "EMAIL_RE",
     "PHONE_RE",
 ]
@@ -261,3 +266,155 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, int],
+                      default_rate: int = 0, id_col: str = "doc_id",
+                      salt: str = "strat") -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``H(salt:id) % 100 < rate(stratum)`` (rate in percent).
+
+    The keep decision depends only on (id, stratum rate) — like
+    ``hash_split``, re-running on a grown corpus never flips an old
+    row, and no RNG state needs coordinating across executors.  The
+    rate lookup is a CASE expression, not a join: zero shuffle, pure
+    scan-side filter at any scale.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
+                                          F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
+                       id_col: str = "doc_id") -> DataFrame:
+    """Weighted round-robin interleaving of corpus sources into one
+    global training order (the "data mixing" step of a pretraining
+    pipeline): a source with weight w contributes ~w docs per w-sized
+    stride of the output.
+
+    Each row's virtual position is ``(rank_within_source − 1) · SCALE
+    / weight`` in *integer* arithmetic (SCALE = lcm-free 720720 keeps
+    division exact for any weight ≤ 32) — deterministic and
+    engine-independent, no float ordering.  Two windows: one per-source
+    rank (partitioned — scales out), one global row_number over the
+    virtual position (single reducer at the very end; at 100 TB swap
+    for a range-partitioned sort, same semantics)."""
+    scale = 720720  # divisible by 1..16 and most small weights
+    weight = F.lit(1)
+    for k, v in sorted(weights.items()):
+        weight = F.when(F.col(source_col) == k, F.lit(v)).otherwise(weight)
+    rn = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(id_col)
+    )
+    pos = ((rn - F.lit(1)).cast("long") * scale) / weight
+    out = df.withColumn("vpos", pos.cast("long"))
+    return out.withColumn(
+        "mix_rank",
+        F.row_number().over(Window.orderBy("vpos", source_col, id_col)).cast("long"),
+    )
+
+
+def keep_best_per_pair(docs: DataFrame, pairs: DataFrame,
+                       quality_col: str, id_col: str = "doc_id",
+                       a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """Near-duplicate resolution: drop every document that is
+    *dominated* by a pair partner — partner has higher quality, or
+    equal quality and smaller id.  One-hop domination (not full
+    connected components — see ``dup_clusters`` for that): exactly the
+    rows a reviewer would call "a worse copy of something we keep".
+
+    Shape: symmetrize pairs → join quality onto both endpoints (the
+    pair set is tiny next to the corpus; broadcast it) → LEFT ANTI
+    from the corpus.  The corpus itself is never shuffled."""
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    q = docs.select(F.col(id_col).alias("qid"), F.col(quality_col).alias("q"))
+    uq = q.select(F.col("qid").alias("u"), F.col("q").alias("uq"))
+    vq = q.select(F.col("qid").alias("v"), F.col("q").alias("vq"))
+    dominated = (
+        edges.join(uq, "u").join(vq, "v")
+        .filter(
+            (F.col("vq") > F.col("uq"))
+            | ((F.col("vq") == F.col("uq")) & (F.col("v") < F.col("u")))
+        )
+        .select(F.col("u").alias("dom_id"))
+        .distinct()
+    )
+    return docs.join(
+        F.broadcast(dominated), docs[id_col] == dominated["dom_id"], "left_anti"
+    )
+
+
+def doc_ngrams(df: DataFrame, n: int = 8, text_col: str = "text",
+               id_col: str = "doc_id", hashed: bool = True) -> DataFrame:
+    """Distinct word n-grams per document → (doc_id, gram).
+
+    Gram generation is a higher-order ``transform`` over a
+    ``sequence`` of start offsets + ``slice``/``concat_ws`` — pure
+    codegen expressions, no UDF, row-local (zero shuffle until the
+    caller aggregates/joins).  Documents shorter than n words emit
+    nothing.
+
+    ``hashed=True`` (default) replaces the gram string with a 60-bit
+    digest (``int(md5(gram)[:15], 16)``) BEFORE the distinct — the
+    dedup shuffle and any downstream join then ship 8-byte longs
+    instead of ~n-word strings (the same trick that made the n-gram
+    Jaccard join 3.7× faster).  The digest is engine-portable (DuckDB:
+    ``('0x' || substr(md5(g),1,15))::BIGINT``), so an oracle computing
+    the same digest sees identical results, collisions included; at
+    10⁶ grams the 60-bit collision odds are ~4·10⁻⁷."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # spread the raw rows before tokenize+explode (see
+    # dedup.word_shingles) — few input splits must not serialize the
+    # gram generation/hashing into few tasks.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartition(par).filter(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    if hashed:
+        out = out.select(
+            id_col,
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gram"),
+        )
+    return out.distinct()
+
+
+def ngram_contamination(train: DataFrame, test: DataFrame, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-contamination check: for every train document, how
+    many of its distinct n-grams appear in ANY test document (Brown et
+    al. 2020 GPT-3 app. C methodology).  Returns only contaminated
+    train docs: (doc_id, n_shared_grams, n_test_docs).
+
+    Grams are pre-hashed to 60-bit digests (see ``doc_ngrams``), so
+    the cross-split join and both COUNT DISTINCTs run over longs —
+    at corpus scale this is the difference between shuffling the
+    corpus's text volume and shuffling 16 bytes per gram."""
+    tr = doc_ngrams(train, n=n, text_col=text_col, id_col=id_col)
+    te = doc_ngrams(test, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("test_id"), "gram"
+    )
+    return (
+        tr.join(te, "gram")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("test_id").alias("n_test_docs"),
+        )
+    )

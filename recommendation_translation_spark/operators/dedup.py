@@ -65,8 +65,15 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     shingles = F.expr(
         f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))"
     )
+    # spread the RAW rows across the cluster before tokenization —
+    # normalize/tokenize/explode amplify work ~|tokens|×, and a corpus
+    # arriving in few input splits would otherwise run all of it in as
+    # few tasks.  The shuffle moves only raw text; everything derived
+    # is computed post-exchange, in parallel.
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col), toks.alias("t"))
+        df.repartition(par)
+        .select(F.col(id_col), toks.alias("t"))
         .filter(F.size("t") >= n)
         .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
@@ -227,8 +234,12 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
 
     Each token votes ±1 per bit of its 32-bit hash; bit b of the result
     is set iff the summed vote is positive.  Computed as ``bits`` sum
-    aggregates over the exploded tokens — one shuffle."""
-    tok = df.select(
+    aggregates over the exploded tokens — one shuffle (plus the
+    pre-explode spread repartition, see word_shingles: the ``bits``
+    partial aggregates over |tokens|× rows must not run in one task
+    when the corpus arrives in few input splits)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(par).select(
         F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("tok")
     )
     h = cross_engine_hash(F.col("tok"), seed="sh")

@@ -134,20 +134,36 @@ def decode_image_meta(
 FRAME_OUT_SCHEMA = "sample_id long, frame_idx int, frame_md5 string"
 
 
-def sample_video_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
-    """Frame sampling stand-in: treats every ``every_n_bytes`` slice of
+def sample_video_frames(media: DataFrame, every_n: int = 64,
+                        unit: str = "bytes") -> DataFrame:
+    """Frame sampling stand-in: treats every ``every_n``-sized slice of
     the payload as a 'frame' and emits its digest — exercises the
-    one-row-in / many-rows-out batch shape of a real frame sampler."""
+    one-row-in / many-rows-out batch shape of a real frame sampler.
+
+    ``unit="bytes"`` (default, the production shape) slices the raw
+    payload; ``unit="chars"`` decodes UTF-8 first and slices
+    characters — semantically identical plumbing, but expressible in
+    portable SQL (DuckDB cannot substring a BLOB), so the oracle-gated
+    query uses it."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, digests = [], [], []
             for sid, payload in zip(pdf["sample_id"], pdf["content"]):
                 data = bytes(payload)
-                for i in range(0, max(len(data), 1), every_n_bytes):
-                    ids.append(sid)
-                    idxs.append(i // every_n_bytes)
-                    digests.append(hashlib.md5(data[i : i + every_n_bytes]).hexdigest())
+                if unit == "chars":
+                    text = data.decode("utf-8")
+                    for i in range(0, max(len(text), 1), every_n):
+                        ids.append(sid)
+                        idxs.append(i // every_n)
+                        digests.append(
+                            hashlib.md5(text[i : i + every_n].encode("utf-8")).hexdigest()
+                        )
+                else:
+                    for i in range(0, max(len(data), 1), every_n):
+                        ids.append(sid)
+                        idxs.append(i // every_n)
+                        digests.append(hashlib.md5(data[i : i + every_n]).hexdigest())
             yield pd.DataFrame({"sample_id": ids, "frame_idx": idxs, "frame_md5": digests})
 
     return media.select("sample_id", "content").mapInPandas(run, schema=FRAME_OUT_SCHEMA)

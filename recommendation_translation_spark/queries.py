@@ -1201,6 +1201,708 @@ def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# window-function + scalar-function breadth
+# ---------------------------------------------------------------------------
+
+
+def q_orders_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/navigation window-function breadth over each customer's
+    order history: ntile, cume_dist, percent_rank, lag/lead,
+    first/last_value — all six share ONE (custkey, date) sort, so the
+    whole family costs a single exchange.  Money rides integer cents;
+    cume_dist/percent_rank are exact rank ratios (identical doubles
+    cross-engine, no rounding needed)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        F.lag(cents).over(w).alias("prev_cents"),
+        F.lead(cents).over(w).alias("next_cents"),
+        F.first(cents).over(w).alias("first_cents"),
+        F.last(cents).over(wfull).alias("last_cents"),
+    )
+
+
+def q_lineitem_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window breadth: per-part moving sum (ROWS 3
+    PRECEDING) and running cumulative sum over ship order.  Both
+    frames share one (partkey, shipdate) sort; sums are integer cents
+    so frame arithmetic is exact at any accumulation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    mov = w.rowsBetween(-3, Window.currentRow)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        F.col("l_partkey").cast("long").alias("partkey"),
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.sum(cents).over(mov).alias("mov_cents"),
+        F.sum(cents).over(cum).alias("cum_cents"),
+    )
+
+
+def q_orders_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function breadth: trunc-to-month, calendar
+    extracts, day-of-week/yr, interval add (month-end clamped), day
+    diff, last-day — every one a native expression (codegen, zero
+    shuffle) exported as epoch-µs/long for engine-neutral compare.
+    Spark dayofweek is 1=Sunday; −1 aligns it to DuckDB's 0=Sunday."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.unix_micros(F.date_trunc("month", d)).alias("month_us"),
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.unix_micros(F.add_months(d, 3).cast("timestamp")).alias("plus3m_us"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).cast("long").alias("days_to_98"),
+        F.unix_micros(F.last_day(d).cast("timestamp")).alias("month_end_us"),
+    )
+
+
+def q_doc_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function breadth over document tokens:
+    transform/filter/aggregate (fold)/distinct/slice — all lambda
+    expressions compiled into the row pipeline (NOT Python UDFs), so
+    per-document token analytics stay shuffle-free and codegen'd."""
+    from .operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
+            "total_chars"
+        ),
+        F.concat_ws("|", F.slice(toks, 1, 3)).alias("first3"),
+        F.array_max(F.transform(toks, F.length)).cast("long").alias("max_len"),
+    )
+
+
+def q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (quartiles of quantity + p95 of
+    price-in-cents) per return flag — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition, so
+    the comparison is exact.  One aggregate pass; at 100 TB swap to
+    ``percentile_approx`` (t-digest sketch, same call shape, bounded
+    memory per group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q_p25"),
+        F.percentile("l_quantity", 0.5).alias("q_p50"),
+        F.percentile("l_quantity", 0.75).alias("q_p75"),
+        F.percentile(cents, 0.95).alias("cents_p95"),
+    )
+
+
+def q_pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus), ()) — the
+    asymmetric grouping-set shape rollup/cube can't express.  Same
+    physical plan family: ONE Expand + one aggregate, one shuffle.
+    Runs through the SQL frontend to keep that surface exercised."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gsets")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM li_gsets
+        WHERE l_shipdate <= '1998-09-02'
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heat-map aggregation: events bucketed by (day-of-week,
+    hour-of-day) — the time-profile rollup of an event pipeline.  Pure
+    extracts feeding one aggregate (one shuffle of 168 groups)."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window document chunking via a Python UDTF (the Spark 4
+    UDTF surface: one row in, N rows out through a lateral join):
+    split each document into 32-token chunks and report each chunk's
+    token/char size — the chunking step in front of a tokenizer.
+
+    A UDTF is Arrow-batched but still Python-side; the docstring-cited
+    equivalent exists as pure exprs (sequence+slice, see doc_ngrams) —
+    this entry deliberately exercises the UDTF path itself."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: bigint, n_tokens: bigint, n_chars: bigint")
+    class ChunkDoc:
+        def eval(self, text):
+            toks = (text or "").strip().lower().split()
+            if not toks:
+                return
+            for i in range(0, len(toks), 32):
+                chunk = toks[i : i + 32]
+                yield i // 32, len(chunk), len(" ".join(chunk))
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_chunking")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.n_tokens, c.n_chars "
+        "FROM docs_for_chunking, LATERAL chunk_doc(text) c"
+    )
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plumbing: mapInPandas explodes each media
+    payload into per-frame digest rows (1 row in → ⌈len/64⌉ rows out)
+    — the Arrow batch shape of a real ffmpeg frame sampler, with the
+    codec stubbed deterministically (operators.multimodal)."""
+    from .operators.multimodal import sample_video_frames
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    frames = sample_video_frames(media, every_n=64, unit="chars")
+    return frames.select(
+        "sample_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_md5",
+    )
+
+
+def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-type profile: HyperLogLog++ distinct users,
+    t-digest quantiles, and exact counterparts side-by-side.  Sketches
+    are the 100 TB path (bounded memory, mergeable partials); exact
+    twins let the caller see the error.  No SQL oracle — sketch
+    estimates are engine-specific (driver records rows-only)."""
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.percentile("value", 0.5).alias("exact_p50"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing / hygiene (extension; operators.curation)
+# ---------------------------------------------------------------------------
+
+# per-language sampling rates (percent) for the stratified-sample query:
+# downsample dominant English, keep the tail languages whole.
+STRAT_RATES = {"en": 30, "de": 80, "fr": 80, "es": 80, "zh": 100}
+MIX_WEIGHTS = {"src0": 8, "src1": 4, "src2": 2}  # everything else weight 1
+
+
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (hash-mod gate, no RNG):
+    the language-rebalancing step of a pretraining mix.  Keep decision
+    is a pure scan-side filter — zero shuffle at any corpus size."""
+    from .operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", STRAT_RATES, default_rate=50)
+
+
+def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted round-robin source interleaving into one global
+    training order (integer virtual positions — engine-exact)."""
+    from .operators.curation import interleave_sources
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_sources(docs, "source", MIX_WEIGHTS)
+
+
+def q_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate resolution: drop every document dominated by an
+    n-gram-Jaccard pair partner of higher quality (longer text; id
+    tie-break).  The corpus is LEFT-ANTI filtered by a broadcast of
+    the tiny dominated set — facts never shuffle."""
+    from .operators.curation import keep_best_per_pair
+
+    docs = _t(spark, sf_dir, "documents")
+    with_q = docs.withColumn("q_len", F.length("text").cast("long"))
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    kept = keep_best_per_pair(with_q, pairs, "q_len")
+    return kept.select("doc_id", "q_len")
+
+
+def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test benchmark-contamination scan: train docs sharing any
+    8-gram with a test doc (GPT-3 app. C methodology), via the
+    deterministic hash split.  Gram join is exact-string (no collision
+    FPs); see operators.curation.ngram_contamination for the 100 TB
+    pre-hash variant."""
+    from .operators.curation import hash_split, ngram_contamination
+
+    docs = hash_split(_t(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return ngram_contamination(train, test, n=8)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (shapes adapted to the driver's schema: no partsupp
+# table, no l_shipmode/commit/receipt dates — substitutes noted per query)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking.  The EXISTS subquery
+    (a lineitem shipped after the order date — substitute for
+    commitdate<receiptdate) becomes a LEFT SEMI join that ships only
+    (l_orderkey, l_shipdate); the date filter prunes orders at the
+    scan before the join."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year.  The nation dimension joins twice (supplier side + customer
+    side) — both broadcast, with the two-nation filter applied to each
+    broadcast copy BEFORE the pair predicate, so the fact shuffle only
+    carries rows touching either nation."""
+    pair = ("NATION_2", "NATION_7")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == n1["s_nkey"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == n2["c_nkey"])
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share of PROMO-type parts
+    sold to ASIA customers, by year.  share = conditional-sum /
+    total-sum in ONE aggregate pass (no self-join); region/nation
+    broadcast."""
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n_cust), cust["c_nationkey"] == n_cust["c_nkey"])
+        .join(region, n_cust["c_rkey"] == region["r_regionkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n_supp), supp["s_nationkey"] == n_supp["s_nkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year over parts
+    whose name contains 'widget'.  Without a partsupp table the cost
+    term is p_retailprice·quantity·0.1 instead of
+    ps_supplycost·quantity — same operator DAG (3 fact-dim joins +
+    derived-column aggregate)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    # exact integer 10^-4 dollars: ext_cents·(100−disc_bp) − retail_cents·qty·10.
+    # float SUM order noise straddled a round-2 boundary here cross-engine.
+    amount_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.round(F.col("p_retailprice") * 100).cast("long") * F.col("l_quantity").cast(
+        "long"
+    ) * 10
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.sum(amount_e4) / 10000.0).alias("sum_profit"))
+    )
+
+
+def q_tpch_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose ASIA-supplied inventory value
+    exceeds 2× the average part's value.  (TPC-H uses a fixed
+    fraction-of-total cutoff, which silently empties as the part count
+    grows — the relative-to-average form is scale-invariant and equals
+    the 0.1%-of-total cutoff exactly at sf0.01.)  partsupp value is
+    substituted by Σ retailprice·quantity over ASIA-supplier
+    lineitems.  All money math is integer cents so the
+    HAVING-vs-global-scalar comparison is exact cross-engine; the
+    global (total, count) is a 1-row broadcast (no driver collect)."""
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation = _t(spark, sf_dir, "nation")
+    asia_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    value_cents = F.sum(
+        F.round(F.col("p_retailprice") * 100).cast("long") * F.col("l_quantity").cast("long")
+    )
+    per_part = (
+        li.join(asia_supp, li["l_suppkey"] == asia_supp["s_suppkey"], "left_semi")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(value_cents.alias("value_cents"))
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
+        .select(
+            "p_partkey",
+            F.round(F.col("value_cents") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("p_partkey"))
+    )
+
+
+def q_tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority order counts by line
+    status (substitute for ship mode) for 1997 shipments.  The
+    CASE-sum pair runs in one aggregate; only (o_orderkey,
+    o_orderpriority) crosses the join."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum revenue in 1996Q1.
+    The revenue view is one aggregate; the MAX scalar is a 1-row
+    broadcast cross join compared in exact integer 10^-4 dollars
+    (cents × (100−discount_bp)), so max-equality can't be broken by
+    float noise."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev_unit = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    revenue = (
+        li.groupBy("l_suppkey").agg(F.sum(rev_unit).alias("rev_e4"))
+    )
+    max_rev = revenue.agg(F.max("rev_e4").alias("max_e4"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("rev_e4") == F.col("max_e4"))
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("rev_e4") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size) over selected part attrs, excluding flagged suppliers
+    (negative balance, substitute for the complaints NOT IN) — the
+    NOT IN is a LEFT ANTI join on a tiny broadcast side."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue loss from small-quantity Brand#3
+    orders.  The correlated per-part AVG subquery decorrelates into a
+    grouped aggregate broadcast-joined back to the fact; the final
+    scalar is exact integer cents with floor-division by 7."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    li_b3 = li.join(part, li["l_partkey"] == part["p_partkey"], "left_semi")
+    avg_qty = li_b3.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li_b3.join(F.broadcast(avg_qty), li_b3["l_partkey"] == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.floor(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 7.0
+            )
+            .cast("long")
+            .alias("avg_yearly_cents")
+        )
+    )
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR-ed brand/size/quantity
+    conjunctions.  The disjunction stays one native predicate on the
+    joined relation — Catalyst extracts the common l_partkey=p_partkey
+    equi-condition so the join is hash, not nested-loop."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def q_tpch_q20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of a
+    red part's 1996 volume.  partsupp availqty is substituted by the
+    per-(supplier, part) shipped-quantity sum vs the per-part total —
+    a grouped aggregate on (part, supplier) then a window sum on part
+    (one narrower re-exchange of the aggregated rows, not the facts),
+    compared in exact integer units."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    sp = (
+        li.join(part, li["l_partkey"] == part["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    total = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sp.withColumn("part_qty", total)
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose late line was the ONLY late
+    line in a finished multi-supplier order.  lateness = shipped after
+    order date (substitute for receipt>commit).  EXISTS → LEFT SEMI on
+    (same order, other supplier); NOT EXISTS → LEFT ANTI on (same
+    order, other supplier, late) — both ship two narrow columns."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lif = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = lif.filter(F.col("l_shipdate") > F.col("o_orderdate"))
+    others = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("o2_supp")
+    )
+    late2 = late.select(
+        F.col("l_orderkey").alias("l2_key"), F.col("l_suppkey").alias("l2_supp")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_key"))
+            & (F.col("l_suppkey") != F.col("o2_supp")),
+            "left_semi",
+        )
+        .join(
+            late2,
+            (F.col("l_orderkey") == F.col("l2_key"))
+            & (F.col("l_suppkey") != F.col("l2_supp")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(supp, waiting["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each size-10 part, the EUROPE supplier(s)
+    achieving the minimum unit price.  The correlated MIN subquery is
+    a window MIN over the part key — one shuffle, no join-back.  Unit
+    price is exact integer 10^-4 dollars via cents·100 div quantity,
+    so min-equality is float-safe."""
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    nation = _t(spark, sf_dir, "nation")
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    unit_e4 = F.expr(
+        "(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100) div CAST(l_quantity AS BIGINT)"
+    )
+    offers = (
+        li.join(part, li["l_partkey"] == part["p_partkey"], "left_semi")
+        .join(eu_supp, li["l_suppkey"] == eu_supp["s_suppkey"])
+        .withColumn("unit_e4", unit_e4)
+    )
+    min_unit = F.min("unit_e4").over(Window.partitionBy("l_partkey"))
+    return (
+        offers.withColumn("min_e4", min_unit)
+        .filter(F.col("unit_e4") == F.col("min_e4"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.col("unit_e4").alias("unit_e4"),
+        )
+        # same (part, supplier) can hit the min with several identical
+        # lineitems — collapse to one offer row
+        .distinct()
+        .orderBy(F.col("acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
 
@@ -2148,6 +2850,384 @@ ORACLES["orders_above_cust_avg"] = """
 """
 
 
+ORACLES["orders_window_funcs"] = """
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr,
+           lag(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS prev_cents,
+           lead(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS next_cents,
+           first_value(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS first_cents,
+           last_value(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+ORACLES["lineitem_moving_sum"] = """
+    SELECT CAST(l_partkey AS BIGINT) AS partkey, l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS linenumber,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             OVER (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             OVER (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+    FROM lineitem
+"""
+
+ORACLES["orders_date_funcs"] = """
+    SELECT o_orderkey,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           epoch_us(o_orderdate + INTERVAL 3 MONTH) AS plus3m_us,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS BIGINT)
+             AS days_to_98,
+           epoch_us(CAST(last_day(o_orderdate) AS TIMESTAMP)) AS month_end_us
+    FROM orders
+"""
+
+ORACLES["doc_array_funcs"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_toks,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(t, x -> length(x) > 4)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars,
+           array_to_string(t[1:3], '|') AS first3,
+           CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS max_len
+    FROM toks
+"""
+
+_STRAT_RATE_SQL = (
+    "CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 80 WHEN 'fr' THEN 80 "
+    "WHEN 'es' THEN 80 WHEN 'zh' THEN 100 ELSE 50 END"
+)
+
+ORACLES["corpus_stratified_sample"] = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_hash_sql("CAST(doc_id AS VARCHAR)", seed="strat")} % 100
+          < {_STRAT_RATE_SQL}
+"""
+
+ORACLES["corpus_interleave"] = """
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+                         WHEN 'src2' THEN 2 ELSE 1 END AS wt,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    v AS (SELECT doc_id, source,
+                 CAST((rn - 1) * 720720 / wt AS BIGINT) AS vpos FROM w)
+    SELECT doc_id, source, vpos,
+           CAST(ROW_NUMBER() OVER (ORDER BY vpos, source, doc_id) AS BIGINT) AS mix_rank
+    FROM v
+"""
+
+ORACLES["corpus_keep_best"] = f"""
+    WITH sh AS ({{shingles}}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT i.a_id, i.b_id,
+               ROUND(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS j
+        FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id)
+      WHERE j >= 0.05),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q_len FROM documents),
+    dominated AS (
+      SELECT DISTINCT e.u AS doc_id FROM edges e
+      JOIN q qu ON e.u = qu.doc_id
+      JOIN q qv ON e.v = qv.doc_id
+      WHERE qv.q_len > qu.q_len OR (qv.q_len = qu.q_len AND e.v < e.u))
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS q_len FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+""".format(shingles=_SHINGLES_SQL)
+
+ORACLES["corpus_contamination"] = f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             {_hash_sql("CAST(doc_id AS VARCHAR)", seed="split")} % 100 AS b
+      FROM documents),
+    toks AS (SELECT doc_id, b, {_TOKS} AS w FROM split),
+    grams AS (
+      SELECT DISTINCT doc_id, b,
+             ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+      WHERE len(w) >= 8),
+    tr AS (SELECT doc_id, gram FROM grams WHERE b < 80),
+    te AS (SELECT doc_id AS test_id, gram FROM grams WHERE b >= 90)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT te.test_id) AS BIGINT) AS n_test_docs
+    FROM tr JOIN te ON tr.gram = te.gram
+    GROUP BY tr.doc_id
+"""
+
+ORACLES["lineitem_percentiles"] = """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q_p25,
+           quantile_cont(l_quantity, 0.5) AS q_p50,
+           quantile_cont(l_quantity, 0.75) AS q_p75,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.95) AS cents_p95
+    FROM lineitem GROUP BY 1
+"""
+
+ORACLES["pricing_grouping_sets"] = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+ORACLES["events_hourly_heatmap"] = """
+    SELECT CAST(dayofweek(ts::TIMESTAMP) AS BIGINT) AS dow,
+           CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hod,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLES["doc_chunks_udtf"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             w[i*32+1 : least((i+1)*32, len(w))] AS chunk
+      FROM toks,
+           LATERAL (SELECT unnest(range(0, (len(w) + 31) // 32)) AS i) t
+      WHERE len(w) >= 1)
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           CAST(length(array_to_string(chunk, ' ')) AS BIGINT) AS n_chars
+    FROM chunks
+"""
+
+ORACLES["mm_frame_sample"] = """
+    SELECT doc_id AS sample_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           md5(substring(text, i*64+1, 64)) AS frame_md5
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, greatest((length(text)+63)//64, 1))) AS i) t
+"""
+
+ORACLES["tpch_q4_priority"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+ORACLES["tpch_q7_volume"] = """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+    ) GROUP BY 1, 2, 3
+"""
+
+ORACLES["tpch_q8_share"] = """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN ns.n_name = 'NATION_7'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region   ON nc.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+"""
+
+ORACLES["tpch_q9_profit"] = """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * 10) / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+"""
+
+ORACLES["tpch_q11_important"] = """
+    WITH per_part AS (
+      SELECT l_partkey AS p_partkey,
+             SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS value_cents
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA')
+      GROUP BY 1)
+    SELECT p_partkey, ROUND(value_cents / 100.0, 2) AS value
+    FROM per_part
+    WHERE value_cents * (SELECT COUNT(*) FROM per_part)
+          > 2 * (SELECT SUM(value_cents) FROM per_part)
+    ORDER BY value DESC, p_partkey
+"""
+
+ORACLES["tpch_q12_priority"] = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+"""
+
+ORACLES["tpch_q15_top_supplier"] = """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           ROUND(rev_e4 / 10000.0, 2) AS total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_e4 = (SELECT MAX(rev_e4) FROM revenue)
+"""
+
+ORACLES["tpch_q16_supplier_cnt"] = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["tpch_q17_small_qty"] = """
+    SELECT CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 7.0)
+                AS BIGINT) AS avg_yearly_cents
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+ORACLES["tpch_q19_disjunctive"] = """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["tpch_q20_excess"] = """
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY 1, 2),
+    marked AS (
+      SELECT l_suppkey, supp_qty,
+             SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+      FROM sp)
+    SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM marked JOIN supplier ON l_suppkey = s_suppkey
+    WHERE supp_qty * 2 > part_qty
+    ORDER BY s_suppkey
+"""
+
+ORACLES["tpch_q21_waiting"] = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND o3.o_orderstatus = 'F'
+                        AND l3.l_shipdate > o3.o_orderdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+ORACLES["tpch_q2_min_cost"] = """
+    WITH offers AS (
+      SELECT DISTINCT ROUND(s_acctbal, 2) AS acctbal, s_name, n_name,
+             CAST(l_partkey AS BIGINT) AS p_partkey,
+             (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100)
+               // CAST(l_quantity AS BIGINT) AS unit_e4,
+             MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100)
+                 // CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_partkey) AS min_e4
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 10))
+    SELECT acctbal, s_name, n_name, p_partkey, unit_e4
+    FROM offers WHERE unit_e4 = min_e4
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
 QUERIES = {
     "rank_normalized": q_rank_normalized,
     "feature_pivot": q_feature_pivot,
@@ -2218,4 +3298,31 @@ QUERIES = {
     "tpch_q22_acctbal": q_tpch_q22_acctbal,
     "pricing_cube": q_pricing_cube,
     "orders_above_cust_avg": q_orders_above_cust_avg,
+    "tpch_q2_min_cost": q_tpch_q2_min_cost,
+    "tpch_q4_priority": q_tpch_q4_priority,
+    "tpch_q7_volume": q_tpch_q7_volume,
+    "tpch_q8_share": q_tpch_q8_share,
+    "tpch_q9_profit": q_tpch_q9_profit,
+    "tpch_q11_important": q_tpch_q11_important,
+    "tpch_q12_priority": q_tpch_q12_priority,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+    "tpch_q17_small_qty": q_tpch_q17_small_qty,
+    "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+    "tpch_q20_excess": q_tpch_q20_excess,
+    "tpch_q21_waiting": q_tpch_q21_waiting,
+    "orders_window_funcs": q_orders_window_funcs,
+    "lineitem_moving_sum": q_lineitem_moving_sum,
+    "orders_date_funcs": q_orders_date_funcs,
+    "doc_array_funcs": q_doc_array_funcs,
+    "corpus_stratified_sample": q_corpus_stratified_sample,
+    "corpus_interleave": q_corpus_interleave,
+    "corpus_keep_best": q_corpus_keep_best,
+    "corpus_contamination": q_corpus_contamination,
+    "lineitem_percentiles": q_lineitem_percentiles,
+    "pricing_grouping_sets": q_pricing_grouping_sets,
+    "events_hourly_heatmap": q_events_hourly_heatmap,
+    "doc_chunks_udtf": q_doc_chunks_udtf,
+    "mm_frame_sample": q_mm_frame_sample,
+    "events_sketch_stats": q_events_sketch_stats,
 }

@@ -25,7 +25,13 @@ def test_oracle_parity(spark, duck, name):
 # Queries with no SQL oracle: ML model fits, the iterative
 # connected-components fixpoint, and sketch-based approximations
 # (driver records rows-only checks; accuracy is bounded in tests).
-NO_ORACLE = {"ml_train_rmse", "ml_score_topk", "dedup_clusters", "events_approx_stats"}
+NO_ORACLE = {
+    "ml_train_rmse",
+    "ml_score_topk",
+    "dedup_clusters",
+    "events_approx_stats",
+    "events_sketch_stats",
+}
 
 
 def test_all_queries_have_oracle_or_are_ml():

@@ -70,9 +70,10 @@ def test_minhash_signature_single_aggregation(spark):
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     sigs = minhash_signatures(docs, k=16)
-    # k min-aggregates in ONE groupBy: exactly one exchange, no k-fold
+    # k min-aggregates in ONE groupBy: one agg exchange plus the
+    # pre-explode spread repartition (word_shingles) — never a k-fold
     # explode of the shuffle.
-    assert count_exchanges(sigs) == 1
+    assert count_exchanges(sigs) == 2
 
 
 def test_events_tumbling_single_shuffle(spark):
@@ -352,6 +353,216 @@ def test_sql_frontend_plans_like_dataframe(spark):
     b = QUERIES["pricing_summary_sql"](spark, SF_SMALL)
     assert count_exchanges(b) == count_exchanges(a)
     assert_pushed_filters(b, "l_shipdate")
+
+
+def test_q2_window_min_not_join_back(spark):
+    # the correlated MIN decorrelates into a window over l_partkey —
+    # no self-join of the offers relation, no nested loop; the size
+    # predicate reaches the part scan
+    df = QUERIES["tpch_q2_min_cost"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert_pushed_filters(df, "p_size", "r_name")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    # EXISTS must plan as LeftSemi (ships 2 narrow columns), with the
+    # order-date range pruning the orders scan
+    df = QUERIES["tpch_q4_priority"](spark, SF_SMALL)
+    assert "LeftSemi" in physical_plan(df, mode="simple")
+    assert_pushed_filters(df, "o_orderdate")
+
+
+def test_q7_broadcasts_both_nation_copies(spark):
+    # nation joins twice (supplier + customer side); both copies are
+    # bounded-domain broadcasts, pre-filtered to the two nations
+    df = QUERIES["tpch_q7_volume"](spark, SF_SMALL)
+    assert_broadcast_join(df, at_least=2)
+    assert_pushed_filters(df, "l_shipdate", "n_name")
+
+
+def test_q8_share_single_agg_pass(spark):
+    # numerator and denominator are one conditional-sum aggregate —
+    # the relation is scanned/joined once, never self-joined
+    df = QUERIES["tpch_q8_share"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(df, at_least=2)
+    assert_pushed_filters(df, "p_type", "o_orderdate")
+
+
+def test_q9_broadcasts_nation(spark):
+    df = QUERIES["tpch_q9_profit"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_q11_semi_join_and_scalar_broadcast(spark):
+    # ASIA-supplier membership is a LeftSemi; the global total is a
+    # 1-row broadcast (BroadcastNestedLoopJoin on one row is fine —
+    # a shuffled or driver-side total is not)
+    df = QUERIES["tpch_q11_important"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "LeftSemi" in plan
+    assert_pushed_filters(df, "r_name")
+
+
+def test_q12_pushes_date_range(spark):
+    df = QUERIES["tpch_q12_priority"](spark, SF_SMALL)
+    assert_pushed_filters(df, "l_shipdate")
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_max_is_broadcast_not_collect(spark):
+    # the MAX scalar joins as a 1-row broadcast; revenue aggregates
+    # with map-side partials (two HashAggregates around the exchange)
+    df = QUERIES["tpch_q15_top_supplier"](spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert_pushed_filters(df, "l_shipdate")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q16_not_in_is_anti_join(spark):
+    # NOT IN (tiny flagged-supplier set) must be a broadcast LeftAnti,
+    # with brand/type/size predicates reaching the part scan
+    df = QUERIES["tpch_q16_supplier_cnt"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert_pushed_filters(df, "p_brand", "p_size")
+
+
+def test_q17_decorrelated_avg_broadcasts_back(spark):
+    # the per-part AVG subquery joins back as a broadcast (aggregated
+    # side is |parts-of-brand| rows), and brand membership is LeftSemi
+    df = QUERIES["tpch_q17_small_qty"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "LeftSemi" in plan
+    assert_broadcast_join(df, at_least=1)
+    assert_pushed_filters(df, "p_brand")
+
+
+def test_q19_disjunction_stays_equi_join(spark):
+    # the OR-of-conjunctions must NOT break the l_partkey=p_partkey
+    # equi-condition out of the hash join into a nested loop
+    df = QUERIES["tpch_q19_disjunctive"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_and_pushdown(spark):
+    df = QUERIES["tpch_q20_excess"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "LeftSemi" in plan
+    assert "SinglePartition" not in physical_plan(df)  # window is per-part
+    assert_pushed_filters(df, "l_shipdate", "p_name")
+
+
+def test_q21_semi_and_anti_joins(spark):
+    # EXISTS(other supplier) → LeftSemi; NOT EXISTS(other late
+    # supplier) → LeftAnti; never a nested loop despite the <>
+    # inequality riding each join condition
+    df = QUERIES["tpch_q21_waiting"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_funcs_share_one_sort(spark):
+    # six window functions over the same (custkey, date) spec: ONE
+    # exchange + one sort feeds all of them; never a global window
+    df = QUERIES["orders_window_funcs"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_moving_sum_single_partitioned_window(spark):
+    df = QUERIES["lineitem_moving_sum"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_date_funcs_zero_shuffle(spark):
+    # pure scalar projections: no exchange, fully codegen'd
+    df = QUERIES["orders_date_funcs"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+    assert_whole_stage_codegen(df)
+
+
+def test_array_funcs_no_python_no_shuffle(spark):
+    # higher-order functions must compile to expressions — a
+    # BatchEvalPython / ArrowEvalPython node means a UDF snuck in
+    df = QUERIES["doc_array_funcs"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+    assert "Python" not in physical_plan(df)
+
+
+def test_stratified_sample_scan_side_filter(spark):
+    # hash-gate sampling is a filter, not a join/agg: zero exchanges
+    df = QUERIES["corpus_stratified_sample"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+
+
+def test_keep_best_anti_join_broadcast(spark):
+    # the dominated set is broadcast LEFT ANTI onto the corpus — the
+    # corpus side must not shuffle for the final filter
+    df = QUERIES["corpus_keep_best"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_gram_join_is_hash(spark):
+    # gram generation is Generate(explode) row-local; the cross-split
+    # match must be a shuffled hash join, never nested-loop
+    df = QUERIES["corpus_contamination"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "Generate" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_percentiles_single_pass(spark):
+    # four exact percentiles in ONE aggregate over one shuffle
+    df = QUERIES["lineitem_percentiles"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_grouping_sets_single_expand(spark):
+    # GROUPING SETS = one Expand + one aggregate, like rollup/cube
+    df = QUERIES["pricing_grouping_sets"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("Expand") == 1
+    assert count_exchanges(df) == 1
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_heatmap_single_shuffle(spark):
+    df = QUERIES["events_hourly_heatmap"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_udtf_chunking_no_shuffle(spark):
+    # the lateral UDTF explodes rows in place — no exchange at all
+    df = QUERIES["doc_chunks_udtf"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+
+
+def test_frame_sample_arrow_no_shuffle(spark):
+    # mapInPandas (Arrow batches) with column pruning, zero exchanges
+    df = QUERIES["mm_frame_sample"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "MapInPandas" in plan or "Python" in plan
+    assert count_exchanges(df) == 0
+
+
+def test_sketch_stats_single_shuffle(spark):
+    # HLL + t-digest + exact twins all ride one grouped aggregate
+    df = QUERIES["events_sketch_stats"](spark, SF_SMALL)
+    assert count_exchanges(df) <= 2  # distinct-agg may add one
 
 
 def test_zscore_stats_broadcast_onto_facts(spark):
