@@ -36,6 +36,8 @@ __all__ = [
     "embedding_cosine_pairs",
     "ivf_topk",
     "centroids_by_label",
+    "sq8_quantize",
+    "sq8_topk",
 ]
 
 
@@ -369,4 +371,60 @@ def centroids_by_label(emb: DataFrame, label_col: str = "label",
     return (
         exploded.groupBy(label_col, "pos")
         .agg(F.round(F.avg("v"), 8).alias("centroid"))
+    )
+
+
+def sq8_quantize(vec) -> Column:
+    """int8 scalar quantization with a fixed [-1, 1] → [-127, 127]
+    scale: ``floor(clip(x)·127 + 0.5)``.  floor (not round) so the
+    half-way tie rule can't diverge between engines (Spark ROUND is
+    half-up, DuckDB half-even); identical doubles → identical codes."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(
+        c,
+        lambda x: F.floor(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x.cast("double"))) * 127
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by int8 scalar-quantized dot product — the
+    memory-bandwidth-bound ANN path: 8-bit codes cut vector bytes 4-8×
+    and the integer dot products are EXACT, so ranking (and the
+    cross-engine compare) has no float-summation ambiguity at all.
+
+    Same join/rank shape as ``cosine_topk`` (broadcast queries,
+    per-query window top-k); recall vs exact cosine is bounded by the
+    quantization error.  At 100 TB the codes column is written once
+    (a narrow byte array beside the float vectors) and scanned instead
+    of them."""
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"), sq8_quantize(vec_col).alias("cq")
+    )
+    q = queries.select(
+        F.col("query_id"), sq8_quantize("query_vec").alias("qq")
+    )
+    dot_q8 = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).withColumn("dot_q8", dot_q8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q8").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "dot_q8", "rk")
     )

@@ -1406,6 +1406,87 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN top-k (operators.similarity.sq8_topk):
+    integer dot products over [-127,127] codes — exact arithmetic, no
+    float-summation ambiguity, 4-8× less vector bandwidth at scale."""
+    from .operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sq8_topk(emb, _queries_frame(emb), k=5)
+    return out.select("query_id", "cand_id", "dot_q8", F.col("rk").cast("long").alias("rk"))
+
+
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-least-once dedup: the doubled event stream restored
+    to unique events by dropDuplicatesWithinWatermark, drained, then
+    profiled per type — must converge to the batch relation."""
+    from .streaming.events_stream import run_stream_to_memory, stream_dedup_counts
+
+    deduped = run_stream_to_memory(
+        stream_dedup_counts(spark, sf_dir), output_mode="append"
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by a df-normalized tf score —
+    the tf-idf retrieval shape (tf aggregate ⋈ document-frequency
+    aggregate ⋈ corpus-size scalar, window top-k per doc).
+
+    Scoring uses the exact rational ``tf·10⁶·(N+1) div (df+1)``
+    instead of ``tf·ln((N+1)/(df+1))``: within a document the ranking
+    differs only across ties the log would compress, and the integer
+    form is bit-exact cross-engine (ln is libm-dependent).  Swap the
+    log form in production if score VALUES (not ranks) matter."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import tokens as _tokens
+
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_e6", F.expr("(tf * 1000000 * (n_docs + 1)) div (df + 1)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_e6", "rk")
+    )
+
+
+def q_lineitem_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per return flag: exact-integer
+    yearly revenue (10^-4 dollars) + a lag window; growth is the raw
+    IEEE quotient of two exact longs (identical cross-engine without
+    any rounding step).  First year is NULL."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_unit = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    yearly = li.groupBy(
+        "l_returnflag", F.year("l_shipdate").cast("long").alias("yr")
+    ).agg(F.sum(rev_unit).alias("rev_e4"))
+    w = Window.partitionBy("l_returnflag").orderBy("yr")
+    prev = F.lag("rev_e4").over(w)
+    return yearly.select(
+        "l_returnflag",
+        "yr",
+        (F.col("rev_e4") / 10000.0).alias("revenue"),
+        ((F.col("rev_e4") - prev).cast("double") * 10000.0 / prev).alias("growth_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus mixing / hygiene (extension; operators.curation)
 # ---------------------------------------------------------------------------
@@ -3024,6 +3105,67 @@ ORACLES["mm_frame_sample"] = """
          LATERAL (SELECT unnest(range(0, greatest((length(text)+63)//64, 1))) AS i) t
 """
 
+_SQ8_Q = (
+    "CAST(FLOOR(GREATEST(-1.0, LEAST(1.0, CAST({v}[{i}] AS DOUBLE))) * 127 + 0.5) AS BIGINT)"
+)
+
+ORACLES["emb_sq8_topk"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               {_SQ8_Q.format(v='qv', i='i')} * {_SQ8_Q.format(v='cv', i='i')}
+             )) AS BIGINT) AS dot_q8
+      FROM q JOIN c ON cand_id <> query_id
+    )
+    SELECT query_id, cand_id, dot_q8,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot_q8 DESC, cand_id) AS BIGINT) AS rk
+    FROM scored QUALIFY rk <= 5
+"""
+
+# the streaming dedup of the doubled stream must converge to the plain
+# batch per-type profile
+ORACLES["events_stream_dedup"] = """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1
+"""
+
+ORACLES["doc_tfidf_topterms"] = f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf * 1000000 * (n_docs + 1) AS BIGINT) // (df + 1) AS score_e6
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, score_e6,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score_e6 DESC, term) AS BIGINT) AS rk
+    FROM scored QUALIFY rk <= 3
+"""
+
+ORACLES["lineitem_yearly_growth"] = """
+    WITH yearly AS (
+      SELECT l_returnflag,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_e4
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, yr,
+           rev_e4 / 10000.0 AS revenue,
+           CAST(rev_e4 - lag(rev_e4) OVER w AS DOUBLE) * 10000.0
+             / lag(rev_e4) OVER w AS growth_bp
+    FROM yearly
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY yr)
+"""
+
 ORACLES["tpch_q4_priority"] = """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders
@@ -3325,4 +3467,8 @@ QUERIES = {
     "doc_chunks_udtf": q_doc_chunks_udtf,
     "mm_frame_sample": q_mm_frame_sample,
     "events_sketch_stats": q_events_sketch_stats,
+    "emb_sq8_topk": q_emb_sq8_topk,
+    "events_stream_dedup": q_events_stream_dedup,
+    "doc_tfidf_topterms": q_doc_tfidf_topterms,
+    "lineitem_yearly_growth": q_lineitem_yearly_growth,
 }

@@ -24,6 +24,7 @@ __all__ = [
     "stream_sessionize",
     "stream_stream_join",
     "stream_user_stats",
+    "stream_dedup_counts",
     "run_stream_to_memory",
 ]
 
@@ -229,3 +230,22 @@ def run_stream_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-once deduplication: the event stream unioned
+    with itself (every record arrives twice) is restored to unique
+    events by ``dropDuplicatesWithinWatermark`` on event_id — the
+    production idiom for at-least-once sources (Kafka replays), where
+    dedup state is evicted once the watermark passes an id's event
+    time instead of growing forever.
+
+    Returns the deduped APPEND stream; the bounded-replay result must
+    equal the batch events relation, which is what the oracle checks
+    (per-type counts after draining)."""
+    doubled = _events_stream(spark, sf_dir).unionAll(_events_stream(spark, sf_dir))
+    return (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )

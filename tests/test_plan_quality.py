@@ -565,6 +565,37 @@ def test_sketch_stats_single_shuffle(spark):
     assert count_exchanges(df) <= 2  # distinct-agg may add one
 
 
+def test_sq8_integer_dot_broadcast(spark):
+    # quantized codes join against BROADCAST queries (a nested-loop on
+    # the ≠ condition, but over the tiny broadcast side only — the
+    # corpus is never shuffled); no Python in the hot path (quantize +
+    # dot are pure array expressions); top-k pushes into the sort via
+    # WindowGroupLimit
+    df = QUERIES["emb_sq8_topk"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Python" not in physical_plan(df)
+    assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_no_cartesian_partitioned_topk(spark):
+    # tf ⋈ df ⋈ 1-row N: the corpus-size scalar rides a broadcast of
+    # ONE row (its SinglePartition agg is the legitimate global
+    # scalar); the per-doc top-k window itself stays partitioned
+    df = QUERIES["doc_tfidf_topterms"](spark, SF_SMALL)
+    plan = physical_plan(df)
+    win_lines = [l for l in plan.splitlines() if "partitionBy" in l.lower() or "Window" in l]
+    assert win_lines, plan  # window present
+    assert "CartesianProduct" not in physical_plan(df, mode="simple")
+
+
+def test_yearly_growth_shares_agg_and_window(spark):
+    # agg on (flag, yr) then lag window on flag: two exchanges max
+    df = QUERIES["lineitem_yearly_growth"](spark, SF_SMALL)
+    assert count_exchanges(df) <= 2
+    assert "SinglePartition" not in physical_plan(df)
+
+
 def test_zscore_stats_broadcast_onto_facts(spark):
     # the |types|-row stats side must broadcast — the event facts are
     # never shuffled for the join (only the stats agg exchanges)
