@@ -1487,6 +1487,63 @@ def q_lineitem_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (§2.10 surface): 10%-trimmed mean
+    of value per event type.  The UDAF receives each group's column as
+    one Arrow-backed pandas Series — the right escape hatch for
+    order-statistics aggregates the built-ins lack.  Values ride as
+    integer cents; the final mean is one IEEE division of exact
+    operands, so the SQL oracle (rank-window trim) matches bit-for-bit."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: the module's `from __future__
+    # import annotations` turns type hints into strings, which the
+    # hint-based pandas_udf inference can't read
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean_cents(v):
+        s = v.sort_values().to_numpy()
+        k = len(s) // 10
+        t = s[k : len(s) - k]
+        return float(t.sum()) / len(t)
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_n(v):
+        k = len(v) // 10
+        return len(v) - 2 * k
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        trimmed_mean_cents("cents").alias("trimmed_mean_cents"),
+        trimmed_n("cents").alias("n_used"),
+    )
+
+
+def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (Spark 4 DataSource API): a
+    partitioned deterministic generator source, aggregated per bucket.
+    The oracle regenerates the identical relation from range() with
+    the same md5-derived values — proving the source surface, the
+    partitioning, and the rows all line up.  (sf_dir is unused: the
+    source IS the data.)"""
+    from .sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("score"), 2).alias("sum_score"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus mixing / hygiene (extension; operators.curation)
 # ---------------------------------------------------------------------------
@@ -3166,6 +3223,32 @@ ORACLES["lineitem_yearly_growth"] = """
     WINDOW w AS (PARTITION BY l_returnflag ORDER BY yr)
 """
 
+ORACLES["events_trimmed_mean"] = """
+    WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c)
+    SELECT event_type,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS trimmed_mean_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_used
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY 1
+"""
+
+ORACLES["pysource_scan"] = """
+    WITH gen AS (
+      SELECT i AS id,
+             ('0x' || substr(md5('b:' || i), 1, 8))::BIGINT % 10 AS bucket,
+             (('0x' || substr(md5('s:' || i), 1, 8))::BIGINT % 10000) / 100.0 AS score
+      FROM (SELECT unnest(range(0, 2000)) AS i))
+    SELECT bucket, COUNT(*) AS n_rows, ROUND(SUM(score), 2) AS sum_score,
+           MIN(id) AS min_id, MAX(id) AS max_id
+    FROM gen GROUP BY 1
+"""
+
 ORACLES["tpch_q4_priority"] = """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders
@@ -3471,4 +3554,6 @@ QUERIES = {
     "events_stream_dedup": q_events_stream_dedup,
     "doc_tfidf_topterms": q_doc_tfidf_topterms,
     "lineitem_yearly_growth": q_lineitem_yearly_growth,
+    "events_trimmed_mean": q_events_trimmed_mean,
+    "pysource_scan": q_pysource_scan,
 }

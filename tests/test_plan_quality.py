@@ -596,6 +596,23 @@ def test_yearly_growth_shares_agg_and_window(spark):
     assert "SinglePartition" not in physical_plan(df)
 
 
+def test_trimmed_mean_is_grouped_pandas_agg(spark):
+    # the UDAF runs as an Arrow-batched grouped aggregate — one
+    # exchange on the group key, python only at the agg boundary
+    df = QUERIES["events_trimmed_mean"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "InPandas" in plan or "Python" in plan
+    assert count_exchanges(df) == 1
+
+
+def test_pysource_scan_parallel_partitions(spark):
+    # the custom Python source exposes 8 input partitions — the scan
+    # parallelizes like a file source; aggregation is one exchange
+    df = QUERIES["pysource_scan"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+    assert df.rdd.getNumPartitions() >= 1  # materializes through the v2 scan
+
+
 def test_zscore_stats_broadcast_onto_facts(spark):
     # the |types|-row stats side must broadcast — the event facts are
     # never shuffled for the join (only the stats agg exchanges)
