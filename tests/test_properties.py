@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis) — the invariants behind the
+operators, checked on generated inputs instead of the fixed testdata.
+
+Each property runs a bounded number of examples against small generated
+DataFrames (Spark round-trips are ~100 ms each, so max_examples stays
+small; the properties are chosen so few examples still bite: every one
+of these caught real classes of bugs in engines — rank normalization
+off-by-one, split instability under growth, salt-join row loss,
+quantizer asymmetry).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from recommendation_translation_spark.operators.curation import hash_split
+from recommendation_translation_spark.operators.joins import salted_join
+from recommendation_translation_spark.operators.rank import normalized_rank
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# (site, id, pageviews) rows — small alphabets force heavy ties and
+# single-row sites, the rank edge cases.
+rank_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(rows=rank_rows)
+def test_rank_invariants(spark, rows):
+    # dedupe (site,id) — the long table is keyed by it
+    uniq = {(s, i): p for s, i, p in rows}
+    df = spark.createDataFrame(
+        [(s, str(i), float(p)) for (s, i), p in uniq.items()],
+        "site string, id string, pageviews double",
+    )
+    out = normalized_rank(df).collect()
+    # row count preserved; rank in (0, 1]; each site's max rank is
+    # exactly 1.0 (the most-viewed article, SURVEY §2.5); ranks within
+    # a site are distinct (row_number semantics, no gaps)
+    assert len(out) == len(uniq)
+    by_site: dict[str, list[float]] = {}
+    for r in out:
+        assert 0.0 < r.rank <= 1.0
+        by_site.setdefault(r.site, []).append(r.rank)
+    for site, ranks in by_site.items():
+        n = len(ranks)
+        assert math.isclose(max(ranks), 1.0)
+        assert len(set(ranks)) == n
+        assert math.isclose(min(ranks), 1.0 / n)
+
+
+@SETTINGS
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                 max_size=60, unique=True),
+    extra=st.lists(st.integers(min_value=10_001, max_value=20_000), min_size=0,
+                   max_size=20, unique=True),
+)
+def test_hash_split_stable_under_growth(spark, ids, extra):
+    # the split of an existing document NEVER changes when the corpus
+    # grows — the train/test-hygiene property of deterministic splits
+    base = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    grown = spark.createDataFrame([(i,) for i in ids + extra], "doc_id long")
+    s1 = {r.doc_id: r.split for r in hash_split(base).collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(grown).collect()}
+    for i in ids:
+        assert s1[i] == s2[i]
+
+
+@SETTINGS
+@given(
+    facts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5),
+                  st.integers(min_value=0, max_value=100)),
+        min_size=0, max_size=60),
+    dims=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=6,
+                  unique=True),
+)
+def test_salted_join_equals_plain_join(spark, facts, dims):
+    # salting is a physical rewrite: the relation must be EXACTLY the
+    # plain inner join, for any key skew including empty sides
+    fact = spark.createDataFrame(
+        [(k, v) for k, v in facts], "k long, v long"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in dims], "k long, name string")
+    plain = sorted(
+        (r.k, r.v, r.name)
+        for r in fact.join(dim, "k").select("k", "v", "name").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(fact, dim, "k", salts=4).select("k", "v", "name").collect()
+    )
+    assert salted == plain
+
+
+@SETTINGS
+@given(
+    vec=st.lists(st.floats(min_value=-2.0, max_value=2.0, allow_nan=False,
+                           width=32),
+                 min_size=4, max_size=8),
+)
+def test_sq8_quantize_bounds_and_symmetry(spark, vec):
+    from recommendation_translation_spark.operators.similarity import sq8_quantize
+
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    codes = df.select(sq8_quantize("v").alias("q")).collect()[0].q
+    neg = (
+        df.select(F.transform("v", lambda x: -x).alias("v"))
+        .select(sq8_quantize("v").alias("q"))
+        .collect()[0]
+        .q
+    )
+    for x, c, nc in zip(vec, codes, neg):
+        assert -127 <= c <= 127
+        clipped = max(-1.0, min(1.0, x))
+        assert abs(c - clipped * 127) <= 0.5 + 1e-9
+        # floor(x+0.5) is symmetric except exactly at half-way ties
+        if abs((clipped * 127) % 1.0 - 0.5) > 1e-6:
+            assert nc == -c
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1, max_size=10),
+)
+def test_ngram_jaccard_pairs_bounded_and_symmetric(spark, texts):
+    from recommendation_translation_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pairs = ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+    for r in pairs:
+        assert r.a_id < r.b_id          # canonical orientation, no dupes
+        assert 0.0 <= r.jaccard <= 1.0  # it is a similarity
+    # identical non-trivial docs must reach jaccard 1.0
+    dup = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b a b")], "doc_id long, text string"
+    )
+    got = ngram_jaccard_pairs(dup, n=2, threshold=0.0).collect()
+    assert len(got) == 1 and math.isclose(got[0].jaccard, 1.0)
