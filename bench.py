@@ -57,13 +57,22 @@ def main() -> int:
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
 
+    # The full per-query map (now 100+ entries, ~3.5 KB as JSON) overflows
+    # the driver's tail-capture buffer and made round 2's BENCH unparseable.
+    # So: full map goes to a sidecar file + stderr; the single stdout line
+    # stays compact (total + the 10 slowest queries, < 1 KB).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_QUERIES.json"), "w") as fh:
+        json.dump({"total_wall_sec": total, "sf": sf, "queries": timings},
+                  fh, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf,
             }
         )

@@ -162,17 +162,28 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     of nanoseconds, which we truncate to microseconds (matching what
     DuckDB's TIMESTAMP cast does) and convert.
 
-    The conf is set here — not only in ``session.get_spark`` — because
+    Other testdata generations write ``ts`` as TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which surfaces as TIMESTAMP_NTZ; downstream
+    operators (``unix_micros``, watermark comparisons against literals)
+    expect TimestampType, so we pin the session timezone to UTC — the
+    same naive-as-UTC reading DuckDB's oracle uses — and cast, leaving
+    wall-clock values untouched.  Both normalizations land on identical
+    TimestampType values, so every query is generation-agnostic.
+
+    The confs are set here — not only in ``session.get_spark`` — because
     callers (e.g. the correctness driver) may hand us a vanilla session
-    that would otherwise fail with PARQUET_TYPE_ILLEGAL.  It is a
-    runtime-settable SQL conf and is idempotent for sessions that
-    already carry it."""
+    that would otherwise fail with PARQUET_TYPE_ILLEGAL.  They are
+    runtime-settable SQL confs and idempotent for sessions that
+    already carry them."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         # integer division — float division loses ns precision at 1e18 magnitudes
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

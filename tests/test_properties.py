@@ -105,7 +105,9 @@ def test_salted_join_equals_plain_join(spark, facts, dims):
     )
     salted = sorted(
         (r.k, r.v, r.name)
-        for r in salted_join(fact, dim, "k", salts=4).select("k", "v", "name").collect()
+        for r in salted_join(
+            fact, dim.withColumnRenamed("k", "dk"), "k", "dk", salt=4
+        ).select("k", "v", "name").collect()
     )
     assert salted == plain
 
