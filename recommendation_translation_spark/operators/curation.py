@@ -13,9 +13,10 @@ Design notes for 100 TB:
 - ``hash_split`` is deterministic in the document id — re-running the
   pipeline on a grown corpus never moves an old document across splits
   (the property training pipelines need for train/test hygiene);
-- ``token_budget_sample`` is one window over a single global ordering;
-  at extreme scale swap the global sort for a 2-pass quantile cut
-  (sample → per-partition prefix sums), same semantics;
+- ``token_budget_sample`` and ``interleave_sources`` order the whole
+  corpus, but through the two-pass range-partitioned formulation in
+  ``operators.ordering`` — no single-reducer ``Window.orderBy``
+  anywhere;
 - ``dup_clusters`` does O(log n) self-joins; each iteration is a plain
   shuffle join AQE can re-plan, and the edge set (near-dup pairs) is
   orders of magnitude smaller than the corpus.
@@ -178,20 +179,24 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
     is reached: rank by (quality desc, id) and keep every document whose
     *running* token total stays within budget.
 
-    One window over one global ordering.  The first document is always
-    kept (a budget below the best document's length yields that one
-    document, not zero).
+    The running sum is the two-pass range-partitioned formulation
+    (operators.ordering) — identical values to a global running-sum
+    window, but with no ``Exchange SinglePartition`` in the plan, so
+    the sort parallelizes at any corpus size.  The first document is
+    always kept (a budget below the best document's length yields that
+    one document, not zero).
     """
-    w = Window.orderBy(F.col(quality_col).desc(), F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from .ordering import range_partitioned_running_sum
+
+    out = range_partitioned_running_sum(
+        df,
+        [F.col(quality_col).desc(), F.col(id_col)],
+        tokens_col,
+        out_col="running_tokens",
     )
-    running = F.sum(tokens_col).over(w)
-    return (
-        df.withColumn("running_tokens", running)
-        .filter(
-            (F.col("running_tokens") <= budget_tokens)
-            | (F.col("running_tokens") == F.col(tokens_col))  # first doc
-        )
+    return out.filter(
+        (F.col("running_tokens") <= budget_tokens)
+        | (F.col("running_tokens") == F.col(tokens_col))  # first doc
     )
 
 
@@ -299,24 +304,40 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
     stride of the output.
 
     Each row's virtual position is ``(rank_within_source − 1) · SCALE
-    / weight`` in *integer* arithmetic (SCALE = lcm-free 720720 keeps
-    division exact for any weight ≤ 32) — deterministic and
-    engine-independent, no float ordering.  Two windows: one per-source
-    rank (partitioned — scales out), one global row_number over the
-    virtual position (single reducer at the very end; at 100 TB swap
-    for a range-partitioned sort, same semantics)."""
-    scale = 720720  # divisible by 1..16 and most small weights
+    div weight`` in *integer floor division* (both Spark ``div`` and
+    the DuckDB oracle's ``//`` truncate identically, so the result is
+    exact and engine-independent for ANY positive integer weight —
+    SCALE = 720720 merely keeps positions well-spread; it is divisible
+    by every weight ≤ 16 but exactness never depends on that).
+
+    Both orderings are the two-pass range-partitioned formulation
+    (operators.ordering): the per-source rank restarts per source
+    (``group_cols``) instead of funnelling each source through one
+    window reducer, and the final mix_rank replaces the global
+    ``row_number`` window — no ``Exchange SinglePartition`` anywhere
+    in the plan, so the operator parallelizes at any corpus size."""
+    from .ordering import range_partitioned_row_number
+
+    scale = 720720
     weight = F.lit(1)
     for k, v in sorted(weights.items()):
+        if not (isinstance(v, int) and v > 0):
+            raise ValueError(f"weights must be positive integers, got {k}={v!r}")
         weight = F.when(F.col(source_col) == k, F.lit(v)).otherwise(weight)
-    rn = F.row_number().over(
-        Window.partitionBy(source_col).orderBy(id_col)
+    ranked = range_partitioned_row_number(
+        df, [F.col(id_col)], out_col="_src_rn", group_cols=[source_col]
     )
-    pos = ((rn - F.lit(1)).cast("long") * scale) / weight
-    out = df.withColumn("vpos", pos.cast("long"))
-    return out.withColumn(
-        "mix_rank",
-        F.row_number().over(Window.orderBy("vpos", source_col, id_col)).cast("long"),
+    out = (
+        ranked.withColumn("_w", weight)
+        .withColumn(
+            "vpos", F.expr(f"(CAST(_src_rn AS BIGINT) - 1) * {scale} div _w")
+        )
+        .drop("_src_rn", "_w")
+    )
+    return range_partitioned_row_number(
+        out,
+        [F.col("vpos"), F.col(source_col), F.col(id_col)],
+        out_col="mix_rank",
     )
 
 

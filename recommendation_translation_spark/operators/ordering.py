@@ -1,0 +1,159 @@
+"""Scale-safe global ordering primitives.
+
+A global ``Window.orderBy(...)`` (no partitionBy) compiles to
+``Exchange SinglePartition`` — every row funnels through ONE reducer,
+which is correct at any size but serializes the whole corpus through a
+single task at 100 TB.  These helpers compute the same dense global
+row numbers / running sums with the classic two-pass ``zipWithIndex``
+formulation, fully partitioned:
+
+1. ``repartitionByRange`` on the sort key — rows land in ordered,
+   non-overlapping partitions (RangePartitioner's reservoir sampling
+   uses seeds derived from the partition index, so the boundaries are
+   deterministic for a deterministic input lineage);
+2. a cheap counting job aggregates one row **per partition** (per
+   group) — a histogram of at most ``n_partitions × n_groups`` rows
+   collected to the driver (bounded by configuration, not by data);
+3. the final job adds the partition's cumulative offset (a literal
+   map baked into the plan) to a *partition-local* window — the only
+   exchanges are the range shuffle and the per-partition-id hash
+   shuffle, both parallel.
+
+The counting pass re-executes the input lineage once; that is the
+standard price of ``zipWithIndex`` and is far cheaper than a
+single-reducer sort at scale (the range exchange itself is the same
+work either way — the second pass only re-reads, it never sorts
+globally).
+
+No counterpart in the reference (its driver-side sorts are bounded
+site lists, JobRunner.scala:31-73); this backs the corpus-curation
+extension operators (``interleave_sources``, ``token_budget_sample``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "range_partitioned_row_number",
+    "range_partitioned_running_sum",
+]
+
+# Non-printable key separator for the (partition, group) offset map —
+# group values are user data, so pick a separator they won't contain.
+_SEP = "\x1f"
+
+
+def _apply(
+    df: DataFrame,
+    order_cols: list[Column],
+    agg: Column,
+    window_fn,
+    out_col: str,
+    group_cols: list[str] | None,
+) -> DataFrame:
+    """Shared two-pass skeleton: range partition → offset histogram →
+    offset + partition-local window.
+
+    ``agg`` aggregates a partition's contribution (count / sum);
+    ``window_fn(w)`` produces the partition-local window Column over
+    the same ordering.  ``group_cols`` (small cardinality —
+    data-mixing sources, not user ids) restarts the numbering per
+    group.
+    """
+    spark = df.sparkSession
+    group_cols = list(group_cols or [])
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    range_keys = [F.col(c) for c in group_cols] + order_cols
+    ranged = df.repartitionByRange(n, *range_keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+    # Pass 1: one row per (partition[, group]) — bounded by conf ×
+    # group cardinality, never by data volume.  Driver-safe collect.
+    hist = (
+        ranged.groupBy("_pid", *group_cols)
+        .agg(agg.alias("_v"))
+        .collect()
+    )
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        gkey = _SEP.join(str(r[g]) for g in group_cols)
+        by_group.setdefault(gkey, []).append((r["_pid"], r["_v"] or 0))
+    entries: list[Column] = []
+    for gkey, pids in by_group.items():
+        acc = 0
+        for pid, v in sorted(pids):
+            mkey = f"{pid}{_SEP}{gkey}" if gkey else str(pid)
+            entries.append(F.lit(mkey))
+            entries.append(F.lit(acc))
+            acc += v
+    if not entries:  # empty input — offsets are all zero
+        offset = F.lit(0).cast("long")
+    else:
+        mkey = (
+            F.concat_ws(
+                _SEP, F.col("_pid").cast("string"),
+                *[F.col(g).cast("string") for g in group_cols],
+            )
+            if group_cols
+            else F.col("_pid").cast("string")
+        )
+        offset = F.coalesce(
+            F.create_map(*entries)[mkey].cast("long"), F.lit(0).cast("long")
+        )
+
+    # Pass 2: partition-local window (hash exchange on _pid — parallel,
+    # never SinglePartition) + the baked-in offset.
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    return ranged.withColumn(out_col, (offset + window_fn(w)).cast("long")).drop(
+        "_pid"
+    )
+
+
+def range_partitioned_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rn",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dense 1-based global row number over ``order_cols`` (restarting
+    per ``group_cols`` when given) with no single-partition exchange.
+
+    Identical output to ``row_number().over(Window.orderBy(...))`` —
+    the ordering must be total (include a unique tie-break column),
+    otherwise rows equal on the full key get an arbitrary order in
+    both formulations.
+    """
+    return _apply(
+        df,
+        order_cols,
+        F.count(F.lit(1)),
+        lambda w: F.row_number().over(w),
+        out_col,
+        group_cols,
+    )
+
+
+def range_partitioned_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "running",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over a total ordering,
+    equal to ``sum(v).over(Window.orderBy(...).rowsBetween(unbounded
+    preceding, current row))`` but with no single-partition exchange.
+    """
+    return _apply(
+        df,
+        order_cols,
+        F.sum(value_col),
+        lambda w: F.sum(value_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+        out_col,
+        group_cols,
+    )

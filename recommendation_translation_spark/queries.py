@@ -3062,7 +3062,7 @@ ORACLES["corpus_interleave"] = """
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       FROM documents),
     v AS (SELECT doc_id, source,
-                 CAST((rn - 1) * 720720 / wt AS BIGINT) AS vpos FROM w)
+                 CAST((rn - 1) * 720720 // wt AS BIGINT) AS vpos FROM w)
     SELECT doc_id, source, vpos,
            CAST(ROW_NUMBER() OVER (ORDER BY vpos, source, doc_id) AS BIGINT) AS mix_rank
     FROM v

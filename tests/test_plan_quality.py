@@ -619,3 +619,18 @@ def test_zscore_stats_broadcast_onto_facts(spark):
     df = QUERIES["events_zscore_outliers"](spark, SF_SMALL)
     assert_broadcast_join(df, at_least=1)
     assert count_exchanges(df) <= 1
+
+
+def test_interleave_no_single_partition_exchange(spark):
+    # both the per-source rank and the global mix_rank use the two-pass
+    # range-partitioned formulation (operators.ordering) — a global
+    # row_number window would show up as Exchange SinglePartition
+    df = QUERIES["corpus_interleave"](spark, SF_SMALL)
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_token_budget_no_single_partition_exchange(spark):
+    # running-sum over the global quality ordering, same two-pass
+    # formulation: never a single-reducer sort
+    df = QUERIES["corpus_token_budget"](spark, SF_SMALL)
+    assert "SinglePartition" not in physical_plan(df)

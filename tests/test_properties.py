@@ -160,3 +160,72 @@ def test_ngram_jaccard_pairs_bounded_and_symmetric(spark, texts):
     )
     got = ngram_jaccard_pairs(dup, n=2, threshold=0.0).collect()
     assert len(got) == 1 and math.isclose(got[0].jaccard, 1.0)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                  st.integers(min_value=0, max_value=500),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=0, max_size=60),
+)
+def test_range_partitioned_ordering_equals_global_window(spark, rows):
+    # the two-pass range-partitioned row number / running sum must be
+    # EXACTLY the single-reducer global window, for any distribution
+    # (including empty input, one giant group, all-tied order keys)
+    from pyspark.sql import Window
+    from recommendation_translation_spark.operators.ordering import (
+        range_partitioned_row_number,
+        range_partitioned_running_sum,
+    )
+
+    uniq = {(g, i): v for g, i, v in rows}
+    df = spark.createDataFrame(
+        [(g, i, v) for (g, i), v in uniq.items()],
+        "grp string, id long, val long",
+    )
+    order = [F.col("id").desc(), F.col("grp")]
+
+    got_rn = {
+        (r.grp, r.id): r.rn
+        for r in range_partitioned_row_number(df, order, "rn").collect()
+    }
+    want_rn = {
+        (r.grp, r.id): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got_rn == want_rn
+
+    got_grouped = {
+        (r.grp, r.id): r.rn
+        for r in range_partitioned_row_number(
+            df, [F.col("id")], "rn", group_cols=["grp"]
+        ).collect()
+    }
+    want_grouped = {
+        (r.grp, r.id): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("id"))
+        ).collect()
+    }
+    assert got_grouped == want_grouped
+
+    got_sum = {
+        (r.grp, r.id): r.run
+        for r in range_partitioned_running_sum(df, order, "val", "run").collect()
+    }
+    want_sum = {
+        (r.grp, r.id): r.run
+        for r in df.withColumn(
+            "run",
+            F.sum("val").over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).collect()
+    }
+    assert got_sum == want_sum
