@@ -257,18 +257,51 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 8, bits: int = 32,
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-duplicate pairs by SimHash hamming distance.
+    """ALL near-duplicate pairs within ``max_hamming`` SimHash bits —
+    exact result, bucketed execution (no cross join, no recall loss).
 
-    Candidates come from matching 8-bit prefixes of the simhash (a
-    1-table LSH on the high bits) — near-identical docs share high bits
-    with high probability; the full cross join never materializes."""
+    Multi-block banding (Manku et al. 2007, "Detecting Near-Duplicates
+    for Web Crawling"): split the ``bits``-wide simhash into
+    ``m = max_hamming + 2`` contiguous blocks.  A pair within hamming
+    distance ``k`` differs in at most ``k`` blocks, so at least 2 of
+    its ``k + 2`` blocks match exactly — blocking on every C(m, 2)
+    pair of blocks is therefore *complete*: the equi-join on
+    (band, key) produces every qualifying pair, and the bit_count
+    verify + distinct removes false candidates and multi-band dupes.
+    (The previous single 8-bit-prefix scheme missed any pair differing
+    in a high bit AND packed all docs into 256 buckets — quadratic
+    within buckets at corpus scale.  Band keys here carry
+    ~2·bits/m bits, so bucket counts grow with the signature, and at
+    100 TB you widen the signature — 64-bit simhash → 12-bit bands for
+    k = 3 — rather than shrink recall.)"""
+    m = max_hamming + 2
+    if m > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more blocks than {bits} bits")
+    base, rem = divmod(bits, m)
+    widths = [base + 1] * rem + [base] * (m - rem)
+    offsets = [sum(widths[:i]) for i in range(m)]
+    blocks = [
+        F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(m)
+    ]
+    bands = []
+    band_id = 0
+    for i in range(m):
+        for j in range(i + 1, m):
+            # key = block_i ++ block_j, tagged with the band index so
+            # different (i, j) combos never collide in the join
+            key = (blocks[i] * F.lit(1 << widths[j]) + blocks[j]).cast("long")
+            bands.append(F.struct(F.lit(band_id).alias("band"), key.alias("key")))
+            band_id += 1
     s = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
-    s = s.withColumn("prefix", F.shiftright(F.col("simhash"), bits - 8))
-    a, b = s.alias("a"), s.alias("b")
+    stacked = s.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "simhash", "b.band", "b.key")
+    a, b = stacked.alias("a"), stacked.alias("b")
     return (
-        a.join(b, "prefix")
+        a.join(b, ["band", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
@@ -278,4 +311,5 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8, bits: int = 32,
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -454,7 +454,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10).select(
+    """ALL pairs within hamming ≤ 3 of the 32-bit simhash, via complete
+    multi-block banding (operators.dedup.simhash_pairs).  The oracle is
+    the brute-force all-pairs scan, so parity here *proves* the banding
+    loses no pairs."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).select(
         "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -2510,12 +2514,11 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _minhash_lsh_sql(k=16, bands=8, threshold=0.02),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": f"""
-        WITH s AS ({_simhash_sql()}),
-        pref AS (SELECT doc_id, simhash, simhash >> 24 AS prefix FROM s)
+        WITH s AS ({_simhash_sql()})
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "emb_cosine_topk": _cosine_topk_sql(),
     "emb_cosine_topk_np": _cosine_topk_sql(decimals=4),

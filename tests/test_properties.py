@@ -229,3 +229,29 @@ def test_range_partitioned_ordering_equals_global_window(spark, rows):
         ).collect()
     }
     assert got_sum == want_sum
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc de", min_size=1, max_size=30),
+        min_size=2, max_size=12),
+    k=st.integers(min_value=0, max_value=4),
+)
+def test_simhash_pairs_complete_vs_brute_force(spark, texts, k):
+    # the multi-block banding must return EXACTLY the brute-force set of
+    # pairs within hamming <= k — completeness is the whole point
+    from recommendation_translation_spark.operators.dedup import simhash, simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sims = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    want = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a in sims for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= k
+    }
+    got = {(r.a_id, r.b_id, r.hamming)
+           for r in simhash_pairs(df, max_hamming=k).collect()}
+    assert got == want
