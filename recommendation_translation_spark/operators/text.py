@@ -59,9 +59,13 @@ def cross_engine_hash(col: Column | str, seed: str = "") -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens; empty/blank text → empty array (not [''])."""
+    """Whitespace tokens; empty/blank text → empty array (not ['']).
+
+    Strips ALL leading/trailing whitespace with a regex — ``F.trim``
+    only removes spaces, so tab/newline-only text would otherwise
+    split into phantom empty tokens."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
+    trimmed = F.regexp_replace(c, r"^\s+|\s+$", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )

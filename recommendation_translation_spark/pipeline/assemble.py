@@ -35,15 +35,20 @@ def numeric_feature_columns(all_columns: list[str], target: str) -> list[str]:
     return [c for c in all_columns if c not in excluded]
 
 
-def get_work_data(features: DataFrame, target: str, exists: bool) -> DataFrame:
+def get_work_data(features: DataFrame, target: str, exists: bool | None) -> DataFrame:
     """Filter by exists-flag and assemble (id, label, features).
 
     ``exists=True`` selects training rows (the item already exists on the
     target site, so its rank there is a usable label); ``exists=False``
-    selects scoring rows (Utils.scala:30-32).
+    selects scoring rows (Utils.scala:30-32); ``exists=None`` keeps every
+    row (score the full candidate set — an extension beyond the
+    reference's two modes).
     """
-    flag = EXISTS if exists else NOT_EXISTS
-    filtered = features.filter(F.col(f"exists_{target}") == flag)
+    if exists is None:
+        filtered = features
+    else:
+        flag = EXISTS if exists else NOT_EXISTS
+        filtered = features.filter(F.col(f"exists_{target}") == flag)
     cols = numeric_feature_columns(features.columns, target)
     assembler = VectorAssembler(inputCols=cols, outputCol="features")
     assembled = assembler.transform(filtered)

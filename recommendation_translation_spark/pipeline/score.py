@@ -41,10 +41,12 @@ def _empty_site_scores(spark: SparkSession, site: str) -> DataFrame:
 
 
 def _score_one(features: DataFrame, site: str,
-               model: RandomForestRegressionModel) -> DataFrame:
+               model: RandomForestRegressionModel,
+               exists: bool | None = False) -> DataFrame:
     """ScorePredictor.scala:22-34: score items that do NOT exist on the
-    target site; prediction column named after the site."""
-    work = get_work_data(features, site, exists=False)
+    target site (``exists=False``, the reference behavior); prediction
+    column named after the site.  ``exists=None`` scores every item."""
+    work = get_work_data(features, site, exists=exists)
     model = model.copy()  # setPredictionCol mutates; don't race across threads
     model.setPredictionCol(site)
     return model.transform(work).select("id", site)  # P5 column prune
@@ -54,9 +56,12 @@ def score_items(
     features: DataFrame,
     models: dict[str, RandomForestRegressionModel | TrainResult],
     parallelism: int = SITE_PARALLELISM,
+    exists: bool | None = False,
 ) -> dict[str, DataFrame]:
     """Score every target site (lazily — returns unevaluated DataFrames);
-    failures yield the empty frame like the reference."""
+    failures yield the empty frame like the reference.  ``exists``
+    passes through to the work-data filter (False = reference behavior:
+    only items missing on the target site; None = all items)."""
     features = features.cache()
     spark = features.sparkSession
 
@@ -67,7 +72,7 @@ def score_items(
         try:
             if model is None:
                 raise ValueError("no model")
-            return site, _score_one(features, site, model)
+            return site, _score_one(features, site, model, exists=exists)
         except Exception as exc:
             log.warning("scoring failed for site %s: %s", site, exc)
             return site, _empty_site_scores(spark, site)

@@ -81,3 +81,30 @@ def test_approx_stats_error_bounds(spark):
         e = exact[et]
         assert abs(a["approx_users"] - e["users"]) <= 0.06 * e["users"], et
         assert abs(a["p50"] - e["p50"]) <= 0.05 * max(abs(e["p50"]), 1.0), et
+
+
+def test_doc_array_funcs_blank_and_empty_docs(spark, tmp_path):
+    # round-2 ADVICE: DuckDB list_sum([]) is NULL vs Spark fold-to-0, and
+    # string_split_regex('') yields [''] vs tokens() []; latent while the
+    # testdata has no blank docs — pin the parity on a corpus that does.
+    import duckdb
+
+    from recommendation_translation_spark.queries import ORACLES, QUERIES
+    from tests.oracle_utils import compare
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"), (4, "one two three"), (5, "x")],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    ok, msg = compare(
+        QUERIES["doc_array_funcs"](spark, sf_dir),
+        con.sql(ORACLES["doc_array_funcs"]),
+    )
+    assert ok, msg
