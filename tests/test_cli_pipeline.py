@@ -216,3 +216,70 @@ def test_split_inputs_equal_combined(spark, fixture_dir, tmp_path_factory):
     rows = _gen_rows()
     got = {(r.id, r.site, r.title, r.pageviews) for r in joined.collect()}
     assert got == set(rows)
+
+
+# ---------------------------------------------------------------------------
+# golden run against the REAL reference fixture (round-2 verdict #8) —
+# /root/reference/lite-sitelinks-pagecounts.tsv, not the synthesized
+# lookalike above.  Closes the fidelity loop with the actual artifact.
+# ---------------------------------------------------------------------------
+
+GOLDEN_TSV = "/root/reference/lite-sitelinks-pagecounts.tsv"
+GOLDEN_SITES = ["dewiki", "enwiki", "frwiki"]
+
+
+@pytest.fixture(scope="module")
+def golden_run(spark, tmp_path_factory):
+    if not os.path.exists(GOLDEN_TSV):
+        pytest.skip("reference fixture not available")
+    out = tmp_path_factory.mktemp("golden")
+    p = Params(
+        parse_raw_data=True,
+        extract_features=True,
+        build_models=True,
+        score_items=True,
+        raw_data=GOLDEN_TSV,
+        output_dir=str(out),
+        target_wikis=GOLDEN_SITES,
+        seed=42,
+    )
+    return run(spark, p)
+
+
+def test_golden_parsed_row_counts(spark, golden_run):
+    # every data line of the real TSV parses: 2615 rows, 23 items,
+    # 269 sites (wc -l minus header; verified against the raw file)
+    parsed = spark.read.parquet(golden_run["parsed_data"])
+    assert parsed.count() == 2615
+    assert parsed.select("id").distinct().count() == 23
+    assert parsed.select("site").distinct().count() == 269
+    assert set(parsed.columns) == {"id", "site", "title", "pageviews"}
+
+
+def test_golden_rank_invariants(spark, golden_run):
+    feats = spark.read.parquet(golden_run["feature_data"])
+    # the feature matrix spans EVERY site in the dump (269), not just
+    # the train/score targets — FeatureExtractor.scala:50-104 semantics
+    assert len(feats.columns) == 1 + 3 * 269
+    pdf = feats.toPandas()
+    for site in GOLDEN_SITES:
+        on = pdf[f"exists_{site}"] == 1.0
+        ranks = pdf[f"rank_{site}"]
+        assert set(pdf[f"exists_{site}"].unique()) <= {0.0, 1.0}
+        assert ((ranks[on] > 0) & (ranks[on] <= 1.0)).all()
+        assert (ranks[~on] == 0.0).all()
+        # exactly one max-rank row per site (row_number tie-break)
+        assert (ranks[on] == 1.0).sum() == 1
+
+
+def test_golden_predictions(spark, golden_run):
+    files = glob.glob(os.path.join(golden_run["predictions"], "*.csv.bz2"))
+    assert len(files) == 1
+    with bz2.open(files[0], "rt") as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        body = list(reader)
+    assert header == ["id"] + GOLDEN_SITES
+    ids = [r[0] for r in body]
+    # enwiki holds all 23 items but de/fr have holes -> someone scores
+    assert len(ids) == len(set(ids)) and len(ids) > 0
