@@ -3476,57 +3476,24 @@ ORACLES["tpch_q2_min_cost"] = """
 """
 
 
+# Dict ORDER is deliberate: the correctness driver records the first
+# ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
+# round-by-round (round-2 verdict #3).  Front of the dict this round:
+# (a) queries whose implementation changed in round 3, then (b) the 52
+# queries added in round 2 that the r1/r2 windows never covered.  The
+# 50 queries green in CORRECTNESS_r02.json sit at the back; anything
+# past the window this round rotates forward next round.  The full set
+# is always verified locally by tests/test_oracle_parity.py regardless
+# of position.
 QUERIES = {
-    "rank_normalized": q_rank_normalized,
-    "feature_pivot": q_feature_pivot,
-    "feature_unpivot": q_feature_unpivot,
-    "customer_balance_merge": q_customer_balance_merge,
-    "exists_filter": q_exists_filter,
-    "predictions_fold": q_predictions_fold,
-    "ingest_join": q_ingest_join,
-    "pricing_summary": q_pricing_summary,
-    "pricing_summary_sql": q_pricing_summary_sql,
-    "count_by_site": q_count_by_site,
-    "distinct_sites": q_distinct_sites,
-    "suffix_filter_rewrite": q_suffix_filter_rewrite,
-    "topk_per_group": q_topk_per_group,
-    "median_crossing": q_median_crossing,
-    "events_tumbling": q_events_tumbling,
-    "events_sliding": q_events_sliding,
-    "events_sessionize": q_events_sessionize,
-    "events_stream_tumbling": q_events_stream_tumbling,
-    "events_resample_ffill": q_events_resample_ffill,
-    "events_stream_join": q_events_stream_join,
-    "doc_token_stats": q_doc_token_stats,
-    "doc_lang_id": q_doc_lang_id,
-    "doc_quality": q_doc_quality,
-    "doc_fingerprint": q_doc_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
+    # -- (a) round-3 implementation changes --
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "emb_cosine_topk": q_emb_cosine_topk,
-    "emb_cosine_topk_np": q_emb_cosine_topk_np,
-    "emb_ann_lsh": q_emb_ann_lsh,
-    "emb_ivf_topk": q_emb_ivf_topk,
-    "dedup_emb_cosine": q_dedup_emb_cosine,
-    "events_stream_sessionize": q_events_stream_sessionize,
-    "events_stream_stateful": q_events_stream_stateful,
-    "emb_centroids": q_emb_centroids,
-    "mm_media_meta": q_mm_media_meta,
-    "mm_decode_meta": q_mm_decode_meta,
-    "ml_train_rmse": q_ml_train_rmse,
-    "ml_score_topk": q_ml_score_topk,
-    "events_asof_join": q_events_asof_join,
-    "events_range_join": q_events_range_join,
-    "tpch_q3_shipping": q_tpch_q3_shipping,
-    "tpch_q5_regional": q_tpch_q5_regional,
-    "doc_quality_flags": q_doc_quality_flags,
-    "doc_repetition": q_doc_repetition,
-    "doc_pii_redact": q_doc_pii_redact,
-    "corpus_hash_split": q_corpus_hash_split,
     "corpus_token_budget": q_corpus_token_budget,
+    "corpus_interleave": q_corpus_interleave,
+    "ml_score_topk": q_ml_score_topk,
+    "doc_array_funcs": q_doc_array_funcs,
+    "corpus_contamination": q_corpus_contamination,
+    # -- (b) round-2 additions, never driver-checked --
     "dedup_clusters": q_dedup_clusters,
     "pricing_rollup": q_pricing_rollup,
     "customer_semi_anti": q_customer_semi_anti,
@@ -3562,11 +3529,8 @@ QUERIES = {
     "orders_window_funcs": q_orders_window_funcs,
     "lineitem_moving_sum": q_lineitem_moving_sum,
     "orders_date_funcs": q_orders_date_funcs,
-    "doc_array_funcs": q_doc_array_funcs,
     "corpus_stratified_sample": q_corpus_stratified_sample,
-    "corpus_interleave": q_corpus_interleave,
     "corpus_keep_best": q_corpus_keep_best,
-    "corpus_contamination": q_corpus_contamination,
     "lineitem_percentiles": q_lineitem_percentiles,
     "pricing_grouping_sets": q_pricing_grouping_sets,
     "events_hourly_heatmap": q_events_hourly_heatmap,
@@ -3579,4 +3543,52 @@ QUERIES = {
     "lineitem_yearly_growth": q_lineitem_yearly_growth,
     "events_trimmed_mean": q_events_trimmed_mean,
     "pysource_scan": q_pysource_scan,
+    # -- green in CORRECTNESS_r02.json (rotate forward as needed) --
+    "rank_normalized": q_rank_normalized,
+    "feature_pivot": q_feature_pivot,
+    "feature_unpivot": q_feature_unpivot,
+    "customer_balance_merge": q_customer_balance_merge,
+    "exists_filter": q_exists_filter,
+    "predictions_fold": q_predictions_fold,
+    "ingest_join": q_ingest_join,
+    "pricing_summary": q_pricing_summary,
+    "pricing_summary_sql": q_pricing_summary_sql,
+    "count_by_site": q_count_by_site,
+    "distinct_sites": q_distinct_sites,
+    "suffix_filter_rewrite": q_suffix_filter_rewrite,
+    "topk_per_group": q_topk_per_group,
+    "median_crossing": q_median_crossing,
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_sessionize": q_events_sessionize,
+    "events_stream_tumbling": q_events_stream_tumbling,
+    "events_resample_ffill": q_events_resample_ffill,
+    "events_stream_join": q_events_stream_join,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_cosine_topk_np": q_emb_cosine_topk_np,
+    "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "dedup_emb_cosine": q_dedup_emb_cosine,
+    "events_stream_sessionize": q_events_stream_sessionize,
+    "events_stream_stateful": q_events_stream_stateful,
+    "emb_centroids": q_emb_centroids,
+    "mm_media_meta": q_mm_media_meta,
+    "mm_decode_meta": q_mm_decode_meta,
+    "ml_train_rmse": q_ml_train_rmse,
+    "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_regional": q_tpch_q5_regional,
+    "doc_quality_flags": q_doc_quality_flags,
+    "doc_repetition": q_doc_repetition,
+    "doc_pii_redact": q_doc_pii_redact,
+    "corpus_hash_split": q_corpus_hash_split,
 }
