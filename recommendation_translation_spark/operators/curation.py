@@ -182,22 +182,31 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
     The running sum is the two-pass range-partitioned formulation
     (operators.ordering) — identical values to a global running-sum
     window, but with no ``Exchange SinglePartition`` in the plan, so
-    the sort parallelizes at any corpus size.  The first document is
-    always kept (a budget below the best document's length yields that
-    one document, not zero).
+    the sort parallelizes at any corpus size.  The ordering pass runs
+    over a NARROW (id, quality, n_tokens) projection — the document
+    bodies never enter the range shuffle or its checkpoint — and the
+    budget-bounded keep set is joined back onto the corpus (AQE
+    broadcasts it when small).  The first document is always kept (a
+    budget below the best document's length yields that one document,
+    not zero).
     """
     from .ordering import range_partitioned_running_sum
 
-    out = range_partitioned_running_sum(
-        df,
+    narrow = df.select(id_col, quality_col, tokens_col)
+    ranked = range_partitioned_running_sum(
+        narrow,
         [F.col(quality_col).desc(), F.col(id_col)],
         tokens_col,
         out_col="running_tokens",
     )
-    return out.filter(
+    sel = ranked.filter(
         (F.col("running_tokens") <= budget_tokens)
         | (F.col("running_tokens") == F.col(tokens_col))  # first doc
     )
+    # quality/token columns come from the checkpointed selection, so the
+    # corpus side contributes only its remaining columns — a caller that
+    # projects narrow columns never recomputes the quality lineage.
+    return df.drop(quality_col, tokens_col).join(sel, id_col)
 
 
 def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
@@ -310,12 +319,13 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
     SCALE = 720720 merely keeps positions well-spread; it is divisible
     by every weight ≤ 16 but exactness never depends on that).
 
-    Both orderings are the two-pass range-partitioned formulation
-    (operators.ordering): the per-source rank restarts per source
-    (``group_cols``) instead of funnelling each source through one
-    window reducer, and the final mix_rank replaces the global
-    ``row_number`` window — no ``Exchange SinglePartition`` anywhere
-    in the plan, so the operator parallelizes at any corpus size."""
+    The per-source rank is a source-partitioned window (parallel
+    across sources; for a single pathologically dominant source, the
+    grouped two-pass in operators.ordering computes the same rank with
+    ``group_cols=[source]``).  The global mix_rank — the part that was
+    a single-reducer ``Window.orderBy`` — is the two-pass
+    range-partitioned formulation: no ``Exchange SinglePartition``
+    anywhere in the plan."""
     from .ordering import range_partitioned_row_number
 
     scale = 720720
@@ -324,15 +334,12 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
         if not (isinstance(v, int) and v > 0):
             raise ValueError(f"weights must be positive integers, got {k}={v!r}")
         weight = F.when(F.col(source_col) == k, F.lit(v)).otherwise(weight)
-    ranked = range_partitioned_row_number(
-        df, [F.col(id_col)], out_col="_src_rn", group_cols=[source_col]
-    )
+    rn = F.row_number().over(Window.partitionBy(source_col).orderBy(id_col))
     out = (
-        ranked.withColumn("_w", weight)
-        .withColumn(
-            "vpos", F.expr(f"(CAST(_src_rn AS BIGINT) - 1) * {scale} div _w")
-        )
-        .drop("_src_rn", "_w")
+        df.withColumn("_w", weight)
+        .withColumn("_rn", rn)
+        .withColumn("vpos", F.expr(f"(CAST(_rn AS BIGINT) - 1) * {scale} div _w"))
+        .drop("_rn", "_w")
     )
     return range_partitioned_row_number(
         out,

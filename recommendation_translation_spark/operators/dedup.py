@@ -295,7 +295,11 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
             key = (blocks[i] * F.lit(1 << widths[j]) + blocks[j]).cast("long")
             bands.append(F.struct(F.lit(band_id).alias("band"), key.alias("key")))
             band_id += 1
-    s = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    # materialize the signatures once — the self-join references them on
+    # both sides, and without lineage truncation the 32-aggregate
+    # simhash computation (the expensive part) would run twice.  The
+    # signature frame is (id, 8-byte hash): tiny next to the corpus.
+    s = simhash(df, bits=bits, text_col=text_col, id_col=id_col).localCheckpoint()
     stacked = s.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "simhash", "b.band", "b.key")

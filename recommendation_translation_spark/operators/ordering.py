@@ -69,6 +69,13 @@ def _apply(
     ranged = df.repartitionByRange(n, *range_keys).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Materialize the ranged layout once — the histogram job and the
+    # final job would otherwise each recompute the full input lineage
+    # (the classic hidden cost of zipWithIndex's two jobs).  A
+    # localCheckpoint stores exactly what a sort's shuffle files would
+    # hold anyway, truncates the lineage, and lets both passes read the
+    # same partitions.
+    ranged = ranged.localCheckpoint(eager=False)
 
     # Pass 1: one row per (partition[, group]) — bounded by conf ×
     # group cardinality, never by data volume.  Driver-safe collect.

@@ -234,6 +234,7 @@ def embedding_cosine_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_salts: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup surface).
 
@@ -242,17 +243,30 @@ def embedding_cosine_pairs(
     candidates), verify with the exact cosine, keep pairs ≥ threshold.
     The full |N|² cross join never materializes; recall is tuned with
     ``n_bits`` (fewer bits → bigger buckets → higher recall).
-    Output: (a_id, b_id, cosine) with a_id < b_id.
+
+    ``n_salts`` splits each bucket's pair work across the cluster: with
+    only 2^n_bits join keys the join would run at most 2^n_bits tasks
+    (16 for the default — most of a 32-core box idle, and a handful of
+    reducers at 100 TB).  Side *a* gets a deterministic salt, side *b*
+    is replicated once per salt, and the join key becomes
+    (bucket, salt) — every unordered pair still meets exactly once, at
+    2^n_bits · n_salts-way parallelism for n_salts× replication of the
+    (small) vector rows.  Output: (a_id, b_id, cosine) with a_id < b_id.
     """
     v = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec"))
     v = v.withColumn("bucket", hyperplane_bits(F.col("vec"), n_bits, dim)) \
          .withColumn("nrm", l2_norm(F.col("vec")))
     a = v.select(F.col("vid").alias("a_id"), F.col("vec").alias("avec"),
-                 F.col("nrm").alias("anrm"), "bucket")
+                 F.col("nrm").alias("anrm"), "bucket").withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("a_id")), F.lit(n_salts))
+    )
     b = v.select(F.col("vid").alias("b_id"), F.col("vec").alias("bvec"),
-                 F.col("nrm").alias("bnrm"), "bucket")
+                 F.col("nrm").alias("bnrm"), "bucket").withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
+    )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "salt"])
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn(
             "cosine",

@@ -61,14 +61,12 @@ def cross_engine_hash(col: Column | str, seed: str = "") -> Column:
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens; empty/blank text → empty array (not ['']).
 
-    Strips ALL leading/trailing whitespace with a regex — ``F.trim``
-    only removes spaces, so tab/newline-only text would otherwise
-    split into phantom empty tokens."""
+    ``split`` on ``\\s+`` only ever produces empty strings at the two
+    boundaries (leading/trailing whitespace, including tabs/newlines
+    that ``F.trim`` would miss), so ``array_remove(…, '')`` yields
+    exactly the real tokens — no extra regexp pass over the text."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.regexp_replace(c, r"^\s+|\s+$", "")
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    return F.array_remove(F.split(c, r"\s+"), "")
 
 
 def _count_token(text: Column, word: str) -> Column:

@@ -607,17 +607,34 @@ def q_ml_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 + J2 — score the full candidate set per target site, rank
     missing-items-first (exists asc, score desc, id), keep the top 10.
 
-    Items MISSING on the target site (the reference's scoring set,
-    ScorePredictor.scala:22-34) outrank existing ones, so wherever ≥10
-    items are missing this equals the reference's "top-10 missing by
-    score"; at scale factors whose exists-matrix is dense (sf0.01: no
-    item is missing anywhere) the ranking backfills with existing items
-    instead of returning an empty frame — the driver's rows-only check
-    then still asserts a real scoring round-trip (round-2 verdict #7)."""
+    Scores the reference's scoring set — items MISSING on the target
+    site (ScorePredictor.scala:22-34) — whenever any exist.  At scale
+    factors whose exists-matrix is dense (sf0.01: no item is missing
+    anywhere) the reference semantics yield an empty frame, which made
+    the driver's rows-only check vacuous (round-2 verdict #7); there we
+    fall back to ranking the full candidate set so a real train→score
+    round-trip is always asserted.  The branch is one count on the
+    already-cached feature matrix, so the common sparse case costs
+    exactly the reference path."""
     from .pipeline.score import score_items
+    from .schemas import NOT_EXISTS
 
     feats, models = _trained(spark, sf_dir)
-    scored = score_items(feats, models, parallelism=3, exists=None)
+    any_missing = (
+        feats.filter(
+            sum(
+                (F.col(f"exists_{s}") == NOT_EXISTS).cast("int")
+                for s in models
+            )
+            > 0
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+    scored = score_items(
+        feats, models, parallelism=3, exists=False if any_missing else None
+    )
     frames = []
     for site, df in scored.items():
         flag = feats.select("id", F.col(f"exists_{site}").alias("exists_flag"))
@@ -3490,6 +3507,9 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,
+    # train precedes score so the memoized models are attributed to the
+    # training query in bench timings (they share _trained's cache)
+    "ml_train_rmse": q_ml_train_rmse,
     "ml_score_topk": q_ml_score_topk,
     "doc_array_funcs": q_doc_array_funcs,
     "corpus_contamination": q_corpus_contamination,
@@ -3582,7 +3602,6 @@ QUERIES = {
     "emb_centroids": q_emb_centroids,
     "mm_media_meta": q_mm_media_meta,
     "mm_decode_meta": q_mm_decode_meta,
-    "ml_train_rmse": q_ml_train_rmse,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "tpch_q3_shipping": q_tpch_q3_shipping,
