@@ -41,6 +41,9 @@ __all__ = [
     "keep_best_per_pair",
     "doc_ngrams",
     "ngram_contamination",
+    "pack_sequences",
+    "source_quota",
+    "corpus_profile",
     "EMAIL_RE",
     "PHONE_RE",
 ]
@@ -382,6 +385,88 @@ def keep_best_per_pair(docs: DataFrame, pairs: DataFrame,
     )
     return docs.join(
         F.broadcast(dominated), docs[id_col] == dominated["dom_id"], "left_anti"
+    )
+
+
+def pack_sequences(df: DataFrame, seq_len: int, tokens_col: str = "n_tokens",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Contiguous-fill sequence packing: concatenate documents in id
+    order and chop the token stream into fixed ``seq_len`` training
+    sequences (the standard "concat-and-chunk" pretraining layout —
+    documents may straddle a boundary; the tokenizer's EOS handles the
+    joins).
+
+    Emits per document: ``pack_id`` (the sequence its first token lands
+    in), ``pack_offset`` (position of that token within the sequence),
+    and ``n_spanned`` (how many sequences the document touches) — enough
+    for a writer to route each document's token slices to shards.
+
+    The global token offset is a running sum over the id ordering,
+    computed with the two-pass range-partitioned formulation
+    (operators.ordering): no single-reducer window, so the packing plan
+    is the same shape at 5 k docs and at 100 TB."""
+    from .ordering import range_partitioned_running_sum
+
+    out = range_partitioned_running_sum(
+        df, [F.col(id_col)], tokens_col, out_col="_run"
+    )
+    # integer `div`, not float-division-and-cast: token offsets reach
+    # ~10^14 at 100 TB where double rounding could misplace a boundary
+    out = out.withColumn("_start", F.col("_run") - F.col(tokens_col)).withColumn(
+        "_end", F.col("_run") - F.lit(1)  # inclusive index of the last token
+    )
+    return (
+        out.withColumn("pack_id", F.expr(f"_start div {int(seq_len)}"))
+        .withColumn("pack_offset", F.pmod("_start", F.lit(int(seq_len))).cast("long"))
+        .withColumn(
+            "n_spanned",
+            F.when(F.col(tokens_col) <= 0, F.lit(0).cast("long")).otherwise(
+                F.expr(f"(_end div {int(seq_len)}) - (_start div {int(seq_len)}) + 1")
+            ),
+        )
+        .drop("_run", "_start", "_end")
+    )
+
+
+def source_quota(df: DataFrame, per_source: int, quality_col: str,
+                 source_col: str = "source", id_col: str = "doc_id") -> DataFrame:
+    """Per-source quota cap: keep at most ``per_source`` documents per
+    source, best-quality first (id tie-break) — the "no source may
+    dominate the mix" guard of a data-mixing pipeline.
+
+    One partitioned window (parallel across sources), filter pushed
+    into the same stage; adds ``source_rank`` for downstream mixing."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("source_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("source_rank") <= per_source)
+    )
+
+
+def corpus_profile(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source", lang_col: str = "lang") -> DataFrame:
+    """Per-group corpus profile: doc counts, byte/token volume, length
+    moments, and distinct-language counts — the dataset card a curation
+    run prints before and after each stage.
+
+    ONE aggregation pass (every metric is an agg expression over the
+    same groupBy — no per-metric jobs), shuffling only the group key."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(t)).cast("long").alias("total_chars"),
+            F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+            F.min(F.length(t)).cast("long").alias("min_chars"),
+            F.max(F.length(t)).cast("long").alias("max_chars"),
+            F.round(F.avg(F.length(t)), 4).alias("avg_chars"),
+            F.count_distinct(F.col(lang_col)).alias("n_langs"),
+            F.sum(F.when(F.length(t) == 0, 1).otherwise(0)).cast("long").alias("n_empty"),
+        )
     )
 
 

@@ -3493,6 +3493,114 @@ ORACLES["tpch_q2_min_cost"] = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 additions: sequence packing, per-source quota, corpus profile,
+# string-function breadth (operators.curation / function surface)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing into 512-token training
+    sequences (operators.curation.pack_sequences; two-pass partitioned
+    running sum — no single-reducer window)."""
+    from .operators.curation import pack_sequences
+    from .operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(_tokens(F.col("text"))).cast("long")
+    narrow = docs.select("doc_id", toks.alias("n_tokens"))
+    out = pack_sequences(narrow, seq_len=512)
+    return out.select("doc_id", "n_tokens", "pack_id", "pack_offset", "n_spanned")
+
+
+def q_corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (≤ 50 docs per source, longest-text-first) —
+    the anti-domination guard of a data-mixing pipeline."""
+    from .operators.curation import source_quota
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("q_len")
+    )
+    return source_quota(docs, per_source=50, quality_col="q_len")
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: doc counts, char/token volume, length
+    bounds, language spread — ONE aggregation pass."""
+    from .operators.curation import corpus_profile
+
+    return corpus_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth over documents: reverse/substring, pad,
+    repeat, position, translate, levenshtein — all native Column
+    expressions with engine-identical semantics (function surface)."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.reverse(F.substring(low, 1, 16)).alias("rev16"),
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.repeat(F.col("lang"), 2).alias("lang_rep"),
+        F.instr(low, "the").cast("long").alias("pos_the"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_tr"),
+        F.levenshtein("lang", "source").cast("long").alias("lev_ls"),
+    )
+
+
+ORACLES["corpus_pack_sequences"] = f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    r AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS run
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CAST((run - n_tokens) // 512 AS BIGINT) AS pack_id,
+           CAST((run - n_tokens) % 512 AS BIGINT) AS pack_offset,
+           CAST(CASE WHEN n_tokens <= 0 THEN 0
+                     ELSE ((run - 1) // 512) - ((run - n_tokens) // 512) + 1
+                END AS BIGINT) AS n_spanned
+    FROM r
+"""
+
+ORACLES["corpus_source_quota"] = """
+    SELECT doc_id, source, q_len, source_rank FROM (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS q_len,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY length(text) DESC, doc_id)
+                  AS BIGINT) AS source_rank
+      FROM documents)
+    WHERE source_rank <= 50
+"""
+
+ORACLES["corpus_profile"] = f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+           CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+           ROUND(AVG(length(text)), 4) AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty
+    FROM documents GROUP BY source
+"""
+
+ORACLES["doc_string_funcs"] = """
+    SELECT doc_id,
+           reverse(substr(lower(text), 1, 16)) AS rev16,
+           lpad(lang, 5, '_') AS lang_pad,
+           repeat(lang, 2) AS lang_rep,
+           CAST(instr(lower(text), 'the') AS BIGINT) AS pos_the,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+           CAST(levenshtein(lang, source) AS BIGINT) AS lev_ls
+    FROM documents
+"""
+
+
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
 # round-by-round (round-2 verdict #3).  Front of the dict this round:
@@ -3503,7 +3611,11 @@ ORACLES["tpch_q2_min_cost"] = """
 # is always verified locally by tests/test_oracle_parity.py regardless
 # of position.
 QUERIES = {
-    # -- (a) round-3 implementation changes --
+    # -- (a) new in round 3 / implementation changed in round 3 --
+    "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_source_quota": q_corpus_source_quota,
+    "corpus_profile": q_corpus_profile,
+    "doc_string_funcs": q_doc_string_funcs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,

@@ -634,3 +634,24 @@ def test_token_budget_no_single_partition_exchange(spark):
     # formulation: never a single-reducer sort
     df = QUERIES["corpus_token_budget"](spark, SF_SMALL)
     assert "SinglePartition" not in physical_plan(df)
+
+
+def test_pack_sequences_no_single_partition_exchange(spark):
+    # global token offsets via the two-pass range-partitioned running
+    # sum — packing must not funnel the corpus through one reducer
+    df = QUERIES["corpus_pack_sequences"](spark, SF_SMALL)
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_source_quota_partitioned_window(spark):
+    # one partitioned window; the quota filter rides the same stage
+    df = QUERIES["corpus_source_quota"](spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 1
+
+
+def test_corpus_profile_single_aggregation(spark):
+    # every profile metric is an agg expression over ONE groupBy pass
+    df = QUERIES["corpus_profile"](spark, SF_SMALL)
+    assert count_exchanges(df) <= 2  # partial agg + distinct-lang expand
