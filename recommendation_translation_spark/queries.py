@@ -3549,6 +3549,91 @@ def q_doc_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-20 documents for the query {join, scan,
+    vector} (k1=1.2, b=0.75) — the ranked-retrieval shape over the
+    inverted-index aggregates (tf ⋈ df ⋈ doc-length ⋈ corpus scalars).
+
+    All-integer fixed point, bit-exact cross-engine: the k1/b fractions
+    clear to ``44·tf·T div (20·tf·T + 6·T + 18·dl·N)`` (×10³) and idf
+    uses the exact rational ``(2(N−df)+1)·10⁶ div (2·df+1)`` instead of
+    its log — per-term ranking is identical (log is monotone) and no
+    libm call enters the plan; swap the log form in production if score
+    VALUES matter.  The factors stay < 2²⁶³ for corpora ≤ ~10⁹ docs ×
+    10³ tokens (docstring bound, checked in the derivation).  Global
+    top-k compiles to TakeOrderedAndProject — per-partition heaps, no
+    global sort."""
+    from .operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["join", "scan", "vector"]
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tot = dl.agg(
+        F.sum("dl").cast("long").alias("t_tokens"), F.count("*").alias("n_docs")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "idf_e6", F.expr("(((n_docs - df) * 2 + 1) * 1000000) div (2 * df + 1)")
+        )
+        .withColumn(
+            "tfc_e3",
+            F.expr(
+                "(44 * tf * t_tokens * 1000) div "
+                "(20 * tf * t_tokens + 6 * t_tokens + 18 * dl * n_docs)"
+            ),
+        )
+        .withColumn("score_e6", F.expr("(idf_e6 * tfc_e3) div 1000"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("score_e6").cast("long").alias("bm25_e6"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("bm25_e6").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+ORACLES["doc_bm25_topk"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ('join', 'scan', 'vector') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens, COUNT(*) AS n_docs
+            FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             (((n_docs - df) * 2 + 1) * 1000000) // (2 * df + 1) AS idf_e6,
+             (44 * tf * t_tokens * 1000)
+               // (20 * tf * t_tokens + 6 * t_tokens + 18 * dl.dl * n_docs)
+               AS tfc_e3
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN dfreq ON tf.term = dfreq.term
+      CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(SUM((idf_e6 * tfc_e3) // 1000) AS BIGINT) AS bm25_e6,
+           COUNT(*) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_e6 DESC, doc_id
+    LIMIT 20
+"""
+
+
 ORACLES["corpus_pack_sequences"] = f"""
     WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                FROM documents),
@@ -3616,6 +3701,7 @@ QUERIES = {
     "corpus_source_quota": q_corpus_source_quota,
     "corpus_profile": q_corpus_profile,
     "doc_string_funcs": q_doc_string_funcs,
+    "doc_bm25_topk": q_doc_bm25_topk,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,

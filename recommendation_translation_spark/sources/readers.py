@@ -32,6 +32,7 @@ __all__ = [
     "read_pageview_sql",
     "read_parsed_parquet",
     "read_features_parquet",
+    "read_jsonl",
     "load_testdata",
     "TESTDATA_TABLES",
 ]
@@ -151,6 +152,22 @@ def read_parsed_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_features_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S7 — wide feature-matrix parquet.  FeatureExtractor.scala:30."""
     return spark.read.parquet(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None,
+               drop_malformed: bool = True) -> DataFrame:
+    """JSON-lines source (the interchange format of most LLM-data
+    tooling).  Pass an explicit ``schema`` in production — schema
+    inference costs a full extra pass over the files, exactly like
+    ``inferSchema`` on the TSV sources; ``drop_malformed`` mirrors the
+    reference's DROPMALFORMED ingest posture (bad lines are dropped,
+    not failed).  Extension surface; no reference counterpart."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if drop_malformed:
+        reader = reader.option("mode", "DROPMALFORMED")
+    return reader.json(path)
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,7 +12,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet", "write_predictions_csv", "write_bucketed_table"]
+__all__ = [
+    "write_parquet",
+    "write_predictions_csv",
+    "write_bucketed_table",
+    "write_jsonl",
+    "merge_upsert_parquet",
+    "read_current_version",
+]
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "errorifexists",
@@ -59,3 +66,65 @@ def write_predictions_csv(df: DataFrame, path: str, mode: str = "errorifexists")
         .option("compression", "bzip2")
         .csv(path)
     )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "errorifexists",
+                compression: str | None = "gzip",
+                partition_by: list[str] | None = None) -> None:
+    """JSON-lines sink — the interchange format most LLM-data tooling
+    speaks.  One JSON object per line, gzip by default (splittable
+    alternatives like zstd are a config away on a real cluster).  No
+    counterpart in the reference (its sinks are parquet/CSV); extension
+    surface for corpus export."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def merge_upsert_parquet(spark, target_path: str, updates: DataFrame,
+                         key_cols: list[str]) -> None:
+    """MERGE/upsert into a parquet directory: rows in ``updates`` replace
+    target rows with the same key; new keys append (the WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT core of SQL MERGE).
+
+    Parquet has no transaction log, so atomicity comes from the
+    version-directory protocol every lakehouse format refines: write the
+    merged snapshot to ``<target>/_v<next>`` and flip the ``_CURRENT``
+    pointer file last (a one-file replace — readers resolve the pointer,
+    so they see the old or the new version, never a mix).  The merge
+    itself is one anti-join + union — target rows never shuffle wider
+    than the key compare.  On a real deployment use an actual
+    transactional table format; this sink exists so the relational MERGE
+    (customer_balance_merge) has a durable storage counterpart."""
+    import os
+
+    os.makedirs(target_path, exist_ok=True)
+    pointer = os.path.join(target_path, "_CURRENT")
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            current = fh.read().strip()
+        version = int(current.rsplit("_v", 1)[1])
+        base = spark.read.parquet(os.path.join(target_path, current))
+        kept = base.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(updates)
+    else:
+        version = 0
+        merged = updates
+    new_dir = f"_v{version + 1}"
+    merged.write.mode("errorifexists").parquet(os.path.join(target_path, new_dir))
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(new_dir)
+    os.replace(tmp, pointer)  # atomic pointer flip
+
+
+def read_current_version(spark, target_path: str) -> DataFrame:
+    """Resolve the ``_CURRENT`` pointer written by
+    :func:`merge_upsert_parquet` and read that snapshot."""
+    import os
+
+    with open(os.path.join(target_path, "_CURRENT")) as fh:
+        return spark.read.parquet(os.path.join(target_path, fh.read().strip()))

@@ -283,3 +283,61 @@ def test_golden_predictions(spark, golden_run):
     ids = [r[0] for r in body]
     # enwiki holds all 23 items but de/fr have holes -> someone scores
     assert len(ids) == len(set(ids)) and len(ids) > 0
+
+
+# ---------------------------------------------------------------------------
+# round-3 source/sink surface: JSONL round-trip, versioned MERGE/upsert
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.sources.readers import read_jsonl
+    from recommendation_translation_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0), (3, "gämma", 0.0)],
+        "id long, name string, score double",
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema="id long, name string, score double")
+    assert {(r.id, r.name, r.score) for r in back.collect()} == {
+        (r.id, r.name, r.score) for r in df.collect()
+    }
+    # malformed lines drop, not fail (DROPMALFORMED ingest posture)
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"id": 1, "name": "ok", "score": 1.0}\n{not json at all\n'
+    )
+    got = read_jsonl(spark, str(bad), schema="id long, name string, score double")
+    assert [r.id for r in got.collect()] == [1]
+
+
+def test_merge_upsert_parquet_versions(spark, tmp_path):
+    from recommendation_translation_spark.sources.writers import (
+        merge_upsert_parquet,
+        read_current_version,
+    )
+
+    target = str(tmp_path / "acct")
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    merge_upsert_parquet(spark, target, v1, ["k"])
+    assert {(r.k, r.v) for r in read_current_version(spark, target).collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+    # matched keys update, unmatched insert — the MERGE contract
+    upd = spark.createDataFrame([(2, 99.0), (4, 40.0)], "k long, v double")
+    merge_upsert_parquet(spark, target, upd, ["k"])
+    assert {(r.k, r.v) for r in read_current_version(spark, target).collect()} == {
+        (1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)
+    }
+    # the previous snapshot is still intact (pointer flip, not rewrite)
+    import os
+
+    assert os.path.isdir(os.path.join(target, "_v1"))
+    assert open(os.path.join(target, "_CURRENT")).read().strip() == "_v2"
