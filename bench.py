@@ -38,6 +38,24 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    # ... and the dominant PLAN SHAPES (whole-stage-codegen compilation
+    # is per-shape): hash agg, window, explode+agg, and a shuffle join.
+    from pyspark.sql import Window, functions as F  # noqa: E402
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.groupBy("l_returnflag").agg(F.sum("l_quantity")).count()
+    li.limit(50_000).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+        ),
+    ).count()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(200)
+    docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w")).groupBy(
+        "w"
+    ).count().count()
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li.limit(50_000).join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
 
     qmap = entry_mod.queries()
     only = sys.argv[1:]  # optional subset: bench.py q1 q2 ...

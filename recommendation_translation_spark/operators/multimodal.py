@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
+    "best_decoder",
     "decode_image_meta",
     "fake_decode_image",
     "real_decode_image",
@@ -95,6 +96,19 @@ def real_decode_image(payload: bytes) -> tuple[int, int, str]:
 
     img = Image.open(io.BytesIO(payload))
     return img.width, img.height, img.mode
+
+
+def best_decoder() -> Callable[[bytes], tuple[int, int, str]]:
+    """The strongest decoder the environment supports: PIL-backed when
+    Pillow is importable, the deterministic stand-in otherwise.  Checked
+    ONCE on the driver — the chosen function ships to executors in the
+    mapInPandas closure, so workers never re-probe imports per batch."""
+    try:
+        import PIL  # noqa: F401
+
+        return real_decode_image
+    except ImportError:
+        return fake_decode_image
 
 
 DECODE_OUT_SCHEMA = (

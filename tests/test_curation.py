@@ -108,3 +108,27 @@ def test_doc_array_funcs_blank_and_empty_docs(spark, tmp_path):
         con.sql(ORACLES["doc_array_funcs"]),
     )
     assert ok, msg
+
+
+def test_best_decoder_selects_available_path(spark):
+    # no Pillow in this container -> deterministic stand-in; with PIL
+    # installed the same call sites get the real decode transparently
+    from recommendation_translation_spark.operators.multimodal import (
+        attach_fake_media,
+        best_decoder,
+        decode_image_meta,
+        fake_decode_image,
+        real_decode_image,
+    )
+
+    dec = best_decoder()
+    try:
+        import PIL  # noqa: F401
+
+        assert dec is real_decode_image
+    except ImportError:
+        assert dec is fake_decode_image
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = decode_image_meta(attach_fake_media(docs), decoder=dec).collect()
+    assert len(out) == 1 and out[0].width > 0 and out[0].height > 0

@@ -255,3 +255,31 @@ def test_simhash_pairs_complete_vs_brute_force(spark, texts, k):
     got = {(r.a_id, r.b_id, r.hamming)
            for r in simhash_pairs(df, max_hamming=k).collect()}
     assert got == want
+
+
+@SETTINGS
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=900), min_size=1,
+                  max_size=50),
+    seq_len=st.sampled_from([64, 512, 1000]),
+)
+def test_pack_sequences_invariants(spark, toks, seq_len):
+    # packing must tile the concatenated token stream exactly: offsets
+    # within bounds, pack ids monotone in doc order, spans consistent
+    # with each document's length, stream coverage gap-free
+    from recommendation_translation_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(pack_sequences(df, seq_len).collect(), key=lambda r: r.doc_id)
+    offset = 0
+    for r in rows:
+        assert r.pack_id == offset // seq_len
+        assert r.pack_offset == offset % seq_len
+        if r.n_tokens == 0:
+            assert r.n_spanned == 0
+        else:
+            end = offset + r.n_tokens - 1
+            assert r.n_spanned == end // seq_len - offset // seq_len + 1
+        offset += r.n_tokens
