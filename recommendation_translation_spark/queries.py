@@ -3559,31 +3559,41 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the exact rational ``(2(N−df)+1)·10⁶ div (2·df+1)`` instead of
     its log — per-term ranking is identical (log is monotone) and no
     libm call enters the plan; swap the log form in production if score
-    VALUES matter.  The factors stay < 2²⁶³ for corpora ≤ ~10⁹ docs ×
-    10³ tokens (docstring bound, checked in the derivation).  Global
-    top-k compiles to TakeOrderedAndProject — per-partition heaps, no
-    global sort."""
+    VALUES matter.  The factors stay < 2⁶³ for corpora ≤ ~10⁹ docs ×
+    10³ tokens (docstring bound, checked in the derivation).
+
+    Plan shape: the token stream is NEVER exploded — per-term tf and
+    the document length are array expressions on the scan (a bounded
+    query has bounded tf columns), unpivoted with ``stack``.  The only
+    aggregates are the two tiny broadcast scalars (df per query term,
+    corpus totals) and the per-doc score sum; global top-k compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
     from .operators.text import tokens as _tokens
 
     docs = _t(spark, sf_dir, "documents")
     terms = ["join", "scan", "vector"]
-    par = spark.sparkContext.defaultParallelism
-    tok = docs.repartition(par).select(
-        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    base = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter("toks", (lambda term: lambda x: x == term)(t)))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = (
-        tok.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    stack_expr = "stack({}, {}) AS (term, tf)".format(
+        len(terms), ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms))
     )
+    tf = base.selectExpr("doc_id", "dl", stack_expr).filter(F.col("tf") > 0)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    tot = dl.agg(
+    tot = base.agg(
         F.sum("dl").cast("long").alias("t_tokens"), F.count("*").alias("n_docs")
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "idf_e6", F.expr("(((n_docs - df) * 2 + 1) * 1000000) div (2 * df + 1)")
@@ -3610,7 +3620,7 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["doc_bm25_topk"] = f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    dl AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
            WHERE term IN ('join', 'scan', 'vector') GROUP BY doc_id, term),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),

@@ -655,3 +655,17 @@ def test_corpus_profile_single_aggregation(spark):
     # every profile metric is an agg expression over ONE groupBy pass
     df = QUERIES["corpus_profile"](spark, SF_SMALL)
     assert count_exchanges(df) <= 2  # partial agg + distinct-lang expand
+
+
+def test_bm25_no_token_explode_and_take_ordered(spark):
+    # tf/dl are array expressions on the scan (stack expands 3 rows per
+    # doc, never |tokens|); top-k is per-partition heaps, no global
+    # sort.  (The one SinglePartition exchange in this plan is the
+    # bounded 1-row corpus-totals scalar — not a data-sized sort.)
+    df = QUERIES["doc_bm25_topk"](spark, SF_SMALL)
+    simple = physical_plan(df, mode="simple")
+    assert "TakeOrderedAndProject" in simple
+    # explode-free: the only generators are 3-rows-per-doc stacks (one
+    # per reference to the tf frame — df side and score side)
+    assert simple.count("Generate") <= 2 and "explode" not in simple
+    assert count_exchanges(df) <= 5
