@@ -3644,6 +3644,129 @@ ORACLES["doc_bm25_topk"] = f"""
 """
 
 
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup in ONE pass: per (type, day),
+    per (type) and grand totals via GROUPING SETS over date_trunc —
+    Catalyst expands to a single Expand + hash aggregate, not three
+    scans (the OLAP time-dimension companion of pricing_rollup)."""
+    ev = read_events(spark, sf_dir)
+    day = F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+    base = ev.select(F.col("event_type"), day, F.col("value"))
+    rolled = base.rollup("event_type", "day_us").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return rolled.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("day_us", F.lit(-1)).cast("long").alias("day_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of extended price — the profiling
+    shape: min/max come from a 1-row broadcast scalar aggregate, bin
+    assignment is pure arithmetic on the scan, and the final count is
+    one hash aggregate on a ≤ 21-key space.  Exact integer cents avoid
+    float boundary jitter cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    base = li.select(cents.alias("c"))
+    bounds = base.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    )
+    binned = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.expr("least(((c - lo) * 20) div greatest(hi - lo + 1, 1), 19)").cast("long"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("n_rows"))
+        .select("bin", "n_rows")
+    )
+
+
+def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline summary — the per-stage dataset-card a
+    curation run prints: corpus size, distinct normalized contents,
+    exact-duplicate rows to drop, n-gram near-dup pairs, and documents
+    dominated by a better near-dup (the keep-best drop set).  One row;
+    each metric is a composition of the individually-verified stages."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.curation import keep_best_per_pair
+
+    exact = dedup_exact(docs)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    with_q = docs.withColumn("q_len", F.length("text").cast("long"))
+    kept = keep_best_per_pair(with_q, pairs, "q_len")
+    n_docs = docs.count()
+    n_contents = exact.count()
+    n_near_pairs = pairs.count()
+    n_kept = kept.count()
+    return spark.createDataFrame(
+        [(n_docs, n_contents, n_docs - n_contents, n_near_pairs, n_docs - n_kept)],
+        "n_docs long, n_distinct_contents long, n_exact_dup_rows long, "
+        "n_near_pairs long, n_dominated long",
+    )
+
+
+ORACLES["events_time_rollup"] = """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(floor(epoch(date_trunc('day', ts::TIMESTAMP)))
+                    AS BIGINT) * 1000000, -1) AS day_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts::TIMESTAMP))
+"""
+
+ORACLES["lineitem_price_histogram"] = """
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+               FROM lineitem),
+    b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c)
+    SELECT CAST(LEAST(((c - lo) * 20) // GREATEST(hi - lo + 1, 1), 19)
+                AS BIGINT) AS bin,
+           COUNT(*) AS n_rows
+    FROM c CROSS JOIN b
+    GROUP BY 1
+"""
+
+ORACLES["corpus_dedup_report"] = """
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    sh AS ({shingles}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT i.a_id, i.b_id,
+               ROUND(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS j
+        FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id)
+      WHERE j >= 0.05),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS ql FROM documents),
+    dominated AS (
+      SELECT DISTINCT e.u AS doc_id
+      FROM edges e JOIN q qu ON e.u = qu.doc_id
+                   JOIN q qv ON e.v = qv.doc_id
+      WHERE qv.ql > qu.ql OR (qv.ql = qu.ql AND e.v < e.u))
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(DISTINCT fp) FROM norm) AS n_distinct_contents,
+           (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(DISTINCT fp) FROM norm) AS n_exact_dup_rows,
+           (SELECT COUNT(*) FROM pairs) AS n_near_pairs,
+           (SELECT COUNT(*) FROM dominated) AS n_dominated
+""".format(shingles=_SHINGLES_SQL)
+
+
 ORACLES["corpus_pack_sequences"] = f"""
     WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                FROM documents),
@@ -3712,6 +3835,9 @@ QUERIES = {
     "corpus_profile": q_corpus_profile,
     "doc_string_funcs": q_doc_string_funcs,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "events_time_rollup": q_events_time_rollup,
+    "lineitem_price_histogram": q_lineitem_price_histogram,
+    "corpus_dedup_report": q_corpus_dedup_report,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,

@@ -669,3 +669,22 @@ def test_bm25_no_token_explode_and_take_ordered(spark):
     # per reference to the tf frame — df side and score side)
     assert simple.count("Generate") <= 2 and "explode" not in simple
     assert count_exchanges(df) <= 5
+
+
+def test_time_rollup_single_expand_pass(spark):
+    # ROLLUP over (type, day) = one Expand + one aggregate, not 3 scans
+    df = QUERIES["events_time_rollup"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("Expand") == 1
+    assert count_exchanges(df) <= 1
+
+
+def test_price_histogram_broadcast_bounds(spark):
+    # min/max is a 1-row broadcast scalar fold (BroadcastNestedLoopJoin
+    # of a single row, like the other scalar subqueries); bin count is
+    # one hash agg over a <=21-key space — the scan is never shuffled
+    # by value
+    df = QUERIES["lineitem_price_histogram"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert count_exchanges(df) <= 2
