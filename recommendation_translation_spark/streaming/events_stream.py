@@ -26,6 +26,8 @@ __all__ = [
     "stream_user_stats",
     "stream_dedup_counts",
     "run_stream_to_memory",
+    "stream_events_to_parquet",
+    "stream_upsert_user_totals",
 ]
 
 
@@ -255,3 +257,66 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
+
+
+def stream_events_to_parquet(spark: SparkSession, sf_dir: str,
+                             out_dir: str, checkpoint_dir: str) -> None:
+    """Durable file sink with checkpointed exactly-once semantics.
+
+    ``checkpointLocation`` records which source files each committed
+    batch consumed; a RESTART with the same checkpoint replays nothing
+    already committed, so the parquet output holds every input row
+    exactly once no matter how many times the query is re-run — the
+    recovery contract a production pipeline relies on (the memory-sink
+    harness above can't show it; this one is pinned by
+    tests/test_streaming_sinks.py with a stop/restart).
+    ``Trigger.AvailableNow`` drains the backlog and stops, the
+    incremental-batch idiom for periodic jobs."""
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_upsert_user_totals(spark: SparkSession, sf_dir: str,
+                              target_dir: str, checkpoint_dir: str) -> None:
+    """Streaming UPSERT via ``foreachBatch`` + the versioned merge sink:
+    per-user running totals are merged into a keyed parquet target on
+    every micro-batch (update mode — only users whose totals changed
+    ship to the sink).
+
+    foreachBatch is the bridge from a stream to any batch writer; with
+    an idempotent-by-key sink like merge_upsert_parquet the combination
+    is effectively exactly-once per key even under batch retries.  The
+    sink's _CURRENT pointer means readers never observe a half-written
+    merge."""
+    from ..sources.writers import merge_upsert_parquet
+
+    totals = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+    def upsert(batch_df, batch_id):
+        merge_upsert_parquet(batch_df.sparkSession, target_dir, batch_df, ["user_id"])
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,59 @@
+"""Durable streaming sinks: checkpointed exactly-once file output and
+foreachBatch upsert through the versioned merge sink (round 3).
+
+The memory-sink harness in streaming/events_stream.py proves the
+aggregation semantics; these tests pin the DELIVERY semantics — what
+happens on restart with the same checkpoint."""
+
+from __future__ import annotations
+
+from recommendation_translation_spark.sources.readers import read_events
+from recommendation_translation_spark.sources.writers import read_current_version
+from recommendation_translation_spark.streaming.events_stream import (
+    stream_events_to_parquet,
+    stream_upsert_user_totals,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_checkpointed_file_sink_exactly_once(spark, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_events_to_parquet(spark, SF_SMALL, out, ckpt)
+    n_batch = read_events(spark, SF_SMALL).count()
+    assert spark.read.parquet(out).count() == n_batch
+    # restart with the SAME checkpoint: nothing uncommitted -> no dupes
+    stream_events_to_parquet(spark, SF_SMALL, out, ckpt)
+    assert spark.read.parquet(out).count() == n_batch
+    # distinct event ids prove exactly-once, not just equal counts
+    assert spark.read.parquet(out).select("event_id").distinct().count() == n_batch
+
+
+def test_foreach_batch_upsert_totals(spark, tmp_path):
+    target, ckpt = str(tmp_path / "totals"), str(tmp_path / "ckpt")
+    stream_upsert_user_totals(spark, SF_SMALL, target, ckpt)
+    got = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in read_current_version(spark, target).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in read_events(spark, SF_SMALL)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    # a restart with the same checkpoint must not produce a new version
+    # of any key's totals (no uncommitted batches remain)
+    stream_upsert_user_totals(spark, SF_SMALL, target, ckpt)
+    got2 = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in read_current_version(spark, target).collect()
+    }
+    assert got2 == want
