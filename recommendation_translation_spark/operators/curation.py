@@ -41,6 +41,7 @@ __all__ = [
     "keep_best_per_pair",
     "doc_ngrams",
     "ngram_contamination",
+    "blocklist_filter",
     "pack_sequences",
     "source_quota",
     "corpus_profile",
@@ -385,6 +386,24 @@ def keep_best_per_pair(docs: DataFrame, pairs: DataFrame,
     )
     return docs.join(
         F.broadcast(dominated), docs[id_col] == dominated["dom_id"], "left_anti"
+    )
+
+
+def blocklist_filter(df: DataFrame, terms: list[str], text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """C4-style blocklist gate: flag documents containing any
+    blocklisted token (whole-token, case-insensitive — Raffel et al.
+    2020 §2.2's "bad words" step).  ``array_intersect`` against a
+    literal array: pure codegen, zero shuffle, the blocklist rides the
+    plan (for multi-thousand-term production lists, swap to a broadcast
+    join against a terms table — same relation).  Adds
+    ``n_blocked_terms`` (distinct blocklisted tokens present) and
+    ``blocked``; callers drop or route flagged docs."""
+    toks = tokens(F.lower(F.col(text_col)))
+    lits = F.array(*[F.lit(t.lower()) for t in terms])
+    hits = F.size(F.array_intersect(F.array_distinct(toks), lits))
+    return df.withColumn("n_blocked_terms", hits.cast("long")).withColumn(
+        "blocked", hits > 0
     )
 
 

@@ -3644,6 +3644,28 @@ ORACLES["doc_bm25_topk"] = f"""
 """
 
 
+def q_corpus_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate over documents (whole-token match) —
+    per-doc flags; zero shuffle, the list rides the plan as a literal
+    array (operators.curation.blocklist_filter)."""
+    from .operators.curation import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = blocklist_filter(docs, ["slow", "error", "big"])
+    return out.select("doc_id", "n_blocked_terms", "blocked")
+
+
+ORACLES["corpus_blocklist"] = f"""
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct({_TOKS}),
+                                   ['slow', 'error', 'big'])) AS BIGINT)
+             AS n_blocked_terms,
+           len(list_intersect(list_distinct({_TOKS}),
+                              ['slow', 'error', 'big'])) > 0 AS blocked
+    FROM documents
+"""
+
+
 def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity time rollup in ONE pass: per (type, day),
     per (type) and grand totals via GROUPING SETS over date_trunc —
@@ -3838,6 +3860,7 @@ QUERIES = {
     "events_time_rollup": q_events_time_rollup,
     "lineitem_price_histogram": q_lineitem_price_histogram,
     "corpus_dedup_report": q_corpus_dedup_report,
+    "corpus_blocklist": q_corpus_blocklist,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,
