@@ -3719,7 +3719,10 @@ def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import keep_best_per_pair
 
     exact = dedup_exact(docs)
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    # the pair set is consumed twice (its own count + the keep-best
+    # anti-join) — materialize the small relation once instead of
+    # re-running the shingle self-join per consumer
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05).localCheckpoint()
     with_q = docs.withColumn("q_len", F.length("text").cast("long"))
     kept = keep_best_per_pair(with_q, pairs, "q_len")
     n_docs = docs.count()
