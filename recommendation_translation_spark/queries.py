@@ -3847,12 +3847,18 @@ ORACLES["doc_string_funcs"] = """
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
 # round-by-round (round-2 verdict #3).  Front of the dict this round:
-# (a) queries whose implementation changed in round 3, then (b) the 52
-# queries added in round 2 that the r1/r2 windows never covered.  The
-# 50 queries green in CORRECTNESS_r02.json sit at the back; anything
-# past the window this round rotates forward next round.  The full set
-# is always verified locally by tests/test_oracle_parity.py regardless
-# of position.
+# (a) queries added or changed in round 3, then (b) round-2 additions
+# the r1/r2 windows never covered.  The 50 queries green in
+# CORRECTNESS_r02.json sit at the back.  Cumulative coverage after the
+# r3 window: 96 of 111 queries have a driver row across r2+r3; the 15
+# still pending (orders_date_funcs, corpus_stratified_sample,
+# corpus_keep_best, lineitem_percentiles, pricing_grouping_sets,
+# events_hourly_heatmap, doc_chunks_udtf, mm_frame_sample,
+# events_sketch_stats, emb_sq8_topk, events_stream_dedup,
+# doc_tfidf_topterms, lineitem_yearly_growth, events_trimmed_mean,
+# pysource_scan) rotate to the front in round 4.  The full set is
+# always verified locally by tests/test_oracle_parity.py regardless of
+# position.
 QUERIES = {
     # -- (a) new in round 3 / implementation changed in round 3 --
     "corpus_pack_sequences": q_corpus_pack_sequences,

@@ -688,3 +688,15 @@ def test_price_histogram_broadcast_bounds(spark):
     plan = physical_plan(df, mode="simple")
     assert "BroadcastNestedLoopJoin" in plan
     assert count_exchanges(df) <= 2
+
+
+def test_blocklist_zero_shuffle(spark):
+    # the blocklist rides the plan as a literal array: pure scan pass
+    df = QUERIES["corpus_blocklist"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+
+
+def test_string_funcs_zero_shuffle(spark):
+    df = QUERIES["doc_string_funcs"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+    assert_whole_stage_codegen(df)
