@@ -3713,8 +3713,13 @@ def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline summary — the per-stage dataset-card a
     curation run prints: corpus size, distinct normalized contents,
     exact-duplicate rows to drop, n-gram near-dup pairs, and documents
-    dominated by a better near-dup (the keep-best drop set).  One row;
-    each metric is a composition of the individually-verified stages."""
+    dominated by a better near-dup (the keep-best drop set).
+
+    One row, ONE lazily-built plan: each stage collapses to a 1-row
+    scalar aggregate and the scalars fold together with broadcast cross
+    joins (the decorrelated-scalar-subquery shape) — no driver-side
+    counts, so the driver/bench materializes everything in a single
+    action."""
     docs = _t(spark, sf_dir, "documents")
     from .operators.curation import keep_best_per_pair
 
@@ -3725,14 +3730,21 @@ def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05).localCheckpoint()
     with_q = docs.withColumn("q_len", F.length("text").cast("long"))
     kept = keep_best_per_pair(with_q, pairs, "q_len")
-    n_docs = docs.count()
-    n_contents = exact.count()
-    n_near_pairs = pairs.count()
-    n_kept = kept.count()
-    return spark.createDataFrame(
-        [(n_docs, n_contents, n_docs - n_contents, n_near_pairs, n_docs - n_kept)],
-        "n_docs long, n_distinct_contents long, n_exact_dup_rows long, "
-        "n_near_pairs long, n_dominated long",
+    s_docs = docs.agg(F.count("*").alias("n_docs"))
+    s_contents = exact.agg(F.count("*").alias("n_distinct_contents"))
+    s_pairs = pairs.agg(F.count("*").alias("n_near_pairs"))
+    s_kept = kept.agg(F.count("*").alias("n_kept"))
+    return (
+        s_docs.crossJoin(F.broadcast(s_contents))
+        .crossJoin(F.broadcast(s_pairs))
+        .crossJoin(F.broadcast(s_kept))
+        .select(
+            "n_docs",
+            "n_distinct_contents",
+            (F.col("n_docs") - F.col("n_distinct_contents")).alias("n_exact_dup_rows"),
+            "n_near_pairs",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dominated"),
+        )
     )
 
 
