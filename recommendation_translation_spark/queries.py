@@ -3666,6 +3666,51 @@ ORACLES["corpus_blocklist"] = f"""
 """
 
 
+def q_orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month
+    (the cohort), counted by months-since-first-order — the classic
+    product-analytics shape.  The cohort assignment is a per-customer
+    min window; months_since is exact integer month arithmetic
+    (months_between over date_trunc'd months), so the matrix is
+    engine-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    w = Window.partitionBy("o_custkey")
+    base = orders.select(
+        F.col("o_custkey"), month.alias("order_month")
+    ).withColumn("cohort_month", F.min("order_month").over(w))
+    out = (
+        base.withColumn(
+            "months_since",
+            F.months_between("order_month", "cohort_month").cast("long"),
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+        .select(
+            F.unix_micros("cohort_month").alias("cohort_us"),
+            "months_since",
+            "n_customers",
+        )
+    )
+    return out
+
+
+ORACLES["orders_cohort_retention"] = """
+    WITH base AS (
+      SELECT o_custkey,
+             date_trunc('month', o_orderdate) AS order_month,
+             MIN(date_trunc('month', o_orderdate))
+               OVER (PARTITION BY o_custkey) AS cohort_month
+      FROM orders)
+    SELECT CAST(floor(epoch(cohort_month)) AS BIGINT) * 1000000 AS cohort_us,
+           CAST(datediff('month', cohort_month, order_month) AS BIGINT)
+             AS months_since,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM base
+    GROUP BY cohort_month, datediff('month', cohort_month, order_month)
+"""
+
+
 def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity time rollup in ONE pass: per (type, day),
     per (type) and grand totals via GROUPING SETS over date_trunc —
@@ -3882,6 +3927,7 @@ QUERIES = {
     "lineitem_price_histogram": q_lineitem_price_histogram,
     "corpus_dedup_report": q_corpus_dedup_report,
     "corpus_blocklist": q_corpus_blocklist,
+    "orders_cohort_retention": q_orders_cohort_retention,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,
