@@ -700,3 +700,47 @@ def test_string_funcs_zero_shuffle(spark):
     df = QUERIES["doc_string_funcs"](spark, SF_SMALL)
     assert count_exchanges(df) == 0
     assert_whole_stage_codegen(df)
+
+
+# ---------------------------------------------------------------------------
+# global anti-pattern audit over the ENTIRE catalog (round 3)
+# ---------------------------------------------------------------------------
+
+# Queries that materialize work at DataFrame-build time (model training,
+# stream drains) — their plan properties are pinned by dedicated tests.
+_BUILD_HEAVY = {
+    "ml_train_rmse", "ml_score_topk", "events_stream_tumbling",
+    "events_stream_sessionize", "events_stream_join",
+    "events_stream_stateful", "events_stream_dedup",
+}
+
+# Bounded 1-row scalar aggregates / scalar-subquery folds: the ONLY
+# places Exchange SinglePartition or BroadcastNestedLoopJoin may appear
+# (a single row through one task is not a scale hazard).  Additions
+# must be justified here or fixed.
+_SCALAR_FOLD_OK = {
+    "corpus_dedup_report", "lineitem_price_histogram",
+    "tpch_q15_top_supplier", "tpch_q17_small_qty", "tpch_q19_disjunctive",
+    "tpch_q22_acctbal", "tpch_q6_forecast", "doc_bm25_topk",
+    "doc_tfidf_topterms", "emb_cosine_topk", "emb_sq8_topk",
+    "tpch_q11_important",
+}
+
+
+def test_catalog_wide_plan_audit(spark):
+    # every query in the catalog: no cartesian product anywhere, and a
+    # data-sized single-reducer exchange only in the allowlisted
+    # scalar-fold plans
+    bad = []
+    for name, fn in QUERIES.items():
+        if name in _BUILD_HEAVY:
+            continue
+        plan = physical_plan(fn(spark, SF_SMALL), mode="simple")
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if name not in _SCALAR_FOLD_OK:
+            if "Exchange SinglePartition" in plan:
+                bad.append((name, "SinglePartition"))
+            if "BroadcastNestedLoopJoin" in plan:
+                bad.append((name, "BroadcastNestedLoopJoin"))
+    assert not bad, f"plan anti-patterns: {bad}"
