@@ -73,8 +73,11 @@ def _apply(
     # final job would otherwise each recompute the full input lineage
     # (the classic hidden cost of zipWithIndex's two jobs).  A
     # localCheckpoint stores exactly what a sort's shuffle files would
-    # hold anyway, truncates the lineage, and lets both passes read the
-    # same partitions.
+    # hold anyway and truncates the lineage.  It also PINS correctness:
+    # the offset map and the final window read the same checkpointed
+    # partitions, so they agree on the partition layout by construction
+    # — no reliance on the range sampler re-drawing identical
+    # boundaries across jobs.
     ranged = ranged.localCheckpoint(eager=False)
 
     # Pass 1: one row per (partition[, group]) — bounded by conf ×

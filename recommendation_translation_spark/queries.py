@@ -3666,6 +3666,38 @@ ORACLES["corpus_blocklist"] = f"""
 """
 
 
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with the document-frequency skew
+    cap ACTIVE (max_doc_freq=50): shingles in more than 50 documents
+    are dropped before the inverted-index self-join — the guard that
+    bounds the worst bucket at corpus scale (a stopword shingle in 10⁶
+    docs would emit 10¹² join rows).  Sizes and intersections are
+    computed AFTER the cap on both engines, so the oracle mirrors the
+    exact capped relation."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.05, max_doc_freq=50
+    ).select("a_id", "b_id", "jaccard")
+
+
+ORACLES["dedup_ngram_capped"] = """
+    WITH sh0 AS ({shingles}),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+           JOIN freq ON sh0.shingle = freq.shingle WHERE freq.df <= 50),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           ROUND(n_inter / (na.n_sh + nb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = a_id
+    JOIN sizes nb ON nb.doc_id = b_id
+    WHERE ROUND(n_inter / (na.n_sh + nb.n_sh - n_inter)::DOUBLE, 6) >= 0.05
+""".format(shingles=_SHINGLES_SQL)
+
+
 def q_orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: customers grouped by first-order month
     (the cohort), counted by months-since-first-order — the classic
@@ -3928,6 +3960,7 @@ QUERIES = {
     "corpus_dedup_report": q_corpus_dedup_report,
     "corpus_blocklist": q_corpus_blocklist,
     "orders_cohort_retention": q_orders_cohort_retention,
+    "dedup_ngram_capped": q_dedup_ngram_capped,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,
