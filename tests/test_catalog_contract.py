@@ -1,0 +1,38 @@
+"""Catalog-contract invariants: the queries()/oracle_sql() surface the
+correctness driver consumes stays internally consistent."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+from recommendation_translation_spark.queries import ORACLES, QUERIES
+
+# The ONLY queries allowed to lack a DuckDB oracle (rows-only checks);
+# every one needs a reason.  Growing this set silently weakens the
+# correctness gate, so additions must edit this file.
+ROWS_ONLY = {
+    "ml_train_rmse": "RandomForest internals are not SQL-expressible",
+    "ml_score_topk": "scores come from the trained RF models",
+    "dedup_clusters": "iterative fixpoint; exactness pinned vs a "
+                      "union-find oracle in tests/test_curation.py",
+    "events_approx_stats": "HLL++/quantile sketches are approximate by "
+                           "design; error bounds pinned in tests",
+    "events_sketch_stats": "same — sketch outputs, error-bound tested",
+}
+
+
+def test_every_query_has_oracle_or_documented_reason():
+    missing = set(QUERIES) - set(ORACLES)
+    assert missing == set(ROWS_ONLY), (
+        f"undocumented rows-only queries: {missing - set(ROWS_ONLY)}; "
+        f"stale ROWS_ONLY entries: {set(ROWS_ONLY) - missing}"
+    )
+
+
+def test_no_orphan_oracles():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_module_exposes_catalog():
+    assert entry_mod.queries().keys() == QUERIES.keys()
+    assert entry_mod.oracle_sql().keys() == ORACLES.keys()
