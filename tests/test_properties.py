@@ -283,3 +283,48 @@ def test_pack_sequences_invariants(spark, toks, seq_len):
             end = offset + r.n_tokens - 1
             assert r.n_spanned == end // seq_len - offset // seq_len + 1
         offset += r.n_tokens
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.integers(min_value=0, max_value=100)),
+        min_size=0, max_size=30),
+    rights=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.integers(min_value=0, max_value=100),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=0, max_size=30),
+)
+def test_asof_join_equals_pandas_merge_asof(spark, lefts, rights):
+    # the distributed union+window as-of join must equal pandas
+    # merge_asof (direction='backward') — an independent reference
+    # implementation, not our own SQL
+    import pandas as pd
+
+    from recommendation_translation_spark.operators.joins import asof_join
+
+    uniq_l = list({(k, t) for k, t in lefts})
+    uniq_r = {(k, t): v for k, t, v in rights}
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(uniq_l)] or [(0, 0, 0)],
+        "k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in uniq_r.items()] or [(99, 0, 0)],
+        "k long, ts long, v long",
+    )
+    got = {
+        (r.k, r.ts, r.asof_v)
+        for r in asof_join(left, right, on="k", value_cols=["v"]).collect()
+    }
+
+    lp = left.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = right.toPandas().sort_values("ts").reset_index(drop=True)
+    m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        (int(r.k), int(r.ts), None if pd.isna(r.v) else int(r.v))
+        for r in m.itertuples()
+    }
+    assert got == want
