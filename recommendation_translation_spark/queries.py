@@ -1583,6 +1583,49 @@ def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python DataSource (Spark 4
+    SimpleDataSourceStreamReader): the same deterministic generator
+    relation as pysource_scan arrives in 500-row micro-batches, drains
+    through a memory sink, and aggregates per bucket — so it shares
+    pysource_scan's exact SQL oracle.  Offsets are {"i": next_id} dicts
+    and readBetweenOffsets regenerates any span, the replay contract a
+    recoverable streaming source must honor.  (sf_dir unused: the
+    source IS the data.)"""
+    import uuid as _uuid
+
+    from .sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "2000")
+        .option("batch", "500")
+        .load()
+    )
+    name = f"pysource_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # returns once read() reports caught-up
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("score"), 2).alias("sum_score"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus mixing / hygiene (extension; operators.curation)
 # ---------------------------------------------------------------------------
@@ -3289,6 +3332,9 @@ ORACLES["pysource_scan"] = """
     FROM gen GROUP BY 1
 """
 
+# the streaming form emits the identical relation — same oracle
+ORACLES["pysource_stream"] = ORACLES["pysource_scan"]
+
 ORACLES["tpch_q4_priority"] = """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders
@@ -3961,6 +4007,7 @@ QUERIES = {
     "corpus_blocklist": q_corpus_blocklist,
     "orders_cohort_retention": q_orders_cohort_retention,
     "dedup_ngram_capped": q_dedup_ngram_capped,
+    "pysource_stream": q_pysource_stream,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,

@@ -20,7 +20,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = ["SyntheticEventsSource", "register_synthetic_source"]
 
@@ -56,9 +61,50 @@ class _SyntheticReader(DataSourceReader):
             )
 
 
+def _row(i: int) -> tuple:
+    return (i, _h32(f"b:{i}") % 10, (_h32(f"s:{i}") % 10000) / 100.0)
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the same relation: micro-batches of
+    ``batch`` ids per trigger until ``rows`` ids have been emitted,
+    then caught-up (read returns the unchanged offset).
+
+    Offsets are plain dicts ``{"i": next_id}`` — everything a restart
+    needs; ``readBetweenOffsets`` regenerates any committed span
+    deterministically (the rows are a pure function of the id), which
+    is exactly the replayability contract the API asks of a recoverable
+    source."""
+
+    def __init__(self, options):
+        self.n = int(options.get("rows", "2000"))
+        self.batch = int(options.get("batch", "500"))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        # the prefetch wrapper requires a true iterator AND pickles it
+        # to ship prefetched rows to executors — a list_iterator is
+        # both (generators are not picklable)
+        i = int(start["i"])
+        if i >= self.n:
+            return iter([]), start  # caught up: offset unchanged
+        end = min(i + self.batch, self.n)
+        return iter([_row(j) for j in range(i, end)]), {"i": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(j) for j in range(int(start["i"]), int(end["i"]))])
+
+    def commit(self, end):
+        pass  # nothing external to acknowledge
+
+
 class SyntheticEventsSource(DataSource):
     """``spark.read.format("synthetic_events").option("rows", n)`` —
-    deterministic (id, bucket, score) rows."""
+    deterministic (id, bucket, score) rows; also usable as a streaming
+    source (``spark.readStream``) emitting the same relation in
+    micro-batches."""
 
     @classmethod
     def name(cls) -> str:
@@ -69,6 +115,9 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema):
         return _SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

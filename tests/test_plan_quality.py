@@ -711,7 +711,7 @@ def test_string_funcs_zero_shuffle(spark):
 _BUILD_HEAVY = {
     "ml_train_rmse", "ml_score_topk", "events_stream_tumbling",
     "events_stream_sessionize", "events_stream_join",
-    "events_stream_stateful", "events_stream_dedup",
+    "events_stream_stateful", "events_stream_dedup", "pysource_stream",
 }
 
 # Bounded 1-row scalar aggregates / scalar-subquery folds: the ONLY
