@@ -1583,6 +1583,35 @@ def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov bigrams): one lag
+    window per user (ts, event_id total order) then a count per
+    (prev → cur) pair — the path-analysis shape behind funnel and
+    next-action models.  Window and aggregate share the user
+    partitioning; no self-join of the event stream."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.withColumn("prev_type", prev)
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("cur_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+ORACLES["events_transitions"] = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS cur_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+"""
+
+
 def q_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING custom Python DataSource (Spark 4
     SimpleDataSourceStreamReader): the same deterministic generator
@@ -4008,6 +4037,7 @@ QUERIES = {
     "orders_cohort_retention": q_orders_cohort_retention,
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "pysource_stream": q_pysource_stream,
+    "events_transitions": q_events_transitions,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,
