@@ -1600,18 +1600,6 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["events_transitions"] = """
-    WITH seq AS (
-      SELECT user_id, event_type,
-             LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
-      FROM events)
-    SELECT prev_type, event_type AS cur_type, COUNT(*) AS n_transitions
-    FROM seq WHERE prev_type IS NOT NULL
-    GROUP BY prev_type, event_type
-"""
-
-
 def q_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING custom Python DataSource (Spark 4
     SimpleDataSourceStreamReader): the same deterministic generator
@@ -3363,6 +3351,17 @@ ORACLES["pysource_scan"] = """
 
 # the streaming form emits the identical relation — same oracle
 ORACLES["pysource_stream"] = ORACLES["pysource_scan"]
+
+ORACLES["events_transitions"] = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS cur_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+"""
 
 ORACLES["tpch_q4_priority"] = """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
