@@ -28,6 +28,7 @@ __all__ = [
     "run_stream_to_memory",
     "stream_events_to_parquet",
     "stream_upsert_user_totals",
+    "stream_user_stats_tws",
 ]
 
 
@@ -320,3 +321,72 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user running stats as :func:`stream_user_stats`,
+    on the NEW Spark 4 arbitrary-state API (``transformWithStateInPandas``
+    + ``StatefulProcessor`` with a typed ValueState handle) — the
+    successor to applyInPandasWithState, adding typed state kinds
+    (value/list/map), timers, and RocksDB-backed stores.  Same output
+    relation, so the existing oracle verifies both APIs.
+
+    Requires the RocksDB state-store provider (bundled with Spark 4)
+    and the Python ``protobuf`` package (state serialization speaks
+    protobuf) — this container ships a broken protobuf install, so the
+    dedicated test skips when ``google.protobuf.descriptor`` is
+    unimportable; the applyInPandasWithState twin above covers the
+    semantics in CI either way."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = _events_stream(spark, sf_dir)
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState(
+                "running", "n bigint, s double, m double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self.state.exists():
+                n, s, m = self.state.get()
+            else:
+                n, s, m = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                m = max(m, float(pdf["value"].max()))
+            self.state.update((n, s, m))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 4)],
+                    "max_value": [m],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningStats(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, sum_value double, "
+                "max_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

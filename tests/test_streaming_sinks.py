@@ -57,3 +57,31 @@ def test_foreach_batch_upsert_totals(spark, tmp_path):
         for r in read_current_version(spark, target).collect()
     }
     assert got2 == want
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark):
+    # the new Spark 4 arbitrary-state API must produce the same
+    # relation as the applyInPandasWithState twin; requires a working
+    # python protobuf (state serialization) — skip where absent
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from recommendation_translation_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        stream_user_stats,
+        stream_user_stats_tws,
+    )
+
+    new = {
+        (r.user_id, r.n_events, r.sum_value, r.max_value)
+        for r in run_stream_to_memory(
+            stream_user_stats_tws(spark, SF_SMALL), output_mode="update"
+        ).collect()
+    }
+    old = {
+        (r.user_id, r.n_events, r.sum_value, r.max_value)
+        for r in run_stream_to_memory(
+            stream_user_stats(spark, SF_SMALL), output_mode="update"
+        ).collect()
+    }
+    assert new == old
