@@ -1583,6 +1583,56 @@ def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 RandomForest feature importances per site, mapped back to
+    feature-column names — the model-inspection surface of the ML
+    pipeline (M2's models, reused from the memoized train cache; no
+    re-fit).  Rows-only check: importances come from the RF internals.
+    """
+    feats, results = _trained(spark, sf_dir)
+    from .pipeline.assemble import numeric_feature_columns
+
+    rows = []
+    for site, r in sorted(results.items()):
+        if r.model is None:
+            continue
+        cols = numeric_feature_columns(feats.columns, site)
+        imps = list(r.model.featureImportances.toArray())
+        top = sorted(zip(cols, imps), key=lambda t: (-t[1], t[0]))[:5]
+        rows += [
+            (site, name, float(round(w, 6)), rank + 1)
+            for rank, (name, w) in enumerate(top)
+        ]
+    return spark.createDataFrame(
+        rows, "site string, feature string, importance double, rank long"
+    )
+
+
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: the 20 part pairs most often bought
+    in the same order, with per-part support — the pairwise
+    frequent-itemset shape.  Same inverted-index discipline as the
+    dedup joins: self-equi-join on the order key (never all parts ×
+    all parts), count per pair, exact integer supports.  At scale the
+    hot keys are huge orders — cap basket size upstream exactly like
+    the shingle doc-frequency cap."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+        .select("part_a", "part_b", "n_orders")
+    )
+
+
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix (Markov bigrams): one lag
     window per user (ts, event_id total order) then a count per
@@ -3363,6 +3413,16 @@ ORACLES["events_transitions"] = """
     GROUP BY prev_type, event_type
 """
 
+ORACLES["basket_part_pairs"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem)
+    SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
+    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY a.pk, b.pk
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+"""
+
 ORACLES["tpch_q4_priority"] = """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders
@@ -4037,6 +4097,8 @@ QUERIES = {
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "pysource_stream": q_pysource_stream,
     "events_transitions": q_events_transitions,
+    "basket_part_pairs": q_basket_part_pairs,
+    "ml_feature_importance": q_ml_feature_importance,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,

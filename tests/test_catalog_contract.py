@@ -13,6 +13,7 @@ from recommendation_translation_spark.queries import ORACLES, QUERIES
 ROWS_ONLY = {
     "ml_train_rmse": "RandomForest internals are not SQL-expressible",
     "ml_score_topk": "scores come from the trained RF models",
+    "ml_feature_importance": "importances come from the RF internals",
     "dedup_clusters": "iterative fixpoint; exactness pinned vs a "
                       "union-find oracle in tests/test_curation.py",
     "events_approx_stats": "HLL++/quantile sketches are approximate by "

@@ -28,6 +28,7 @@ def test_oracle_parity(spark, duck, name):
 NO_ORACLE = {
     "ml_train_rmse",
     "ml_score_topk",
+    "ml_feature_importance",
     "dedup_clusters",
     "events_approx_stats",
     "events_sketch_stats",
