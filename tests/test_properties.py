@@ -328,3 +328,45 @@ def test_asof_join_equals_pandas_merge_asof(spark, lefts, rights):
         for r in m.itertuples()
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    probes=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.integers(min_value=0, max_value=2000)),
+        min_size=0, max_size=25),
+    builds=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.integers(min_value=0, max_value=2000)),
+        min_size=0, max_size=25),
+)
+def test_range_count_equals_brute_force(spark, probes, builds):
+    # the bucketed equi-join range count must equal the O(N*M) brute
+    # force: same key, build ts in [probe ts - window, probe ts)
+    from pyspark.sql import functions as F
+    from recommendation_translation_spark.operators.joins import range_count
+
+    window_s = 300
+    uniq_p = list({(k, t) for k, t in probes})
+    probe = spark.createDataFrame(
+        [(i, k, t * 1_000_000) for i, (k, t) in enumerate(uniq_p)] or [(0, 0, 0)],
+        "event_id long, k long, us long",
+    ).withColumn("ts", F.timestamp_micros("us")).drop("us")
+    build = spark.createDataFrame(
+        [(k, t * 1_000_000) for k, t in builds] or [(99, 0)],
+        "k long, us long",
+    ).withColumn("ts", F.timestamp_micros("us")).drop("us")
+
+    got = {
+        (r.event_id, r.n_in_range)
+        for r in range_count(probe, build, on="k", window_seconds=window_s).collect()
+    }
+    want = set()
+    plist = uniq_p if uniq_p else [(0, 0)]
+    blist = builds if builds else [(99, 0)]
+    for i, (k, t) in enumerate(plist):
+        n = sum(1 for bk, bt in blist
+                if bk == k and t - window_s <= bt < t)
+        want.add((i, n))
+    assert got == want
