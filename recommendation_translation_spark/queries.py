@@ -1616,9 +1616,11 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all parts), count per pair, exact integer supports.  At scale the
     hot keys are huge orders — cap basket size upstream exactly like
     the shingle doc-frequency cap."""
+    # both join sides reference the distinct basket relation —
+    # materialize it once (same discipline as the simhash signatures)
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    ).distinct().localCheckpoint()
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(b, "ok")
