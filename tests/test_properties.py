@@ -370,3 +370,84 @@ def test_range_count_equals_brute_force(spark, probes, builds):
                 if bk == k and t - window_s <= bt < t)
         want.add((i, n))
     assert got == want
+
+
+@SETTINGS
+@given(
+    texts=st.lists(st.text(alphabet="abc d", min_size=10, max_size=40),
+                   min_size=1, max_size=6),
+)
+def test_minhash_lsh_always_pairs_identical_docs(spark, texts):
+    # identical documents share every shingle, hence every signature and
+    # every band — LSH must emit their pair with jaccard exactly 1.0,
+    # for any corpus contents (a deterministic recall floor, not a
+    # probabilistic one)
+    from recommendation_translation_spark.operators.dedup import minhash_lsh_pairs
+
+    base = [(i, t) for i, t in enumerate(texts)]
+    dup_id = 1000
+    rows = base + [(dup_id, texts[0])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = texts[0].split()
+    if len(set(zip(toks, toks[1:], toks[2:]))) == 0:
+        return  # fewer than 3 tokens: no shingles, nothing to pair
+    pairs = {(r.a_id, r.b_id): r.jaccard
+             for r in minhash_lsh_pairs(df, k=8, bands=4, threshold=0.0).collect()}
+    assert pairs.get((0, dup_id)) == 1.0
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1"]),
+                  st.integers(min_value=0, max_value=200),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=0, max_size=40),
+    quota=st.integers(min_value=1, max_value=8),
+)
+def test_source_quota_bounds_and_keeps_best(spark, rows, quota):
+    from recommendation_translation_spark.operators.curation import source_quota
+
+    uniq = {(s, i): q for s, i, q in rows}
+    df = spark.createDataFrame(
+        [(s, i, q) for (s, i), q in uniq.items()],
+        "source string, doc_id long, q long",
+    )
+    kept = source_quota(df, per_source=quota, quality_col="q").collect()
+    by_src: dict[str, list] = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    for s, docs in by_src.items():
+        assert len(docs) <= quota
+        # kept set = the top-quota rows by (quality desc, id)
+        all_src = sorted(
+            ((q, i) for (src, i), q in uniq.items() if src == s),
+            key=lambda t: (-t[0], t[1]),
+        )[:quota]
+        assert {(r.q, r.doc_id) for r in docs} == set(all_src)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                  st.integers(min_value=0, max_value=300)),
+        min_size=1, max_size=40),
+)
+def test_interleave_is_stable_permutation(spark, rows):
+    # mix_rank is a dense 1..N permutation, and within every source the
+    # mix order preserves the id order (stable round-robin)
+    from recommendation_translation_spark.operators.curation import interleave_sources
+
+    uniq = list({(s, i) for s, i in rows})
+    df = spark.createDataFrame(uniq, "source string, doc_id long")
+    out = sorted(
+        interleave_sources(df, "source", {"s0": 3, "s1": 2}).collect(),
+        key=lambda r: r.mix_rank,
+    )
+    assert [r.mix_rank for r in out] == list(range(1, len(uniq) + 1))
+    per_src: dict[str, list[int]] = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r.doc_id)
+    for ids in per_src.values():
+        assert ids == sorted(ids)
