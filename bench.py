@@ -65,13 +65,15 @@ def main() -> int:
     # rounds for the correctness driver's window, and per-query timings
     # are only comparable round-over-round if every query keeps its
     # position (the first heavy queries pay JIT/codegen warmup).
-    # Exception: ml_train_rmse must precede ml_score_topk (shared model
-    # cache), which sorted order happens to satisfy ('score' > 'train'
-    # is false — enforce explicitly to be safe).
+    # Exception: ml_train_rmse runs before every other ml_* query —
+    # they share the memoized model cache, and training cost must land
+    # on the training row, not on whichever consumer sorts first.
     names = sorted(qmap)
-    if "ml_train_rmse" in names and "ml_score_topk" in names:
+    ml = [n for n in names if n.startswith("ml_")]
+    if "ml_train_rmse" in ml and ml[0] != "ml_train_rmse":
         names.remove("ml_train_rmse")
-        names.insert(names.index("ml_score_topk"), "ml_train_rmse")
+        names.insert(names.index(ml[0] if ml[0] != "ml_train_rmse" else ml[1]),
+                     "ml_train_rmse")
     for name in names:
         fn = qmap[name]
         if only and name not in only:
