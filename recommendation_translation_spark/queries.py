@@ -1635,6 +1635,32 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each nation's share of global revenue — the
+    ratio-to-report window shape.  The share window runs over the
+    ALREADY-AGGREGATED 25-row nation relation (bounded by the domain,
+    not the data), so its single-partition exchange moves 25 rows; the
+    data-sized work is one broadcast join + one hash aggregate.
+    Revenue rides as exact integer 10⁻⁴ dollars; the share is one IEEE
+    division of exact longs."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev_e2 = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev_e2).alias("rev_e2"))
+    )
+    total = F.sum("rev_e2").over(Window.partitionBy())
+    return per_nation.select(
+        "n_name",
+        (F.col("rev_e2") / 100.0).alias("revenue"),
+        F.round(F.col("rev_e2") / total * 100, 6).alias("share_pct"),
+    )
+
+
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix (Markov bigrams): one lag
     window per user (ts, event_id total order) then a count per
@@ -3415,6 +3441,21 @@ ORACLES["events_transitions"] = """
     GROUP BY prev_type, event_type
 """
 
+ORACLES["nation_revenue_share"] = """
+    WITH per AS (
+      SELECT n_name,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_e2
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name,
+           rev_e2 / 100.0 AS revenue,
+           ROUND(rev_e2 / SUM(rev_e2) OVER () * 100, 6) AS share_pct
+    FROM per
+"""
+
 ORACLES["basket_part_pairs"] = """
     WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                 FROM lineitem)
@@ -4100,6 +4141,7 @@ QUERIES = {
     "pysource_stream": q_pysource_stream,
     "events_transitions": q_events_transitions,
     "basket_part_pairs": q_basket_part_pairs,
+    "nation_revenue_share": q_nation_revenue_share,
     "ml_feature_importance": q_ml_feature_importance,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
