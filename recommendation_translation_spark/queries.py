@@ -1608,6 +1608,48 @@ def q_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter search the reference never had: 2-fold
+    CrossValidator over a small maxDepth grid for one target site,
+    returning the grid's mean-RMSE per candidate plus the chosen depth
+    — the MLlib tuning surface (rows-only: CV internals).  Seeded fold
+    assignment keeps the result deterministic; the feature matrix is
+    the memoized cached copy, so no re-pivot."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.regression import RandomForestRegressor
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from .pipeline.assemble import get_work_data
+
+    feats, _ = _trained(spark, sf_dir)
+    site = SITES[0]
+    work = get_work_data(feats, site, exists=True).cache()
+    rf = RandomForestRegressor(
+        labelCol="label", featuresCol="features", seed=42, numTrees=10
+    )
+    grid = ParamGridBuilder().addGrid(rf.maxDepth, [3, 5]).build()
+    cv = CrossValidator(
+        estimator=rf,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="rmse"
+        ),
+        numFolds=2,
+        seed=42,
+        parallelism=2,
+    )
+    model = cv.fit(work)
+    best_depth = model.bestModel.getMaxDepth()
+    rows = [
+        (site, int(g[rf.maxDepth]), float(round(m, 6)),
+         g[rf.maxDepth] == best_depth)
+        for g, m in zip(grid, model.avgMetrics)
+    ]
+    return spark.createDataFrame(
+        rows, "site string, max_depth long, mean_rmse double, chosen boolean"
+    )
+
+
 def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair affinity: the 20 part pairs most often bought
     in the same order, with per-part support — the pairwise
@@ -4145,6 +4187,7 @@ QUERIES = {
     "basket_part_pairs": q_basket_part_pairs,
     "nation_revenue_share": q_nation_revenue_share,
     "ml_feature_importance": q_ml_feature_importance,
+    "ml_cv_tuning": q_ml_cv_tuning,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,

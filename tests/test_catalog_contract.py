@@ -14,6 +14,7 @@ ROWS_ONLY = {
     "ml_train_rmse": "RandomForest internals are not SQL-expressible",
     "ml_score_topk": "scores come from the trained RF models",
     "ml_feature_importance": "importances come from the RF internals",
+    "ml_cv_tuning": "CrossValidator fold metrics come from RF fits",
     "dedup_clusters": "iterative fixpoint; exactness pinned vs a "
                       "union-find oracle in tests/test_curation.py",
     "events_approx_stats": "HLL++/quantile sketches are approximate by "

@@ -29,6 +29,7 @@ NO_ORACLE = {
     "ml_train_rmse",
     "ml_score_topk",
     "ml_feature_importance",
+    "ml_cv_tuning",
     "dedup_clusters",
     "events_approx_stats",
     "events_sketch_stats",

@@ -709,7 +709,7 @@ def test_string_funcs_zero_shuffle(spark):
 # Queries that materialize work at DataFrame-build time (model training,
 # stream drains) — their plan properties are pinned by dedicated tests.
 _BUILD_HEAVY = {
-    "ml_train_rmse", "ml_score_topk", "ml_feature_importance",
+    "ml_train_rmse", "ml_score_topk", "ml_feature_importance", "ml_cv_tuning",
     "events_stream_tumbling",
     "events_stream_sessionize", "events_stream_join",
     "events_stream_stateful", "events_stream_dedup", "pysource_stream",
