@@ -87,9 +87,13 @@ def _apply(
         .agg(agg.alias("_v"))
         .collect()
     )
+    # NULL group values need an explicit sentinel: concat_ws on the
+    # Spark side SKIPS null operands, so a bare cast would misalign the
+    # lookup key against the Python-built map for null-group rows.
+    _NULL = "\x00"
     by_group: dict[str, list[tuple[int, int]]] = {}
     for r in hist:
-        gkey = _SEP.join(str(r[g]) for g in group_cols)
+        gkey = _SEP.join(_NULL if r[g] is None else str(r[g]) for g in group_cols)
         by_group.setdefault(gkey, []).append((r["_pid"], r["_v"] or 0))
     entries: list[Column] = []
     for gkey, pids in by_group.items():
@@ -105,7 +109,10 @@ def _apply(
         mkey = (
             F.concat_ws(
                 _SEP, F.col("_pid").cast("string"),
-                *[F.col(g).cast("string") for g in group_cols],
+                *[
+                    F.coalesce(F.col(g).cast("string"), F.lit(_NULL))
+                    for g in group_cols
+                ],
             )
             if group_cols
             else F.col("_pid").cast("string")

@@ -451,3 +451,30 @@ def test_interleave_is_stable_permutation(spark, rows):
         per_src.setdefault(r.source, []).append(r.doc_id)
     for ids in per_src.values():
         assert ids == sorted(ids)
+
+
+def test_range_partitioned_grouping_handles_null_groups(spark):
+    # concat_ws skips NULL operands, so null group values need the
+    # sentinel path — regression for the offset-map key alignment
+    from pyspark.sql import Window
+    from recommendation_translation_spark.operators.ordering import (
+        range_partitioned_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("a", 3), (None, 4), ("b", 5)],
+        "grp string, id long",
+    )
+    got = {
+        (r.grp, r.id): r.rn
+        for r in range_partitioned_row_number(
+            df, [F.col("id")], "rn", group_cols=["grp"]
+        ).collect()
+    }
+    want = {
+        (r.grp, r.id): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("id"))
+        ).collect()
+    }
+    assert got == want
