@@ -399,6 +399,11 @@ def blocklist_filter(df: DataFrame, terms: list[str], text_col: str = "text",
     join against a terms table — same relation).  Adds
     ``n_blocked_terms`` (distinct blocklisted tokens present) and
     ``blocked``; callers drop or route flagged docs."""
+    if not terms:  # empty blocklist: nothing blocks (F.array() of zero
+        # columns is not a valid expression, so short-circuit)
+        return df.withColumn(
+            "n_blocked_terms", F.lit(0).cast("long")
+        ).withColumn("blocked", F.lit(False))
     toks = tokens(F.lower(F.col(text_col)))
     lits = F.array(*[F.lit(t.lower()) for t in terms])
     hits = F.size(F.array_intersect(F.array_distinct(toks), lits))
