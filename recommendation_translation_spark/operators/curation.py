@@ -163,6 +163,8 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     """Deterministic train/val/test assignment by hashing the id into
     100 buckets: [0, train) → train, [train, train+val) → val, rest →
     test.  Stable under corpus growth and engine-independent (md5)."""
+    if train < 0 or val < 0 or train + val > 100:
+        raise ValueError(f"train+val must fit in 100 buckets, got {train}+{val}")
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
                                           F.col(id_col).cast("string"))), 1, 8), 16, 10)
@@ -429,6 +431,8 @@ def pack_sequences(df: DataFrame, seq_len: int, tokens_col: str = "n_tokens",
     computed with the two-pass range-partitioned formulation
     (operators.ordering): no single-reducer window, so the packing plan
     is the same shape at 5 k docs and at 100 TB."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
     from .ordering import range_partitioned_running_sum
 
     out = range_partitioned_running_sum(

@@ -101,6 +101,8 @@ def merge_upsert_parquet(spark, target_path: str, updates: DataFrame,
     (customer_balance_merge) has a durable storage counterpart."""
     import os
 
+    if not key_cols:
+        raise ValueError("merge_upsert_parquet requires at least one key column")
     os.makedirs(target_path, exist_ok=True)
     pointer = os.path.join(target_path, "_CURRENT")
     if os.path.exists(pointer):
