@@ -76,9 +76,13 @@ def curate_corpus(
     gated = gated.cache()
     stats["after_gates"] = gated.count()
 
-    # 2. exact dedup: keep the min-id representative of each content
+    # 2. exact dedup: keep the min-id representative of each content.
+    # keep_ids is corpus-sized (one row per distinct content), so it
+    # must NOT broadcast — a left-semi shuffle join on the id is the
+    # scale-correct shape (AQE still broadcasts when it happens to be
+    # small).
     keep_ids = dedup_exact(gated).select(F.col("keep_id").alias("doc_id"))
-    uniq = gated.join(F.broadcast(keep_ids), "doc_id")
+    uniq = gated.join(keep_ids, "doc_id", "left_semi")
     stats["after_exact_dedup"] = uniq.count()
 
     # 3. near-dup resolution: drop docs dominated by a better pair
