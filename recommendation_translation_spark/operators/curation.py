@@ -356,16 +356,21 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
 
 def keep_best_per_pair(docs: DataFrame, pairs: DataFrame,
                        quality_col: str, id_col: str = "doc_id",
-                       a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+                       a_col: str = "a_id", b_col: str = "b_id",
+                       broadcast_dominated: bool = True) -> DataFrame:
     """Near-duplicate resolution: drop every document that is
     *dominated* by a pair partner — partner has higher quality, or
     equal quality and smaller id.  One-hop domination (not full
     connected components — see ``dup_clusters`` for that): exactly the
     rows a reviewer would call "a worse copy of something we keep".
 
-    Shape: symmetrize pairs → join quality onto both endpoints (the
-    pair set is tiny next to the corpus; broadcast it) → LEFT ANTI
-    from the corpus.  The corpus itself is never shuffled."""
+    Shape: symmetrize pairs → join quality onto both endpoints →
+    LEFT ANTI from the corpus.  With ``broadcast_dominated`` (default)
+    the corpus is never shuffled — right for the usual case where
+    near-dup pairs are a sliver of the corpus.  On a dup-HEAVY corpus
+    the dominated set is itself corpus-scale: pass False to use a
+    shuffle anti-join instead (AQE still broadcasts when the set turns
+    out small)."""
     edges = pairs.select(
         F.explode(
             F.array(
@@ -386,9 +391,9 @@ def keep_best_per_pair(docs: DataFrame, pairs: DataFrame,
         .select(F.col("u").alias("dom_id"))
         .distinct()
     )
-    return docs.join(
-        F.broadcast(dominated), docs[id_col] == dominated["dom_id"], "left_anti"
-    )
+    if broadcast_dominated:
+        dominated = F.broadcast(dominated)
+    return docs.join(dominated, docs[id_col] == dominated["dom_id"], "left_anti")
 
 
 def blocklist_filter(df: DataFrame, terms: list[str], text_col: str = "text",
