@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tumbling_agg", "sliding_agg", "sessionize", "resample_ffill"]
+__all__ = ["tumbling_agg", "sliding_agg", "sessionize", "resample_ffill", "resample_interpolate"]
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -142,4 +142,69 @@ def resample_ffill(events: DataFrame, width: str = "1 hour") -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_filled"),
             F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
         )
+    )
+
+
+def resample_interpolate(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Time-series resampling with LINEAR interpolation across gaps —
+    the numeric companion of :func:`resample_ffill`: each empty grid
+    cell gets ``prev + (next − prev) · Δt_prev / Δt_span`` between its
+    nearest observed neighbours (head gaps backfill, tail gaps carry
+    forward).
+
+    Same scale shape as the ffill form (one observed aggregation, an
+    executor-side dense grid, per-type windows — no global ordering);
+    the neighbour lookups are two ignorenulls windows (last-preceding,
+    first-following) over the already-aggregated grid.  The ratio is
+    exact integer epoch arithmetic; the single rounding happens at the
+    end, so an oracle spelling the same expression matches
+    bit-for-bit."""
+    hourly = (
+        events.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "sum_value")
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {width}"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(hourly, ["event_type", "bucket"], "left_outer").withColumn(
+        "ue", F.unix_micros("bucket")
+    )
+    wprev = (
+        Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    observed = F.col("sum_value").isNotNull()
+    prev_v = F.last("sum_value", ignorenulls=True).over(wprev)
+    next_v = F.first("sum_value", ignorenulls=True).over(wnext)
+    prev_e = F.last(F.when(observed, F.col("ue")), ignorenulls=True).over(wprev)
+    next_e = F.first(F.when(observed, F.col("ue")), ignorenulls=True).over(wnext)
+    interp = (
+        F.when(observed, F.col("sum_value"))
+        .when(prev_v.isNull(), next_v)   # head gap: backfill
+        .when(next_v.isNull(), prev_v)   # tail gap: carry forward
+        .otherwise(
+            F.round(
+                prev_v
+                + (next_v - prev_v) * (F.col("ue") - prev_e) / (next_e - prev_e),
+                4,
+            )
+        )
+    )
+    return joined.select(
+        "event_type",
+        (F.col("ue") / 1_000_000).cast("long").alias("bucket_epoch"),
+        F.when(observed, 0).otherwise(1).cast("long").alias("is_gap"),
+        interp.alias("sum_value_interp"),
     )

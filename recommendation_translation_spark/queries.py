@@ -385,6 +385,15 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(_t(spark, sf_dir, "events"))
 
 
+def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation across gaps
+    (nearest observed neighbours; head backfill, tail carry-forward) —
+    operators.events.resample_interpolate."""
+    from .operators.events import resample_interpolate
+
+    return resample_interpolate(_t(spark, sf_dir, "events"))
+
+
 def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join (errors ⋈ same-user clicks in the
     preceding 30 min), drained from a bounded replay — equals the batch
@@ -3046,6 +3055,52 @@ ORACLES["events_resample_ffill"] = """
     LEFT JOIN hourly h ON g.event_type = h.event_type AND g.bucket = h.bucket
 """
 
+ORACLES["events_resample_interp"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS bucket,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(MIN(bucket), MAX(bucket),
+                                    INTERVAL '1 hour')) AS bucket
+      FROM hourly GROUP BY event_type
+    ), j AS (
+      SELECT g.event_type, g.bucket,
+             CAST(floor(epoch(g.bucket)) AS BIGINT) * 1000000 AS ue,
+             h.sum_value
+      FROM grid g
+      LEFT JOIN hourly h ON g.event_type = h.event_type AND g.bucket = h.bucket
+    ), n AS (
+      SELECT event_type, bucket, ue, sum_value,
+             last_value(sum_value IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS prev_v,
+             first_value(sum_value IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             last_value(CASE WHEN sum_value IS NOT NULL THEN ue END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS prev_e,
+             first_value(CASE WHEN sum_value IS NOT NULL THEN ue END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_e
+      FROM j
+    )
+    SELECT event_type,
+           CAST(ue // 1000000 AS BIGINT) AS bucket_epoch,
+           CAST(CASE WHEN sum_value IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_gap,
+           CASE WHEN sum_value IS NOT NULL THEN sum_value
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE ROUND(prev_v + (next_v - prev_v) * (ue - prev_e)
+                           / (next_e - prev_e), 4)
+           END AS sum_value_interp
+    FROM n
+"""
+
 ORACLES["events_stream_join"] = """
     SELECT e.event_id AS err_id,
            c.event_id AS click_id,
@@ -4188,6 +4243,7 @@ QUERIES = {
     "nation_revenue_share": q_nation_revenue_share,
     "ml_feature_importance": q_ml_feature_importance,
     "ml_cv_tuning": q_ml_cv_tuning,
+    "events_resample_interp": q_events_resample_interp,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,
