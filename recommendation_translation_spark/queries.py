@@ -4213,17 +4213,17 @@ ORACLES["doc_string_funcs"] = """
 # (a) queries added or changed in round 3, then (b) round-2 additions
 # the r1/r2 windows never covered.  The 50 queries green in
 # CORRECTNESS_r02.json sit at the back.  Cumulative coverage after the
-# r3 window: 96 of 118 queries have a driver row across r2+r3; the 22
-# still pending rotate to the FRONT in round 4 (in current dict order:
-# tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q19_disjunctive,
-# tpch_q20_excess, tpch_q21_waiting, orders_window_funcs,
-# lineitem_moving_sum, orders_date_funcs, corpus_stratified_sample,
-# corpus_keep_best, lineitem_percentiles, pricing_grouping_sets,
-# events_hourly_heatmap, doc_chunks_udtf, mm_frame_sample,
-# events_sketch_stats, emb_sq8_topk, events_stream_dedup,
-# doc_tfidf_topterms, lineitem_yearly_growth, events_trimmed_mean,
-# pysource_scan).  The full set is always verified locally by
-# tests/test_oracle_parity.py regardless of position.
+# r3 window: 96 of 120 queries have a driver row across r2+r3; the 24
+# still pending rotate to the FRONT in round 4 — everything from
+# tpch_q15_top_supplier onward in group (b) below (tpch_q15/q16/q17/
+# q19/q20/q21, orders_window_funcs, lineitem_moving_sum,
+# orders_date_funcs, corpus_stratified_sample, corpus_keep_best,
+# lineitem_percentiles, pricing_grouping_sets, events_hourly_heatmap,
+# doc_chunks_udtf, mm_frame_sample, events_sketch_stats, emb_sq8_topk,
+# events_stream_dedup, doc_tfidf_topterms, lineitem_yearly_growth,
+# events_trimmed_mean, pysource_scan and the tail of group (a)).  The
+# full set is always verified locally by tests/test_oracle_parity.py
+# regardless of position.
 QUERIES = {
     # -- (a) new in round 3 / implementation changed in round 3 --
     "corpus_pack_sequences": q_corpus_pack_sequences,
