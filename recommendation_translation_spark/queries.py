@@ -385,6 +385,27 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(_t(spark, sf_dir, "events"))
 
 
+def q_lineitem_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 heaviest l_orderkey values with
+    their row counts and share of the table (in 10⁻⁶ units, exact
+    integer div) — the measurement behind choosing a salting factor
+    (operators.joins.salted_join) or trusting AQE skew splitting.  One
+    hash aggregate + a 1-row broadcast total + TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n_rows"))
+    total = per_key.agg(F.sum("n_rows").cast("long").alias("t_rows"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "l_orderkey",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div t_rows").alias("share_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
 def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with LINEAR interpolation across gaps
     (nearest observed neighbours; head backfill, tail carry-forward) —
@@ -3553,6 +3574,17 @@ ORACLES["nation_revenue_share"] = """
     FROM per
 """
 
+ORACLES["lineitem_skew_profile"] = """
+    WITH per AS (SELECT l_orderkey, COUNT(*) AS n_rows
+                 FROM lineitem GROUP BY l_orderkey),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t_rows FROM per)
+    SELECT l_orderkey, n_rows,
+           CAST((n_rows * 1000000) // t_rows AS BIGINT) AS share_ppm
+    FROM per CROSS JOIN tot
+    ORDER BY n_rows DESC, l_orderkey
+    LIMIT 10
+"""
+
 ORACLES["basket_part_pairs"] = """
     WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                 FROM lineitem)
@@ -4244,6 +4276,7 @@ QUERIES = {
     "ml_feature_importance": q_ml_feature_importance,
     "ml_cv_tuning": q_ml_cv_tuning,
     "events_resample_interp": q_events_resample_interp,
+    "lineitem_skew_profile": q_lineitem_skew_profile,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,

@@ -724,7 +724,7 @@ _SCALAR_FOLD_OK = {
     "tpch_q15_top_supplier", "tpch_q17_small_qty", "tpch_q19_disjunctive",
     "tpch_q22_acctbal", "tpch_q6_forecast", "doc_bm25_topk",
     "doc_tfidf_topterms", "emb_cosine_topk", "emb_sq8_topk",
-    "tpch_q11_important", "nation_revenue_share",
+    "tpch_q11_important", "nation_revenue_share", "lineitem_skew_profile",
 }
 
 
