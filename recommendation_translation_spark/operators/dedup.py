@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import cross_engine_hash, tokens
+from .text import cross_engine_hash, cross_engine_hash_hi, tokens
 
 __all__ = [
     "normalize_text",
@@ -232,26 +232,45 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """SimHash over whitespace tokens: (id, simhash long).
 
-    Each token votes ±1 per bit of its 32-bit hash; bit b of the result
-    is set iff the summed vote is positive.  Computed as ``bits`` sum
+    Each token votes ±1 per bit of its hash; bit b of the result is
+    set iff the summed vote is positive.  Computed as ``bits`` sum
     aggregates over the exploded tokens — one shuffle (plus the
     pre-explode spread repartition, see word_shingles: the ``bits``
     partial aggregates over |tokens|× rows must not run in one task
-    when the corpus arrives in few input splits)."""
+    when the corpus arrives in few input splits).
+
+    ``bits`` ∈ {32, 64}.  The 64-bit form (the 100 TB path — wider
+    band keys keep LSH buckets sparse, see simhash_pairs) draws bits
+    32..63 from hex chars 9-16 of the SAME md5 digest
+    (text.cross_engine_hash_hi), so it stays bit-exact cross-engine;
+    bit 63 lands on the long's sign bit, so its weight is the signed
+    value −2⁶³ on both engines."""
+    if bits not in (32, 64):
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
     par = df.sparkSession.sparkContext.defaultParallelism
     tok = df.repartition(par).select(
         F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("tok")
     )
-    h = cross_engine_hash(F.col("tok"), seed="sh")
+    h_lo = cross_engine_hash(F.col("tok"), seed="sh")
+    h_hi = cross_engine_hash_hi(F.col("tok"), seed="sh")
+
+    def _bit(b: int) -> F.Column:
+        src = h_lo if b < 32 else h_hi
+        return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
+        F.sum(F.when(_bit(b) == 1, 1).otherwise(-1)).alias(f"v_{b}")
         for b in range(bits)
     ]
     votes = tok.groupBy(id_col).agg(*aggs)
+
+    def _weight(b: int) -> F.Column:
+        # bit 63 is the two's-complement sign bit: 2**63 overflows a
+        # long, the SIGNED weight −2⁶³ sets exactly that bit
+        return F.lit(-(2**63) if b == 63 else 2**b).cast("long")
+
     sim = sum(
-        (F.when(F.col(f"v_{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
+        (F.when(F.col(f"v_{b}") > 0, _weight(b)).otherwise(F.lit(0).cast("long")))
         for b in range(bits)
     )
     return votes.select(F.col(id_col), sim.alias("simhash"))
@@ -274,16 +293,21 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
     in a high bit AND packed all docs into 256 buckets — quadratic
     within buckets at corpus scale.  Band keys here carry
     ~2·bits/m bits, so bucket counts grow with the signature, and at
-    100 TB you widen the signature — 64-bit simhash → 12-bit bands for
-    k = 3 — rather than shrink recall.)"""
+    100 TB you widen the signature — ``bits=64`` gives ~26-bit
+    two-block band keys at k = 3 — rather than shrink recall.)"""
     m = max_hamming + 2
     if m > bits:
         raise ValueError(f"max_hamming={max_hamming} needs more blocks than {bits} bits")
     base, rem = divmod(bits, m)
     widths = [base + 1] * rem + [base] * (m - rem)
     offsets = [sum(widths[:i]) for i in range(m)]
+    # shiftrightUNSIGNED: a 64-bit signature with bit 63 set is a
+    # negative long, and an arithmetic shift would smear 1s into every
+    # high block; logical shift is identical for the nonneg 32-bit case
     blocks = [
-        F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
         for i in range(m)
     ]
     bands = []
@@ -291,8 +315,13 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
     for i in range(m):
         for j in range(i + 1, m):
             # key = block_i ++ block_j, tagged with the band index so
-            # different (i, j) combos never collide in the join
-            key = (blocks[i] * F.lit(1 << widths[j]) + blocks[j]).cast("long")
+            # different (i, j) combos never collide in the join.
+            # shiftleft|or, NOT multiply+add: with bits=64 and m=2 the
+            # blocks are 32 wide and block_i << 32 can set the sign
+            # bit — the bit ops wrap in two's complement (the key is
+            # just a join label), where ANSI mode makes `*` throw
+            # ARITHMETIC_OVERFLOW
+            key = F.shiftleft(blocks[i], widths[j]).bitwiseOR(blocks[j]).cast("long")
             bands.append(F.struct(F.lit(band_id).alias("band"), key.alias("key")))
             band_id += 1
     # materialize the signatures once — the self-join references them on

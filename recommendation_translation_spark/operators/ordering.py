@@ -64,7 +64,10 @@ def _apply(
     """
     spark = df.sparkSession
     group_cols = list(group_cols or [])
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" on platforms that manage the conf
+        n = 200
     range_keys = [F.col(c) for c in group_cols] + order_cols
     ranged = df.repartitionByRange(n, *range_keys).withColumn(
         "_pid", F.spark_partition_id()
@@ -77,46 +80,68 @@ def _apply(
     # the offset map and the final window read the same checkpointed
     # partitions, so they agree on the partition layout by construction
     # — no reliance on the range sampler re-drawing identical
-    # boundaries across jobs.
+    # boundaries across jobs.  CLUSTER CAVEAT: localCheckpoint blocks
+    # are NOT fault-tolerant — an executor loss (incl. dynamic
+    # allocation decommission) between the two jobs fails the query
+    # rather than recomputing, because the lineage is truncated.  Under
+    # dynamic allocation, swap for ``persist(StorageLevel.DISK_ONLY)``
+    # or a reliable ``checkpoint()``; in this repo's fixed-executor
+    # bench/test setup the cheap local form is the right trade.
     ranged = ranged.localCheckpoint(eager=False)
+
+    # The (partition[, group]) lookup key is computed ONCE, in Spark,
+    # and reused verbatim on both sides: the histogram groups by this
+    # very column, and the final job indexes the offset map with the
+    # same expression.  Building the key in Python (str(value)) would
+    # silently diverge from Spark's string cast for booleans
+    # ("True" vs "true"), timestamps, floats — every lookup would miss
+    # and the numbering would restart per partition (round-3 advisor).
+    # NULL group values need an explicit sentinel: concat_ws SKIPS null
+    # operands, so a bare cast would fold NULL and '' together.
+    # (Known, documented collision: a group VALUE containing the \x1f
+    # separator or equal to the literal "\x00" sentinel can alias
+    # another key — pathological for the intended small-cardinality
+    # source/mix labels.)
+    _NULL = "\x00"
+    if group_cols:
+        mkey = F.concat_ws(
+            _SEP,
+            F.col("_pid").cast("string"),
+            *[
+                F.coalesce(F.col(g).cast("string"), F.lit(_NULL))
+                for g in group_cols
+            ],
+        )
+    else:
+        mkey = F.col("_pid").cast("string")
 
     # Pass 1: one row per (partition[, group]) — bounded by conf ×
     # group cardinality, never by data volume.  Driver-safe collect.
     hist = (
-        ranged.groupBy("_pid", *group_cols)
+        ranged.groupBy(F.col("_pid"), mkey.alias("_mkey"))
         .agg(agg.alias("_v"))
         .collect()
     )
-    # NULL group values need an explicit sentinel: concat_ws on the
-    # Spark side SKIPS null operands, so a bare cast would misalign the
-    # lookup key against the Python-built map for null-group rows.
-    _NULL = "\x00"
-    by_group: dict[str, list[tuple[int, int]]] = {}
+    # Accumulate offsets in partition order within each group.  The
+    # group part of the key is the Spark-computed _mkey with its
+    # "<pid>\x1f" prefix stripped (empty string for the ungrouped
+    # case) — Python never re-stringifies the group values.
+    by_group: dict[str, list[tuple[int, int, str]]] = {}
     for r in hist:
-        gkey = _SEP.join(_NULL if r[g] is None else str(r[g]) for g in group_cols)
-        by_group.setdefault(gkey, []).append((r["_pid"], r["_v"] or 0))
+        pid = r["_pid"]
+        prefix_len = len(str(pid)) + (1 if group_cols else 0)
+        gkey = r["_mkey"][prefix_len:]
+        by_group.setdefault(gkey, []).append((pid, r["_v"] or 0, r["_mkey"]))
     entries: list[Column] = []
-    for gkey, pids in by_group.items():
+    for pids in by_group.values():
         acc = 0
-        for pid, v in sorted(pids):
-            mkey = f"{pid}{_SEP}{gkey}" if gkey else str(pid)
-            entries.append(F.lit(mkey))
+        for _pid, v, collected_mkey in sorted(pids):
+            entries.append(F.lit(collected_mkey))
             entries.append(F.lit(acc))
             acc += v
     if not entries:  # empty input — offsets are all zero
         offset = F.lit(0).cast("long")
     else:
-        mkey = (
-            F.concat_ws(
-                _SEP, F.col("_pid").cast("string"),
-                *[
-                    F.coalesce(F.col(g).cast("string"), F.lit(_NULL))
-                    for g in group_cols
-                ],
-            )
-            if group_cols
-            else F.col("_pid").cast("string")
-        )
         offset = F.coalesce(
             F.create_map(*entries)[mkey].cast("long"), F.lit(0).cast("long")
         )

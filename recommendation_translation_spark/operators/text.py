@@ -58,6 +58,20 @@ def cross_engine_hash(col: Column | str, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def cross_engine_hash_hi(col: Column | str, seed: str = "") -> Column:
+    """Bits 32..63 of the same digest: hex chars 9-16 of the md5.
+
+    Together with :func:`cross_engine_hash` this yields a 64-bit
+    cross-engine hash from ONE md5 (Catalyst's common-subexpression
+    elimination shares the digest); DuckDB side is
+    ``('0x' || substr(md5(x), 9, 8))::BIGINT``.  Used by the 64-bit
+    SimHash (operators.dedup.simhash with bits=64)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed:
+        c = F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens; empty/blank text → empty array (not ['']).
 

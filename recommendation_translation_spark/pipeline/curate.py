@@ -127,4 +127,8 @@ def curate_corpus(
         f"{out_dir}/manifest.parquet",
     )
     gated.unpersist()
+    # packed was cached for the count + the two writes; release it so
+    # the full packed corpus isn't left pinned in executor storage
+    # after the pipeline returns (round-3 advisor note).
+    packed.unpersist()
     return stats

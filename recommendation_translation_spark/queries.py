@@ -234,16 +234,16 @@ def q_predictions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ingest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — DataGatherer.scala:48 inner equi-join USING, on the star
     schema: orders ⋈ customer ⋈ nation ⋈ region, revenue per region.
-    Dimensions are broadcast — no shuffle of the fact side beyond the
-    final aggregation."""
+    The DOMAIN-bounded dimensions (nation 25 rows, region 5 rows) are
+    broadcast; customer is SF-scaled (150k × SF — ~TB at 100 TB), so it
+    carries NO hint: AQE broadcasts it when it measures small and falls
+    back to a shuffled hash join when it doesn't (round-3 verdict #2)."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     return (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
-        )
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
@@ -495,6 +495,18 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).select(
         "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-bit signature variant — the 100 TB default (round-3
+    verdict #5): twice the hamming resolution and ~26-bit two-block
+    band keys at k=3, so LSH buckets stay sparse as the corpus grows
+    where the 32-bit keys would go hot.  Same complete Manku banding;
+    the oracle is again the brute-force all-pairs scan, proving zero
+    recall loss for the widened signature too."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bits=64
+    ).select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -1148,10 +1160,12 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share per ship-month —
-    conditional aggregation (sum of CASE) over a fact⋈dim join; part
-    is broadcast so the only shuffle is the month-keyed aggregation."""
+    conditional aggregation (sum of CASE) over a fact⋈dim join.  part
+    is SF-scaled (200k × SF rows), so it carries NO broadcast hint:
+    AQE broadcasts the 2-column projection while it measures small and
+    switches to a shuffled join at scale (round-3 verdict #2 class)."""
     li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     return (
@@ -1169,8 +1183,9 @@ def q_tpch_q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders — HAVING SUM(qty) > 250
     computed once on lineitem (map-side partials), then joined back to
     orders/customer.  The having-filter runs BEFORE the joins, so only
-    qualifying orderkeys (a tiny set) enter the join — broadcast-able
-    at any scale factor."""
+    qualifying orderkeys enter the join — a selective but still
+    SF-scaled set, so no forced broadcast hint: AQE converts to a
+    broadcast join when the filtered aggregate measures small."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -1180,7 +1195,7 @@ def q_tpch_q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 250)
     )
     return (
-        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_custkey",
@@ -1714,13 +1729,14 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the data), so its single-partition exchange moves 25 rows; the
     data-sized work is one broadcast join + one hash aggregate.
     Revenue rides as exact integer 10⁻⁴ dollars; the share is one IEEE
-    division of exact longs."""
+    division of exact longs.  customer is SF-scaled so it carries no
+    broadcast hint (AQE decides); only the 25-row nation is hinted."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     rev_e2 = F.round(F.col("o_totalprice") * 100).cast("long")
     per_nation = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
         .agg(F.sum(rev_e2).alias("rev_e2"))
@@ -1758,29 +1774,47 @@ def q_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pysource_scan's exact SQL oracle.  Offsets are {"i": next_id} dicts
     and readBetweenOffsets regenerates any span, the replay contract a
     recoverable streaming source must honor.  (sf_dir unused: the
-    source IS the data.)"""
+    source IS the data.)
+
+    Robustness: the stream's FIRST Python worker spawn can exceed the
+    fixed `spark.python.authenticate.socketTimeout` (15 s, a core conf
+    a running session cannot change) on a loaded host — the round-3
+    bench hit exactly that.  So (a) a trivial batch scan of the same
+    source warms the worker daemon BEFORE the stream starts (with
+    spark.python.worker.reuse the micro-batches then draw from the
+    warm pool), and (b) the drain retries once from scratch on
+    failure."""
     import uuid as _uuid
 
     from .sources.pysource import register_synthetic_source
 
     register_synthetic_source(spark)
-    stream = (
-        spark.readStream.format("synthetic_events")
-        .option("rows", "2000")
-        .option("batch", "500")
-        .load()
-    )
-    name = f"pysource_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()  # returns once read() reports caught-up
-    finally:
-        q.stop()
+    spark.read.format("synthetic_events").option("rows", "1").load().count()
+    last_exc = None
+    for _ in range(2):
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("rows", "2000")
+            .option("batch", "500")
+            .load()
+        )
+        name = f"pysource_stream_{_uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # returns once read() reports caught-up
+            last_exc = None
+            break
+        except Exception as exc:  # cold-start socket timeout: retry once
+            last_exc = exc
+        finally:
+            q.stop()
+    if last_exc is not None:
+        raise last_exc
     return (
         spark.table(name)
         .groupBy("bucket")
@@ -2095,7 +2129,9 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier count per (brand, type,
     size) over selected part attrs, excluding flagged suppliers
     (negative balance, substitute for the complaints NOT IN) — the
-    NOT IN is a LEFT ANTI join on a tiny broadcast side."""
+    NOT IN is a LEFT ANTI join.  The flagged-supplier side is a
+    filtered slice of the SF-scaled supplier table, so it carries no
+    forced broadcast hint (AQE picks broadcast while it fits)."""
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
@@ -2104,7 +2140,7 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        li.join(bad_supp, li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
         .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -2115,8 +2151,12 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue loss from small-quantity Brand#3
     orders.  The correlated per-part AVG subquery decorrelates into a
-    grouped aggregate broadcast-joined back to the fact; the final
-    scalar is exact integer cents with floor-division by 7."""
+    grouped aggregate joined back to the fact.  The per-part aggregate
+    is SF-scaled (one row per Brand#3 part), so it carries no forced
+    broadcast hint — AQE broadcasts while small, and at 100 TB the two
+    sides co-partition on l_partkey for a shuffle-reusing sort-merge
+    join.  The final scalar is exact integer cents with
+    floor-division by 7."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     li_b3 = li.join(part, li["l_partkey"] == part["p_partkey"], "left_semi")
@@ -2124,7 +2164,7 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li_b3.join(F.broadcast(avg_qty), li_b3["l_partkey"] == F.col("ap_key"))
+        li_b3.join(avg_qty, li_b3["l_partkey"] == F.col("ap_key"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.floor(
@@ -2398,13 +2438,21 @@ def _minhash_lsh_sql(k: int = 16, bands: int = 8, threshold: float = 0.02) -> st
 
 
 def _simhash_sql(bits: int = 32) -> str:
-    h = _hash_sql("tok", seed="sh")
+    # bits 0..31 come from hex chars 1-8 of the md5, bits 32..63 from
+    # chars 9-16 (operators.text.cross_engine_hash / _hi); bit 63 is
+    # the long's sign bit, so its weight is the signed value −2⁶³
+    h_lo = _hash_sql("tok", seed="sh")
+    h_hi = "('0x' || substr(md5(concat('sh:', tok)), 9, 8))::BIGINT"
     votes = ", ".join(
-        f"CAST(SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v_{b}"
+        "CAST(SUM(CASE WHEN ({h} >> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)"
+        " AS v_{b}".format(h=h_lo if b < 32 else h_hi, s=b % 32, b=b)
         for b in range(bits)
     )
     sim = " + ".join(
-        f"CASE WHEN v_{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        "CASE WHEN v_{b} > 0 THEN {w} ELSE CAST(0 AS BIGINT) END".format(
+            b=b,
+            w="(-9223372036854775807 - 1)" if b == 63 else f"CAST({2 ** b} AS BIGINT)",
+        )
         for b in range(bits)
     )
     return f"""
@@ -2761,6 +2809,13 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": f"""
         WITH s AS ({_simhash_sql()})
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "dedup_simhash64_pairs": f"""
+        WITH s AS ({_simhash_sql(bits=64)})
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -4241,76 +4296,17 @@ ORACLES["doc_string_funcs"] = """
 
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
-# round-by-round (round-2 verdict #3).  Front of the dict this round:
-# (a) queries added or changed in round 3, then (b) round-2 additions
-# the r1/r2 windows never covered.  The 50 queries green in
-# CORRECTNESS_r02.json sit at the back.  Cumulative coverage after the
-# r3 window: 96 of 120 queries have a driver row across r2+r3; the 24
-# still pending rotate to the FRONT in round 4 — everything from
-# tpch_q15_top_supplier onward in group (b) below (tpch_q15/q16/q17/
-# q19/q20/q21, orders_window_funcs, lineitem_moving_sum,
-# orders_date_funcs, corpus_stratified_sample, corpus_keep_best,
-# lineitem_percentiles, pricing_grouping_sets, events_hourly_heatmap,
-# doc_chunks_udtf, mm_frame_sample, events_sketch_stats, emb_sq8_topk,
-# events_stream_dedup, doc_tfidf_topterms, lineitem_yearly_growth,
-# events_trimmed_mean, pysource_scan and the tail of group (a)).  The
+# round-by-round (round-2 verdict #3).  Round-4 front: (a) the 25
+# entries that never had a driver row across r1-r3 (round-3 verdict
+# #1) — a green r4 window makes cumulative driver coverage 121/121 —
+# then (b) the queries whose implementation changed this round
+# (forced-broadcast hints dropped), then (c) new round-4 additions.
+# Everything driver-green in an earlier round sits behind them.  The
 # full set is always verified locally by tests/test_oracle_parity.py
 # regardless of position.
 QUERIES = {
-    # -- (a) new in round 3 / implementation changed in round 3 --
-    "corpus_pack_sequences": q_corpus_pack_sequences,
-    "corpus_source_quota": q_corpus_source_quota,
-    "corpus_profile": q_corpus_profile,
-    "doc_string_funcs": q_doc_string_funcs,
-    "doc_bm25_topk": q_doc_bm25_topk,
-    "events_time_rollup": q_events_time_rollup,
-    "lineitem_price_histogram": q_lineitem_price_histogram,
-    "corpus_dedup_report": q_corpus_dedup_report,
-    "corpus_blocklist": q_corpus_blocklist,
-    "orders_cohort_retention": q_orders_cohort_retention,
-    "dedup_ngram_capped": q_dedup_ngram_capped,
-    "pysource_stream": q_pysource_stream,
-    "events_transitions": q_events_transitions,
-    "basket_part_pairs": q_basket_part_pairs,
-    "nation_revenue_share": q_nation_revenue_share,
-    "ml_feature_importance": q_ml_feature_importance,
-    "ml_cv_tuning": q_ml_cv_tuning,
-    "events_resample_interp": q_events_resample_interp,
-    "lineitem_skew_profile": q_lineitem_skew_profile,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "corpus_token_budget": q_corpus_token_budget,
-    "corpus_interleave": q_corpus_interleave,
-    # train precedes score so the memoized models are attributed to the
-    # training query in bench timings (they share _trained's cache)
-    "ml_train_rmse": q_ml_train_rmse,
-    "ml_score_topk": q_ml_score_topk,
-    "doc_array_funcs": q_doc_array_funcs,
-    "corpus_contamination": q_corpus_contamination,
-    # -- (b) round-2 additions, never driver-checked --
-    "dedup_clusters": q_dedup_clusters,
-    "pricing_rollup": q_pricing_rollup,
-    "customer_semi_anti": q_customer_semi_anti,
-    "nation_set_ops": q_nation_set_ops,
-    "orders_salted_join": q_orders_salted_join,
-    "events_funnel": q_events_funnel,
-    "events_approx_stats": q_events_approx_stats,
-    "lineitem_stats": q_lineitem_stats,
-    "events_user_lag": q_events_user_lag,
-    "events_json_props": q_events_json_props,
-    "events_zscore_outliers": q_events_zscore_outliers,
-    "tpch_q6_forecast": q_tpch_q6_forecast,
-    "tpch_q10_returns": q_tpch_q10_returns,
-    "tpch_q13_custdist": q_tpch_q13_custdist,
-    "tpch_q14_promo": q_tpch_q14_promo,
-    "tpch_q18_bigorders": q_tpch_q18_bigorders,
-    "tpch_q22_acctbal": q_tpch_q22_acctbal,
-    "pricing_cube": q_pricing_cube,
-    "orders_above_cust_avg": q_orders_above_cust_avg,
-    "tpch_q2_min_cost": q_tpch_q2_min_cost,
-    "tpch_q4_priority": q_tpch_q4_priority,
-    "tpch_q7_volume": q_tpch_q7_volume,
-    "tpch_q8_share": q_tpch_q8_share,
-    "tpch_q9_profit": q_tpch_q9_profit,
+    # -- (a) round-4 front: the 25 entries never driver-checked in
+    # r1-r3 (round-3 verdict #1) --
     "tpch_q11_important": q_tpch_q11_important,
     "tpch_q12_priority": q_tpch_q12_priority,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
@@ -4336,14 +4332,72 @@ QUERIES = {
     "lineitem_yearly_growth": q_lineitem_yearly_growth,
     "events_trimmed_mean": q_events_trimmed_mean,
     "pysource_scan": q_pysource_scan,
-    # -- green in CORRECTNESS_r02.json (rotate forward as needed) --
+    # -- (b) new in round 4 --
+    "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
+    # -- (c) implementation changed in round 4 (forced-broadcast
+    # hints dropped) — re-verify under the driver --
+    "ingest_join": q_ingest_join,
+    "nation_revenue_share": q_nation_revenue_share,
+    "tpch_q14_promo": q_tpch_q14_promo,
+    "tpch_q18_bigorders": q_tpch_q18_bigorders,
+    # -- (d) driver-green in some earlier round (rotate forward as
+    # needed; tests/test_oracle_parity.py verifies ALL of them
+    # locally every session regardless of position) --
+    "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_source_quota": q_corpus_source_quota,
+    "corpus_profile": q_corpus_profile,
+    "doc_string_funcs": q_doc_string_funcs,
+    "doc_bm25_topk": q_doc_bm25_topk,
+    "events_time_rollup": q_events_time_rollup,
+    "lineitem_price_histogram": q_lineitem_price_histogram,
+    "corpus_dedup_report": q_corpus_dedup_report,
+    "corpus_blocklist": q_corpus_blocklist,
+    "orders_cohort_retention": q_orders_cohort_retention,
+    "dedup_ngram_capped": q_dedup_ngram_capped,
+    "pysource_stream": q_pysource_stream,
+    "events_transitions": q_events_transitions,
+    "basket_part_pairs": q_basket_part_pairs,
+    "ml_feature_importance": q_ml_feature_importance,
+    "ml_cv_tuning": q_ml_cv_tuning,
+    "events_resample_interp": q_events_resample_interp,
+    "lineitem_skew_profile": q_lineitem_skew_profile,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "corpus_token_budget": q_corpus_token_budget,
+    "corpus_interleave": q_corpus_interleave,
+    # train precedes score so the memoized models are attributed to
+    # the training query in bench timings (they share _trained's cache)
+    "ml_train_rmse": q_ml_train_rmse,
+    "ml_score_topk": q_ml_score_topk,
+    "doc_array_funcs": q_doc_array_funcs,
+    "corpus_contamination": q_corpus_contamination,
+    "dedup_clusters": q_dedup_clusters,
+    "pricing_rollup": q_pricing_rollup,
+    "customer_semi_anti": q_customer_semi_anti,
+    "nation_set_ops": q_nation_set_ops,
+    "orders_salted_join": q_orders_salted_join,
+    "events_funnel": q_events_funnel,
+    "events_approx_stats": q_events_approx_stats,
+    "lineitem_stats": q_lineitem_stats,
+    "events_user_lag": q_events_user_lag,
+    "events_json_props": q_events_json_props,
+    "events_zscore_outliers": q_events_zscore_outliers,
+    "tpch_q6_forecast": q_tpch_q6_forecast,
+    "tpch_q10_returns": q_tpch_q10_returns,
+    "tpch_q13_custdist": q_tpch_q13_custdist,
+    "tpch_q22_acctbal": q_tpch_q22_acctbal,
+    "pricing_cube": q_pricing_cube,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "tpch_q2_min_cost": q_tpch_q2_min_cost,
+    "tpch_q4_priority": q_tpch_q4_priority,
+    "tpch_q7_volume": q_tpch_q7_volume,
+    "tpch_q8_share": q_tpch_q8_share,
+    "tpch_q9_profit": q_tpch_q9_profit,
     "rank_normalized": q_rank_normalized,
     "feature_pivot": q_feature_pivot,
     "feature_unpivot": q_feature_unpivot,
     "customer_balance_merge": q_customer_balance_merge,
     "exists_filter": q_exists_filter,
     "predictions_fold": q_predictions_fold,
-    "ingest_join": q_ingest_join,
     "pricing_summary": q_pricing_summary,
     "pricing_summary_sql": q_pricing_summary_sql,
     "count_by_site": q_count_by_site,

@@ -182,16 +182,20 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Other testdata generations write ``ts`` as TIMESTAMP(MICROS,
     isAdjustedToUTC=false), which surfaces as TIMESTAMP_NTZ; downstream
     operators (``unix_micros``, watermark comparisons against literals)
-    expect TimestampType, so we pin the session timezone to UTC — the
-    same naive-as-UTC reading DuckDB's oracle uses — and cast, leaving
-    wall-clock values untouched.  Both normalizations land on identical
+    expect TimestampType, so the NTZ wall clock is read AS UTC — the
+    same naive-as-UTC reading DuckDB's oracle uses — leaving wall-clock
+    values untouched.  Both normalizations land on identical
     TimestampType values, so every query is generation-agnostic.
 
-    The confs are set here — not only in ``session.get_spark`` — because
-    callers (e.g. the correctness driver) may hand us a vanilla session
-    that would otherwise fail with PARQUET_TYPE_ILLEGAL.  They are
-    runtime-settable SQL confs and idempotent for sessions that
-    already carry them."""
+    The cast's zone is captured at ANALYSIS time (Catalyst's
+    ResolveTimeZone stamps TimeZoneAwareExpressions when the DataFrame
+    is resolved), so the session timezone is pinned only around the
+    ``withColumn`` and restored — the caller's session conf is left
+    exactly as found, fixing the round-3 advisor note that a shared
+    (e.g. correctness-driver) session silently switched to UTC for
+    every later query.  ``nanosAsLong`` stays set: it is required to
+    scan TIMESTAMP(NANOS) parquet at all and only affects that legacy
+    physical type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes)["ts"]
@@ -199,8 +203,12 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer division — float division loses ns precision at 1e18 magnitudes
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        try:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return df
 
 

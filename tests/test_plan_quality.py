@@ -745,3 +745,52 @@ def test_catalog_wide_plan_audit(spark):
             if "BroadcastNestedLoopJoin" in plan:
                 bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, f"plan anti-patterns: {bad}"
+
+
+# Columns that identify a scan of an SF-scaled TPC-H relation inside a
+# logical plan string (customer/orders/lineitem/part/partsupp/supplier
+# all grow linearly with scale factor — ~TBs at 100 TB).
+_SF_SCALED_KEY_COLS = (
+    "c_custkey", "o_orderkey", "l_orderkey", "p_partkey",
+    "ps_partkey", "s_suppkey",
+)
+
+
+def test_no_forced_broadcast_on_sf_scaled_relations(spark, monkeypatch):
+    # A forced F.broadcast() hint on a relation that GROWS with the
+    # data is an OOM at scale no matter what AQE thinks (round-3
+    # verdict: broadcast(customer) in ingest_join/nation_revenue_share;
+    # same class: part in q14, filtered supplier in q16, SF-scaled
+    # grouped aggregates in q17/q18).  Rule: a hinted frame whose plan
+    # scans an SF-scaled table must contain an Aggregate (the bounded
+    # scalar-fold / domain-bounded-rollup cases); raw or merely
+    # filtered/projected SF-scaled relations may never carry the hint —
+    # leave the choice to AQE, which sees runtime sizes.
+    import pyspark.sql.functions as SF
+
+    recorded: list = []
+    real_broadcast = SF.broadcast
+
+    def spy(df):
+        recorded.append(df)
+        return real_broadcast(df)
+
+    # queries.py / operators bind `F` to the functions MODULE, so
+    # patching the module attribute is visible everywhere.
+    monkeypatch.setattr("pyspark.sql.functions.broadcast", spy)
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in _BUILD_HEAVY:  # build-time-materializing queries
+            continue
+        recorded.clear()
+        fn(spark, SF_SMALL)
+        for hinted in recorded:
+            plan = hinted._jdf.queryExecution().analyzed().toString()
+            if any(c in plan for c in _SF_SCALED_KEY_COLS):
+                if "Aggregate" not in plan:
+                    offenders.append(name)
+    assert not offenders, (
+        f"forced broadcast hint on un-aggregated SF-scaled relation in: "
+        f"{sorted(set(offenders))}"
+    )

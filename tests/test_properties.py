@@ -246,15 +246,19 @@ def test_simhash_pairs_complete_vs_brute_force(spark, texts, k):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    sims = {r.doc_id: r.simhash for r in simhash(df).collect()}
-    want = {
-        (a, b, bin(sims[a] ^ sims[b]).count("1"))
-        for a in sims for b in sims
-        if a < b and bin(sims[a] ^ sims[b]).count("1") <= k
-    }
-    got = {(r.a_id, r.b_id, r.hamming)
-           for r in simhash_pairs(df, max_hamming=k).collect()}
-    assert got == want
+    for bits in (32, 64):
+        sims = {r.doc_id: r.simhash for r in simhash(df, bits=bits).collect()}
+        # mask: a 64-bit signature with the sign bit set collects as a
+        # negative Python int; hamming is over the 64-bit pattern
+        mask = (1 << 64) - 1
+        want = {
+            (a, b, bin((sims[a] ^ sims[b]) & mask).count("1"))
+            for a in sims for b in sims
+            if a < b and bin((sims[a] ^ sims[b]) & mask).count("1") <= k
+        }
+        got = {(r.a_id, r.b_id, r.hamming)
+               for r in simhash_pairs(df, max_hamming=k, bits=bits).collect()}
+        assert got == want, f"bits={bits}"
 
 
 @SETTINGS
@@ -478,3 +482,56 @@ def test_range_partitioned_grouping_handles_null_groups(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_range_partitioned_grouping_nonstring_and_empty_groups(spark):
+    # Regression for the round-3 advisor note: the offset-map key must
+    # be the SAME Spark-computed string on both sides.  Rebuilding it
+    # in Python broke (a) empty-string groups (the `if gkey` falsy
+    # branch picked the ungrouped key format) and (b) any type where
+    # Python str() != Spark CAST AS STRING — booleans ("True" vs
+    # "true") being the canonical case.  A silent miss coalesces every
+    # offset to 0 and restarts numbering per partition.
+    import datetime
+
+    from pyspark.sql import Window
+    from recommendation_translation_spark.operators.ordering import (
+        range_partitioned_row_number,
+    )
+
+    cases = [
+        # empty-string group value alongside normal ones
+        (
+            [("", i) for i in range(10)] + [("x", i) for i in range(10)],
+            "grp string, id long",
+        ),
+        # boolean groups: str(True) == "True" but Spark casts to "true"
+        (
+            [(i % 2 == 0, i) for i in range(20)],
+            "grp boolean, id long",
+        ),
+        # timestamp groups: Python datetime str() != Spark cast
+        (
+            [
+                (datetime.datetime(2024, 1, 1 + (i % 2), 0, 0, 0), i)
+                for i in range(20)
+            ],
+            "grp timestamp, id long",
+        ),
+    ]
+    for rows, schema in cases:
+        df = spark.createDataFrame(rows, schema)
+        got = {
+            (r.grp, r.id): r.rn
+            for r in range_partitioned_row_number(
+                df, [F.col("id")], "rn", group_cols=["grp"]
+            ).collect()
+        }
+        want = {
+            (r.grp, r.id): r.rn
+            for r in df.withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("grp").orderBy("id")),
+            ).collect()
+        }
+        assert got == want, schema
