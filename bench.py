@@ -56,6 +56,11 @@ def main() -> int:
     ).count().count()
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     li.limit(50_000).join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+    # ... and the PYTHON worker daemon: the Arrow-batched Python paths
+    # (UDTF chunking, mapInPandas decode, the Python DataSource) pay a
+    # ~1 s daemon spawn on their first use, which otherwise lands on
+    # whichever Python query sorts first (doc_chunks_udtf in r3).
+    spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
 
     qmap = entry_mod.queries()
     only = sys.argv[1:]  # optional subset: bench.py q1 q2 ...

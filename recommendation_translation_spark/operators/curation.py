@@ -275,7 +275,13 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
         # every label resolves; left+coalesce guards the root case)
         parent = hop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
         # localCheckpoint materializes the round AND truncates lineage,
-        # keeping every round's analyzed plan the same (small) size
+        # keeping every round's analyzed plan the same (small) size.
+        # Measured (round 4, sf0.1 best-of-3): eager 7.7-8.3 s for the
+        # whole query vs 8.5-9.3 s with eager=False — the lazy form
+        # still pays a checkpoint-completion job after the limit(1)
+        # count (LocalRDDCheckpointData computes missing partitions
+        # before truncating), so it saves nothing and loses AQE's
+        # sizing on the count.  Keep eager.
         new_labels = (
             hop.join(parent, hop["label"] == parent["pnode"], "left")
             .select("node", "old", F.coalesce("plabel", F.col("label")).alias("label"))
