@@ -62,11 +62,32 @@ def curate_corpus(
     - ``manifest.parquet/`` — (doc_id, source, n_tokens, mix_rank,
       pack_id, pack_offset, n_spanned, shard) for every kept doc;
 
-    and return per-stage survivor counts (the dataset-card numbers).
-    """
-    stats: dict[str, int] = {"input": docs.count()}
+    and return per-stage survivor counts plus free Observation-API
+    metrics (the dataset-card numbers).
 
-    # 1. scan-side gates: quality + blocklist fuse into one pass
+    Progress accounting rides the jobs the pipeline already runs
+    (``df.observe`` / CollectMetrics — metrics accumulate during
+    execution, no extra pass): the input count fires during the gate
+    job, the post-exact-dedup count during the near-dup job, and the
+    token/pack totals during the pack-cache job.  At 100 TB that
+    removes two full corpus scans the round-3 version spent on bare
+    ``.count()`` stats.  A node referenced twice in one plan (docs,
+    uniq below) still reports exact metrics: the first completed
+    execution sets the Observation, verified in
+    tests/test_curate_pipeline.py.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    stats: dict[str, int] = {}
+    _run = _uuid.uuid4().hex[:8]  # unique metric names per invocation
+
+    # 1. scan-side gates: quality + blocklist fuse into one pass; the
+    # input count is observed during the same job (docs is scanned for
+    # the join anyway)
+    obs_in = Observation(f"curate_input_{_run}")
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
     q = quality_flags(docs, min_words=min_words).select("doc_id", "keep")
     gated = docs.join(q, "doc_id").filter(F.col("keep")).drop("keep")
     if blocklist:
@@ -75,6 +96,7 @@ def curate_corpus(
         )
     gated = gated.cache()
     stats["after_gates"] = gated.count()
+    stats["input"] = int(obs_in.get["n"])
 
     # 2. exact dedup: keep the min-id representative of each content.
     # keep_ids is corpus-sized (one row per distinct content), so it
@@ -82,14 +104,19 @@ def curate_corpus(
     # scale-correct shape (AQE still broadcasts when it happens to be
     # small).
     keep_ids = dedup_exact(gated).select(F.col("keep_id").alias("doc_id"))
-    uniq = gated.join(keep_ids, "doc_id", "left_semi")
-    stats["after_exact_dedup"] = uniq.count()
+    obs_uniq = Observation(f"curate_after_exact_dedup_{_run}")
+    uniq = gated.join(keep_ids, "doc_id", "left_semi").observe(
+        obs_uniq, F.count(F.lit(1)).alias("n")
+    )
 
-    # 3. near-dup resolution: drop docs dominated by a better pair
+    # 3. near-dup resolution: drop docs dominated by a better pair.
+    # The exact-dedup survivor count is observed during this job —
+    # uniq feeds both the shingle pipeline and the keep side.
     pairs = ngram_jaccard_pairs(uniq, n=3, threshold=jaccard_threshold)
     with_q = uniq.withColumn("q_len", F.length("text").cast("long"))
     kept = keep_best_per_pair(with_q, pairs, "q_len").drop("q_len")
     stats["after_near_dedup"] = kept.count()
+    stats["after_exact_dedup"] = int(obs_uniq.get["n"])
 
     # 4. per-source quota, then the training mix order
     quota = source_quota(
@@ -104,10 +131,23 @@ def curate_corpus(
         "n_tokens", F.size(tokens(F.col("text"))).cast("long")
     )
     packed = pack_sequences(with_tokens, seq_len=seq_len, id_col="mix_rank")
-    packed = packed.withColumn(
-        "shard", F.expr(f"pack_id div {int(packs_per_shard)}")
-    ).cache()
+    obs_packed = Observation(f"curate_packed_{_run}")
+    packed = (
+        packed.withColumn("shard", F.expr(f"pack_id div {int(packs_per_shard)}"))
+        .observe(
+            obs_packed,
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("pack_id").alias("max_pack_id"),
+            F.max("shard").alias("max_shard"),
+        )
+        .cache()
+    )
     stats["kept"] = packed.count()
+    # free dataset-card totals, observed during the cache job above
+    m = obs_packed.get
+    stats["total_tokens"] = int(m["total_tokens"] or 0)
+    stats["n_packs"] = int(m["max_pack_id"]) + 1 if m["max_pack_id"] is not None else 0
+    stats["n_shards"] = int(m["max_shard"]) + 1 if m["max_shard"] is not None else 0
 
     # 6. artifacts: sharded JSONL corpus + parquet manifest
     from ..sources.writers import write_jsonl, write_parquet

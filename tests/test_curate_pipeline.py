@@ -30,7 +30,12 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
         packs_per_shard=8,
         min_words=5,
     )
-    # survivor counts shrink monotonically, nothing vanishes entirely
+    # survivor counts shrink monotonically, nothing vanishes entirely.
+    # input and after_exact_dedup come from Observation metrics riding
+    # other jobs (round 4) — this also pins that a node referenced
+    # twice in one plan (docs in the gate join, uniq in the near-dup
+    # job) still observes the EXACT count, not a doubled one.
+    assert stats["input"] == docs.count()
     assert (
         stats["input"]
         >= stats["after_gates"]
@@ -39,9 +44,20 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
         >= stats["kept"]
         > 0
     )
+    # free Observation totals are consistent with the manifest
+    assert stats["n_packs"] > 0 and stats["n_shards"] > 0
+    assert stats["total_tokens"] > 0
 
     manifest = spark.read.parquet(f"{out}/manifest.parquet")
     assert manifest.count() == stats["kept"]
+    mrow = manifest.agg(
+        F.sum("n_tokens").alias("t"),
+        (F.max("pack_id") + 1).alias("p"),
+        (F.max("shard") + 1).alias("s"),
+    ).collect()[0]
+    assert stats["total_tokens"] == mrow["t"]
+    assert stats["n_packs"] == mrow["p"]
+    assert stats["n_shards"] == mrow["s"]
     # mix_rank is a dense permutation of 1..kept
     ranks = [r.mix_rank for r in manifest.select("mix_rank").collect()]
     assert sorted(ranks) == list(range(1, stats["kept"] + 1))
