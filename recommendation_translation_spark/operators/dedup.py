@@ -42,6 +42,7 @@ __all__ = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_bands",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
@@ -158,6 +159,40 @@ def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_bands(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH band stack: (id, band, band_hash) — ``bands`` rows per doc.
+
+    Signatures split into ``bands`` bands of ``k/bands`` rows each;
+    docs sharing a (band, band_hash) are LSH candidates.  Shared by
+    :func:`minhash_lsh_pairs` (candidate join) and the bucket-size
+    skew diagnostic (queries.q_dedup_band_histogram)."""
+    assert k % bands == 0
+    rows = k // bands
+    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"sig_{bi * rows + j}") for j in range(rows)]
+        # band digest is an internal join key only — xxhash64 gives an
+        # 8-byte key (vs a 32-char md5 string) with identical grouping
+        band_cols.append(
+            F.xxhash64(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(f"band_{bi}")
+        )
+    banded = sigs.select(F.col(id_col), *band_cols)
+    return banded.selectExpr(
+        id_col,
+        "stack({}, {}) AS (band, band_hash)".format(
+            bands, ", ".join(f"'{bi}', band_{bi}" for bi in range(bands))
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 16,
@@ -174,24 +209,8 @@ def minhash_lsh_pairs(
     digest); candidates are verified with exact shingle Jaccard.
     Returns (a_id, b_id, jaccard ≥ threshold).
     """
-    assert k % bands == 0
-    rows = k // bands
-    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
-    band_cols = []
-    for bi in range(bands):
-        cols = [F.col(f"sig_{bi * rows + j}") for j in range(rows)]
-        # band digest is an internal join key only — xxhash64 gives an
-        # 8-byte key (vs a 32-char md5 string) with identical grouping
-        band_cols.append(
-            F.xxhash64(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(f"band_{bi}")
-        )
-    banded = sigs.select(F.col(id_col), *band_cols)
-    stacked = banded.selectExpr(
-        id_col,
-        "stack({}, {}) AS (band, band_hash)".format(
-            bands, ", ".join(f"'{bi}', band_{bi}" for bi in range(bands))
-        ),
-    )
+    stacked = minhash_bands(df, k=k, bands=bands, n=n, text_col=text_col,
+                            id_col=id_col)
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(b, ["band", "band_hash"])

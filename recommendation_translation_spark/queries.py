@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .operators.dedup import (
     dedup_exact,
+    minhash_bands,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -432,6 +433,16 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream_tumbling_agg(spark, sf_dir))
 
 
+def q_events_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping (overlapping) windows: 2-hour totals per
+    event type refreshed hourly — each event lands in width/slide = 2
+    windows.  The oracle reproduces the overlap by unnesting each
+    event into its 2 hour-aligned window starts."""
+    from .streaming.events_stream import run_stream_to_memory, stream_hopping_agg
+
+    return run_stream_to_memory(stream_hopping_agg(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup (extension)
 # ---------------------------------------------------------------------------
@@ -507,6 +518,25 @@ def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=3, bits=64
     ).select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_dedup_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size distribution (bucket_size → n_buckets) for the
+    MinHash banding — the skew diagnostic for dedup planning, the
+    companion of lineitem_skew_profile for joins: a candidate join on
+    (band, band_hash) emits C(size, 2) pairs per bucket, so one hot
+    bucket of 10⁵ docs is 5·10⁹ pairs.  Run this BEFORE the pair join
+    at a new scale to size k/bands (wider bands → smaller buckets).
+    Two hash aggregates, no joins — cheap at any SF."""
+    stacked = minhash_bands(_t(spark, sf_dir, "documents"), k=16, bands=8)
+    sizes = stacked.groupBy("band", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .select(F.col("bucket_size").cast("long").alias("bucket_size"), "n_buckets")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1516,6 +1546,43 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative token-rarity score per document — the
+    perplexity-proxy quality signal of LLM curation (a document whose
+    tokens are all corpus-frequent reads like boilerplate; one made of
+    corpus-rare tokens is either informative or garbage, and both
+    tails get routed to closer inspection).  Score is the exact
+    rational ``Σ tf·(N_total div cf)`` — the unigram surprisal shape
+    with integer division replacing the libm-dependent log, bit-exact
+    cross-engine; rarity_avg is the per-token mean (integer div).
+
+    Plan: explode → (doc, term) tf aggregate → term cf aggregate →
+    shuffle join back on term.  The (doc,term) pre-aggregation bounds
+    the hot-stopword key at |docs| rows (not |occurrences|), and AQE
+    skew-split handles the rest; the corpus total is a 1-row broadcast
+    scalar."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import tokens as _tokens
+
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = cf.agg(F.sum("cf").alias("n_total"))
+    return (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.expr("n_total div cf")).cast("long").alias("rarity_sum"),
+        )
+        .withColumn("rarity_avg", F.expr("rarity_sum div n_tokens"))
+    )
+
+
 def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 salient terms by a df-normalized tf score —
     the tf-idf retrieval shape (tf aggregate ⋈ document-frequency
@@ -2398,7 +2465,11 @@ def _minhash_sigs_sql(k: int = 16) -> str:
     return f"SELECT doc_id, {aggs} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
 
 
-def _minhash_lsh_sql(k: int = 16, bands: int = 8, threshold: float = 0.02) -> str:
+def _minhash_stacked_sql(k: int = 16, bands: int = 8) -> str:
+    """Shared CTE prefix: sigs → banded → stacked (doc_id, band,
+    band_hash).  Band digests are md5 strings here vs xxhash64 longs in
+    Spark — different VALUES, identical GROUPING, which is all the
+    pair join and the bucket histogram depend on."""
     rows = k // bands
     band_exprs = ", ".join(
         "md5(concat_ws('_', {})) AS band_{}".format(
@@ -2410,10 +2481,14 @@ def _minhash_lsh_sql(k: int = 16, bands: int = 8, threshold: float = 0.02) -> st
         f"SELECT doc_id, '{bi}' AS band, band_{bi} AS band_hash FROM banded"
         for bi in range(bands)
     )
-    return f"""
-        WITH sigs AS ({_minhash_sigs_sql(k)}),
+    return f"""sigs AS ({_minhash_sigs_sql(k)}),
         banded AS (SELECT doc_id, {band_exprs} FROM sigs),
-        stacked AS ({stack_union}),
+        stacked AS ({stack_union})"""
+
+
+def _minhash_lsh_sql(k: int = 16, bands: int = 8, threshold: float = 0.02) -> str:
+    return f"""
+        WITH {_minhash_stacked_sql(k, bands)},
         cand AS (
           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
           FROM stacked a JOIN stacked b
@@ -2820,6 +2895,37 @@ ORACLES: dict[str, str] = {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "dedup_band_histogram": f"""
+        WITH {_minhash_stacked_sql(16, 8)},
+        sizes AS (
+          SELECT band, band_hash, CAST(COUNT(*) AS BIGINT) AS bucket_size
+          FROM stacked GROUP BY 1, 2
+        )
+        SELECT bucket_size, COUNT(*) AS n_buckets
+        FROM sizes GROUP BY 1
+    """,
+    "doc_rarity_quality": f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+        cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
+        tot AS (SELECT SUM(cf) AS n_total FROM cf)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf * (n_total // cf)) AS BIGINT) AS rarity_sum,
+               CAST(SUM(tf * (n_total // cf)) // SUM(tf) AS BIGINT) AS rarity_avg
+        FROM tf JOIN cf USING (term) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    "events_stream_hopping": """
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)))
+                    AS BIGINT) - k.k * 3600 AS window_start_epoch,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events, (SELECT unnest([0, 1]) AS k) k
+        GROUP BY 1, 2
     """,
     "emb_cosine_topk": _cosine_topk_sql(),
     "emb_cosine_topk_np": _cosine_topk_sql(decimals=4),
@@ -4334,6 +4440,9 @@ QUERIES = {
     "pysource_scan": q_pysource_scan,
     # -- (b) new in round 4 --
     "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
+    "dedup_band_histogram": q_dedup_band_histogram,
+    "doc_rarity_quality": q_doc_rarity_quality,
+    "events_stream_hopping": q_events_stream_hopping,
     # -- (c) implementation changed in round 4 (forced-broadcast
     # hints dropped) — re-verify under the driver --
     "ingest_join": q_ingest_join,

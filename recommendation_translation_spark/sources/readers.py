@@ -33,6 +33,8 @@ __all__ = [
     "read_parsed_parquet",
     "read_features_parquet",
     "read_jsonl",
+    "read_orc",
+    "read_media_dir",
     "load_testdata",
     "TESTDATA_TABLES",
 ]
@@ -168,6 +170,35 @@ def read_jsonl(spark: SparkSession, path: str, schema=None,
     if drop_malformed:
         reader = reader.option("mode", "DROPMALFORMED")
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (builtin columnar alternative to parquet — common in
+    Hive-era warehouses like the one the reference reads from,
+    DataGatherer.scala:68-74).  Same optimizer contract as parquet:
+    predicate pushdown to stripe/row-group level and column pruning,
+    asserted in tests/test_sources_roundtrip.py.  Extension surface."""
+    return spark.read.orc(path)
+
+
+def read_media_dir(spark: SparkSession, path: str,
+                   glob: str | None = None) -> DataFrame:
+    """Binary media ingest: Spark's builtin ``binaryFile`` source reads
+    a directory of opaque files as (path, modificationTime, length,
+    content binary) — the ingest edge of the multimodal pipeline
+    (operators.multimodal): feed ``content`` to decode_image_meta /
+    sample_video_frames.
+
+    Scale notes: one row per FILE, so millions of small media files
+    make a fine-grained scan that parallelizes naturally;
+    ``spark.sql.files.maxPartitionBytes`` packs small files per task.
+    Pushdown on file metadata works (a ``length < N`` filter prunes at
+    listing time); ``glob`` (e.g. ``*.jpg``) filters by name without
+    listing content.  Extension surface; no reference counterpart."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

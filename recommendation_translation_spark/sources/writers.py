@@ -17,6 +17,7 @@ __all__ = [
     "write_predictions_csv",
     "write_bucketed_table",
     "write_jsonl",
+    "write_orc",
     "merge_upsert_parquet",
     "read_current_version",
 ]
@@ -82,6 +83,17 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "errorifexists",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "errorifexists",
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink — same errorifexists discipline as the parquet sinks
+    and the same partition-pruning contract via ``partition_by``.
+    Extension surface for Hive-era warehouse interop."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 def merge_upsert_parquet(spark, target_path: str, updates: DataFrame,

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "stream_tumbling_agg",
+    "stream_hopping_agg",
     "stream_sessionize",
     "stream_stream_join",
     "stream_user_stats",
@@ -55,9 +56,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         # TIMESTAMP(MICROS, isAdjustedToUTC=false) generation — normalize
-        # exactly like sources.readers.read_events (naive-as-UTC).
+        # exactly like sources.readers.read_events (naive-as-UTC): the
+        # cast captures its zone at analysis time, so pin UTC around the
+        # withColumn and restore the caller's conf.
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        try:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return stream
 
 
@@ -67,6 +74,29 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str, width: str = "1 hour")
     events = _events_stream(spark, sf_dir)
     return (
         events.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_hopping_agg(spark: SparkSession, sf_dir: str, width: str = "2 hours",
+                       slide: str = "1 hour") -> DataFrame:
+    """Streaming hopping-window (overlapping) count/sum per event_type:
+    every event lands in ``width/slide`` windows.  Same incremental
+    state machinery as the tumbling form — one state row per (window,
+    type) — with windows overlapping by ``width − slide``; the classic
+    dashboard smoothing shape ("2-hour totals refreshed hourly")."""
+    events = _events_stream(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),

@@ -1,0 +1,80 @@
+"""Z-order layout operator (round 4): multi-dimensional locality.
+
+The contract: after ``write_zordered(df, cols)``, EVERY written file
+covers a narrow range of EVERY clustered column simultaneously — which
+is what makes parquet min/max row-group skipping effective for filters
+on any of them.  A plain sort can only do this for its leading column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommendation_translation_spark.operators.layout import (
+    write_zordered,
+    zorder_dataframe,
+    zorder_key,
+)
+
+
+def _per_file_spreads(spark, path):
+    df = spark.read.parquet(path)
+    rows = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    return [(r.sx, r.sy) for r in rows]
+
+
+def test_zorder_files_are_compact_in_both_dims(spark, tmp_path):
+    # a full 64x64 integer grid — every (x, y) once
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    z_path = str(tmp_path / "zordered")
+    write_zordered(grid, z_path, ["x", "y"], n_files=16)
+    z_spreads = _per_file_spreads(spark, z_path)
+    assert len(z_spreads) >= 8  # really split into many files
+
+    # baseline: sorting by y alone gives files spanning the FULL x range
+    y_path = str(tmp_path / "ysorted")
+    grid.repartitionByRange(16, "y").sortWithinPartitions("y").write.parquet(y_path)
+    y_spreads = _per_file_spreads(spark, y_path)
+
+    z_avg_x = sum(s[0] for s in z_spreads) / len(z_spreads)
+    z_avg_y = sum(s[1] for s in z_spreads) / len(z_spreads)
+    y_avg_x = sum(s[0] for s in y_spreads) / len(y_spreads)
+
+    # z-order: both dims compact (a contiguous Morton range covers at
+    # most a couple of adjacent blocks, far below the 63 full span)
+    assert z_avg_x < 48 and z_avg_y < 48, (z_avg_x, z_avg_y)
+    # the single-column sort leaves x at (essentially) full span
+    assert y_avg_x > 60
+    # and z-order beats it decisively on the non-sort dimension
+    assert z_avg_x < y_avg_x / 2
+
+
+def test_zorder_key_is_deterministic_and_bounded(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") % 37).alias("y")
+    )
+    z = zorder_key([F.col("x"), F.col("y")], [(0, 99), (0, 36)], bits=8)
+    vals = [r.z for r in df.select(z.alias("z")).collect()]
+    assert all(0 <= v < (1 << 16) for v in vals)
+    # deterministic: same inputs, same codes
+    vals2 = [r.z for r in df.select(z.alias("z")).collect()]
+    assert vals == vals2
+
+
+def test_zorder_preserves_rows(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 500).alias("y")
+    )
+    out = zorder_dataframe(df, ["x", "y"], n_files=4)
+    assert out.count() == 500
+    assert {r.x for r in out.collect()} == set(range(500))

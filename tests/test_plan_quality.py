@@ -710,7 +710,7 @@ def test_string_funcs_zero_shuffle(spark):
 # stream drains) — their plan properties are pinned by dedicated tests.
 _BUILD_HEAVY = {
     "ml_train_rmse", "ml_score_topk", "ml_feature_importance", "ml_cv_tuning",
-    "events_stream_tumbling",
+    "events_stream_tumbling", "events_stream_hopping",
     "events_stream_sessionize", "events_stream_join",
     "events_stream_stateful", "events_stream_dedup", "pysource_stream",
 }
@@ -723,7 +723,7 @@ _SCALAR_FOLD_OK = {
     "corpus_dedup_report", "lineitem_price_histogram",
     "tpch_q15_top_supplier", "tpch_q17_small_qty", "tpch_q19_disjunctive",
     "tpch_q22_acctbal", "tpch_q6_forecast", "doc_bm25_topk",
-    "doc_tfidf_topterms", "emb_cosine_topk", "emb_sq8_topk",
+    "doc_tfidf_topterms", "doc_rarity_quality", "emb_cosine_topk", "emb_sq8_topk",
     "tpch_q11_important", "nation_revenue_share", "lineitem_skew_profile",
 }
 
