@@ -1762,6 +1762,70 @@ def q_ml_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-list TRAINING: seeded k-means over the embedding column —
+    the step that produces the centroid lists emb_ivf_topk assigns
+    against (there the centroids ride as literals; here they are
+    learned).  Distributed Lloyd's via Spark ML; the returned frame is
+    the bounded (k × dim) centroid grid plus per-cluster sizes —
+    driver-side data bounded by configuration, exactly like the IVF
+    centroid literals.  Rows-only: iterative k-means isn't
+    SQL-expressible."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=5).fit(feats)
+    sizes = model.summary.clusterSizes
+    rows = [
+        (ci, int(sizes[ci]), pos, float(round(v, 6)))
+        for ci, center in enumerate(model.clusterCenters())
+        for pos, v in enumerate(center)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id long, n_points long, pos long, centroid double"
+    )
+
+
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the fastText-style stage of
+    LLM curation): train LogisticRegression on cheap text statistics
+    with the rule-based Gopher/C4 gates as WEAK LABELS, then score
+    every document — the heuristic gate bootstraps its own smooth
+    replacement, which generalizes past the hard thresholds.  The
+    feature pass and the scoring pass are both one distributed scan;
+    only the (tiny) LBFGS state lives on the driver.  Rows-only:
+    iterative LBFGS isn't SQL-expressible."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from .operators.curation import quality_flags as _qflags
+    from .operators.text import quality_score as _qscore
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = _qscore(docs)
+    labels = _qflags(docs, min_words=20).select(
+        "doc_id", F.col("keep").cast("double").alias("label")
+    )
+    data = VectorAssembler(
+        inputCols=["n_tokens", "punct_ratio", "stopword_ratio"],
+        outputCol="features",
+    ).transform(feats.join(labels, "doc_id"))
+    model = LogisticRegression(
+        maxIter=10, regParam=0.01, labelCol="label", featuresCol="features"
+    ).fit(data)
+    return model.transform(data).select(
+        "doc_id",
+        F.round(vector_to_array("probability")[1], 4).alias("quality_prob"),
+        F.col("prediction").cast("long").alias("predicted_keep"),
+        F.col("label").cast("long").alias("weak_label"),
+    )
+
+
 def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair affinity: the 20 part pairs most often bought
     in the same order, with per-part support — the pairwise
@@ -4443,6 +4507,8 @@ QUERIES = {
     "dedup_band_histogram": q_dedup_band_histogram,
     "doc_rarity_quality": q_doc_rarity_quality,
     "events_stream_hopping": q_events_stream_hopping,
+    "emb_kmeans_centroids": q_emb_kmeans_centroids,
+    "doc_quality_classifier": q_doc_quality_classifier,
     # -- (c) implementation changed in round 4 (forced-broadcast
     # hints dropped) — re-verify under the driver --
     "ingest_join": q_ingest_join,

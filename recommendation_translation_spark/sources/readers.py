@@ -34,6 +34,7 @@ __all__ = [
     "read_features_parquet",
     "read_jsonl",
     "read_orc",
+    "read_parquet_evolving",
     "read_media_dir",
     "load_testdata",
     "TESTDATA_TABLES",
@@ -179,6 +180,19 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     predicate pushdown to stripe/row-group level and column pruning,
     asserted in tests/test_sources_roundtrip.py.  Extension surface."""
     return spark.read.orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet generations whose schemas
+    drifted (columns added over time) via ``mergeSchema`` — rows from
+    older files surface NULL for later-added columns.
+
+    ``mergeSchema`` costs one footer read per FILE at planning time
+    (that is why it is off by default); use it at generation
+    boundaries, then normalize — a long-lived 100 TB lake should
+    converge back to one explicit schema, not pay the merge on every
+    scan.  Extension surface; no reference counterpart."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def read_media_dir(spark: SparkSession, path: str,

@@ -18,6 +18,7 @@ __all__ = [
     "write_bucketed_table",
     "write_jsonl",
     "write_orc",
+    "compact_parquet",
     "merge_upsert_parquet",
     "read_current_version",
 ]
@@ -83,6 +84,49 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "errorifexists",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def compact_parquet(spark, path: str, target_file_mb: int = 128) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_mb``-sized files (atomic swap via a staging dir +
+    rename).
+
+    The small-files problem is THE silent killer of a long-lived lake:
+    a streaming sink or over-parallel write leaves thousands of KB-size
+    files, and every later scan pays per-file open/footer/listing cost
+    (at 100 TB, millions of files turn listing itself into the job).
+    Sizing by BYTES (not a fixed file count) keeps the result right for
+    any input: file count = ceil(input_bytes / target).
+
+    Returns {"files_before", "files_after", "bytes"} for the
+    maintenance log.  Uses coalesce (no shuffle) — compaction merges
+    partitions; it never needs a repartition exchange."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files = [
+        f for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(f)
+    ]
+    total_bytes = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    staged = path.rstrip("/") + "._compact_tmp"
+    df = spark.read.parquet(path)
+    df.coalesce(int(n_out)).write.mode("errorifexists").parquet(staged)
+    old = path.rstrip("/") + "._compact_old"
+    _os.rename(path, old)
+    _os.rename(staged, path)
+    _shutil.rmtree(old)
+    after = [
+        f for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(f)
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": int(total_bytes),
+    }
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "errorifexists",

@@ -20,6 +20,10 @@ ROWS_ONLY = {
     "events_approx_stats": "HLL++/quantile sketches are approximate by "
                            "design; error bounds pinned in tests",
     "events_sketch_stats": "same — sketch outputs, error-bound tested",
+    "emb_kmeans_centroids": "iterative k-means training (Spark ML) is "
+                            "not SQL-expressible",
+    "doc_quality_classifier": "iterative LBFGS logistic-regression "
+                              "training is not SQL-expressible",
 }
 
 

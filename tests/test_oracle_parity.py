@@ -22,18 +22,12 @@ def test_oracle_parity(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
-# Queries with no SQL oracle: ML model fits, the iterative
-# connected-components fixpoint, and sketch-based approximations
-# (driver records rows-only checks; accuracy is bounded in tests).
-NO_ORACLE = {
-    "ml_train_rmse",
-    "ml_score_topk",
-    "ml_feature_importance",
-    "ml_cv_tuning",
-    "dedup_clusters",
-    "events_approx_stats",
-    "events_sketch_stats",
-}
+# Queries with no SQL oracle (driver records rows-only checks).  The
+# canonical allowlist WITH per-query reasons lives in
+# test_catalog_contract.ROWS_ONLY — shared so the two can't drift.
+from .test_catalog_contract import ROWS_ONLY
+
+NO_ORACLE = set(ROWS_ONLY)
 
 
 def test_all_queries_have_oracle_or_are_ml():

@@ -710,6 +710,7 @@ def test_string_funcs_zero_shuffle(spark):
 # stream drains) — their plan properties are pinned by dedicated tests.
 _BUILD_HEAVY = {
     "ml_train_rmse", "ml_score_topk", "ml_feature_importance", "ml_cv_tuning",
+    "emb_kmeans_centroids", "doc_quality_classifier",
     "events_stream_tumbling", "events_stream_hopping",
     "events_stream_sessionize", "events_stream_join",
     "events_stream_stateful", "events_stream_dedup", "pysource_stream",
@@ -754,6 +755,41 @@ _SF_SCALED_KEY_COLS = (
     "c_custkey", "o_orderkey", "l_orderkey", "p_partkey",
     "ps_partkey", "s_suppkey",
 )
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # At 100 TB, a fact ⋈ selectively-filtered-dim shuffle join should
+    # ship only fact rows that can match: Spark's runtime bloom filter
+    # builds bloom_filter_agg on the filtered side and injects a
+    # might_contain predicate on the fact side BEFORE the shuffle.
+    # The optimization is size-gated (application side must scan >
+    # applicationSideScanSizeThreshold, 10 GB default — correct for a
+    # real cluster, never reached at bench SF), so this test lowers
+    # the gate to prove the engine's plans ARE eligible: no manual
+    # semi-join reduction is needed in our query shapes.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = physical_plan(j, mode="simple")
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 def test_no_forced_broadcast_on_sf_scaled_relations(spark, monkeypatch):

@@ -49,6 +49,43 @@ def test_orc_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "src0" in plan
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from recommendation_translation_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.repartition(20).write.parquet(path)  # 20 tiny files
+    before = {(r.doc_id, r.source) for r in docs.select("doc_id", "source").collect()}
+
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1  # well under one 128 MB target
+
+    back = spark.read.parquet(path)
+    after = {(r.doc_id, r.source) for r in back.select("doc_id", "source").collect()}
+    assert after == before  # atomic swap lost nothing
+
+
+def test_parquet_schema_evolution_merges_generations(spark, tmp_path):
+    from recommendation_translation_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    spark.range(5).select(F.col("id").alias("k")).write.parquet(gen1)
+    spark.range(5, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+    ).write.parquet(gen2)
+
+    merged = read_parquet_evolving(spark, gen1, gen2)
+    assert set(merged.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in merged.collect()}
+    assert set(rows) == set(range(10))
+    assert all(rows[k] is None for k in range(5))       # old gen: NULL
+    assert all(rows[k] == 2 * k for k in range(5, 10))  # new gen: value
+
+
 def test_binaryfile_media_ingest_feeds_decoder(spark, tmp_path):
     media_dir = tmp_path / "media"
     media_dir.mkdir()
