@@ -527,7 +527,9 @@ def q_dedup_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_hash) emits C(size, 2) pairs per bucket, so one hot
     bucket of 10⁵ docs is 5·10⁹ pairs.  Run this BEFORE the pair join
     at a new scale to size k/bands (wider bands → smaller buckets).
-    Two hash aggregates, no joins — cheap at any SF."""
+    Costs the signature pass (shared with the LSH pipeline) plus two
+    hash aggregates — crucially, NO pair join: the diagnostic never
+    risks the blowup it measures."""
     stacked = minhash_bands(_t(spark, sf_dir, "documents"), k=16, bands=8)
     sizes = stacked.groupBy("band", "band_hash").agg(
         F.count("*").alias("bucket_size")
@@ -1546,6 +1548,15 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment against a static dimension (user tiers),
+    aggregated per tier — the stream-STATIC join surface next to the
+    watermarked stream-stream join."""
+    from .streaming.events_stream import run_stream_to_memory, stream_static_enrich
+
+    return run_stream_to_memory(stream_static_enrich(spark, sf_dir))
+
+
 def q_doc_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-rarity score per document — the
     perplexity-proxy quality signal of LLM curation (a document whose
@@ -1759,6 +1770,34 @@ def q_ml_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "site string, max_depth long, mean_rmse double, chosen boolean"
+    )
+
+
+def q_lineitem_udaf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDAF (the Arrow GROUPED_AGG surface,
+    completing the UDF/UDTF/UDAF triple next to doc_chunks_udtf):
+    quantity-weighted average price per return flag, computed INSIDE
+    the worker in exact int64 cents so the result is bit-identical to
+    the SQL oracle.  Like the UDTF entry, this deliberately exercises
+    the UDAF path itself — the native equivalent (sum/sum of the same
+    integer exprs) is one line and preferred in a real pipeline
+    (SURVEY §2.10 rule: Python only where the surface, not the math,
+    is the point)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringifies type hints, which defeats pandas_udf's
+    # signature inference for the GROUPED_AGG eval type
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def wavg_cents(price, qty):
+        cents = (price * 100).round().astype("int64")
+        q = qty.round().astype("int64")
+        return int((cents * q).sum() // q.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wavg_cents("l_extendedprice", "l_quantity").alias("wavg_cents"))
     )
 
 
@@ -2981,6 +3020,22 @@ ORACLES: dict[str, str] = {
                CAST(SUM(tf * (n_total // cf)) // SUM(tf) AS BIGINT) AS rarity_avg
         FROM tf JOIN cf USING (term) CROSS JOIN tot
         GROUP BY doc_id
+    """,
+    "events_stream_static": """
+        SELECT CASE CAST(user_id AS BIGINT) % 3
+                 WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver' ELSE 'gold'
+               END AS tier,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "lineitem_udaf_wavg": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(ROUND(l_quantity) AS BIGINT))
+                    // SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS wavg_cents
+        FROM lineitem GROUP BY 1
     """,
     "events_stream_hopping": """
         SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)))
@@ -4509,6 +4564,8 @@ QUERIES = {
     "events_stream_hopping": q_events_stream_hopping,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
     "doc_quality_classifier": q_doc_quality_classifier,
+    "lineitem_udaf_wavg": q_lineitem_udaf_wavg,
+    "events_stream_static": q_events_stream_static,
     # -- (c) implementation changed in round 4 (forced-broadcast
     # hints dropped) — re-verify under the driver --
     "ingest_join": q_ingest_join,

@@ -23,6 +23,7 @@ __all__ = [
     "stream_tumbling_agg",
     "stream_hopping_agg",
     "stream_sessionize",
+    "stream_static_enrich",
     "stream_stream_join",
     "stream_user_stats",
     "stream_dedup_counts",
@@ -182,6 +183,29 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream enriched against a bounded
+    batch dimension (user tiers), then aggregated per tier.
+
+    The static side needs no watermark and no state — each micro-batch
+    plans a fresh broadcast join against it, the standard streaming
+    enrichment shape (dim tables in streaming ETL).  Completes the
+    join surface next to the watermarked stream-stream join."""
+    events = _events_stream(spark, sf_dir)
+    tiers = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "tier_id long, tier string"
+    )
+    return (
+        events.withColumn("tier_id", F.col("user_id").cast("long") % 3)
+        .join(F.broadcast(tiers), "tier_id")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
 
