@@ -65,6 +65,7 @@ from .operators.similarity import (
 )
 from .operators.text import LANG_MARKERS, STOPWORDS, fingerprint, lang_id, quality_score, token_stats
 from .sources.readers import read_events
+from . import queries_analytics as _qa
 
 # ---------------------------------------------------------------------------
 # shared plan fragments
@@ -4519,6 +4520,8 @@ ORACLES["doc_string_funcs"] = """
 """
 
 
+ORACLES.update(_qa.ANALYTICS_ORACLES)
+
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
 # round-by-round (round-2 verdict #3).  Round-4 front: (a) the 25
@@ -4566,6 +4569,15 @@ QUERIES = {
     "doc_quality_classifier": q_doc_quality_classifier,
     "lineitem_udaf_wavg": q_lineitem_udaf_wavg,
     "events_stream_static": q_events_stream_static,
+    "events_scd2_intervals": _qa.q_events_scd2_intervals,
+    "events_ewma": _qa.q_events_ewma,
+    "events_regr_trend": _qa.q_events_regr_trend,
+    "lineitem_corr_matrix": _qa.q_lineitem_corr_matrix,
+    "supplier_pareto": _qa.q_supplier_pareto,
+    "events_bitmap_distinct": _qa.q_events_bitmap_distinct,
+    "lineitem_dq_checks": _qa.q_lineitem_dq_checks,
+    "doc_bigram_perplexity": _qa.q_doc_bigram_perplexity,
+    "corpus_vocab_growth": _qa.q_corpus_vocab_growth,
     # -- (c) implementation changed in round 4 (forced-broadcast
     # hints dropped) — re-verify under the driver --
     "ingest_join": q_ingest_join,

@@ -1,0 +1,508 @@
+"""Round-4 analytics/curation additions: temporal modeling (SCD2
+intervals, EWMA, regression trends), statistical profiling (correlation
+matrix, Pareto concentration), data-quality constraint checking
+(Deequ-style), exact-distinct at scale (bitmap aggregation), and two
+LLM-corpus scores (bigram-LM perplexity, Heaps-law vocabulary growth).
+
+Registered into the main catalog by ``queries.py`` (import at module
+end there); every entry ships a DuckDB oracle following the
+cross-engine conventions documented at ``queries.py:1-27``.
+
+These extend the reference's analytic surface (SURVEY.md §2 has no
+statistical/temporal-modeling operators; the closest is the W1/W2
+rank window at FeatureExtractor.scala:50-75) with the shapes a
+training-data pipeline runs beside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.ordering import range_partitioned_running_sum
+from .operators.text import tokens
+from .sources.readers import read_events
+
+# canonical copies live at queries.py:135-136 (kept in sync by
+# tests/test_oracle_parity — any drift hash-mismatches immediately)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"CASE WHEN {_NORM} = '' THEN [] ELSE string_split_regex({_NORM}, '\\s+') END"
+
+ANALYTICS_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# temporal modeling
+# ---------------------------------------------------------------------------
+
+
+def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval build (gaps-and-islands): per user, collapse
+    the event stream into maximal runs of a constant ``event_type`` and
+    emit versioned validity intervals ``[valid_from, valid_to)`` — the
+    standard way a warehouse derives a slowly-changing dimension from a
+    change log.
+
+    Three windows, ALL partitioned by ``user_id`` (one shuffle total,
+    no global ordering): lag detects changes, a running sum numbers the
+    islands, lead closes each interval with the next one's start.
+    Scales: state per partition is one user's history."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("event_type").over(w)
+    islands = (
+        ev.withColumn(
+            "chg", F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+        )
+        .withColumn("version", F.sum("chg").over(w))
+        .groupBy("user_id", "version")
+        .agg(
+            F.min("event_type").alias("event_type"),  # constant per island
+            F.min("ts_us").alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wi = Window.partitionBy("user_id").orderBy("version")
+    return islands.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wi).alias("valid_to_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+ANALYTICS_ORACLES["events_scd2_intervals"] = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    i AS (
+      SELECT user_id, event_type, ts_us,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM e),
+    g AS (
+      SELECT user_id, version, MIN(event_type) AS event_type,
+             MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+      FROM i GROUP BY 1, 2)
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS valid_to_us,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM g
+"""
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=0.2) over a
+    bounded 32-event frame — the streaming-metrics smoother, expressed
+    as one ordered window + an Arrow-free higher-order function: the
+    frame's values are zipped with descending powers of (1−α) and
+    folded JVM-side (no Python, no self-join).
+
+    The bounded frame is the scale decision: an unbounded EWMA is a
+    sequential recurrence (one running state per user — fine in
+    streaming, hostile in batch); truncating at 32 terms bounds the
+    per-row work while (1−α)³² ≈ 8e-4 bounds the truncation error.
+    The oracle computes the identical weighted sum via a rows-window
+    self-join — same math, different plan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-31, Window.currentRow)
+    )
+    xs = F.collect_list("value").over(w)
+    return ev.withColumn("xs", xs).select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.expr(
+                """
+                aggregate(zip_with(xs, sequence(size(xs) - 1, 0),
+                                   (x, k) -> x * pow(0.8D, k)),
+                          0D, (acc, v) -> acc + v)
+                / ((1.0D - pow(0.8D, size(xs))) / 0.2D)
+                """
+            ),
+            6,
+        ).alias("ewma32"),
+    )
+
+
+ANALYTICS_ORACLES["events_ewma"] = """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events)
+    SELECT a.user_id, a.event_id,
+           ROUND(SUM(b.value * POW(0.8, a.rn - b.rn))
+                 / ((1 - POW(0.8, COUNT(*))) / 0.2), 6) AS ewma32
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 31 AND a.rn
+    GROUP BY a.user_id, a.event_id
+"""
+
+
+def q_events_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event values over time via the SQL:2016
+    ``regr_*`` aggregates — slope/intercept/R² in ONE distributed pass
+    (map-side partial moments, no collect, no MLlib).  Time is rebased
+    to hours since 2024-01-01 before regressing: raw epoch abscissae
+    put ~1.7e9 s against a ~2.5e6 s spread and the variance computation
+    loses ~6 digits to cancellation — rebasing is the difference
+    between a stable and an unstable plan at ANY scale."""
+    ev = _t(spark, sf_dir, "events")
+    th = (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3.6e9)
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(v, th), 6).alias("slope"),
+        F.round(F.regr_intercept(v, th), 6).alias("intercept"),
+        F.round(F.regr_r2(v, th), 6).alias("r2"),
+    )
+
+
+ANALYTICS_ORACLES["events_regr_trend"] = """
+    WITH e AS (
+      SELECT event_type, value,
+             (epoch_us(ts) - 1704067200000000) / 3.6e9 AS th
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(regr_slope(value, th), 6) AS slope,
+           ROUND(regr_intercept(value, th), 6) AS intercept,
+           ROUND(regr_r2(value, th), 6) AS r2
+    FROM e GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# statistical profiling
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures in ONE
+    aggregation pass (three corr aggregates share the scan; Catalyst
+    computes all co-moments map-side), unpivoted to the long
+    (var_x, var_y, corr) triangle via ``stack`` on the 1-row result —
+    the profile shape a feature-selection pass consumes."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    ]
+    agg = li.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack = ", ".join(f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs))
+    return agg.select(
+        F.expr(f"stack({len(pairs)}, {stack}) AS (var_x, var_y, corr)")
+    )
+
+
+ANALYTICS_ORACLES["lineitem_corr_matrix"] = """
+    WITH s AS (
+      SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS c0,
+             ROUND(corr(l_quantity, l_discount), 6) AS c1,
+             ROUND(corr(l_extendedprice, l_discount), 6) AS c2
+      FROM lineitem)
+    SELECT 'l_quantity' AS var_x, 'l_extendedprice' AS var_y, c0 AS corr FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', c1 FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', c2 FROM s
+"""
+
+
+def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/ABC) analysis: suppliers ranked by
+    revenue with cumulative share of total and the 80%-band flag.  The
+    cumulative sum over the revenue-descending total order uses the
+    range-partitioned two-pass helper — NO single-partition exchange,
+    the same plan that orders 10⁸ suppliers; the grand total joins
+    back as a broadcast scalar.  Revenue is rounded BEFORE ranking so
+    the descending order is engine-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    total = rev.agg(F.sum("revenue").alias("total"))
+    ranked = range_partitioned_running_sum(
+        rev,
+        [F.col("revenue").desc(), F.col("l_suppkey")],
+        "revenue",
+        out_col="cum_rev",
+    )
+    share = F.round(F.col("cum_rev") / F.col("total"), 6)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "l_suppkey",
+        "revenue",
+        share.alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )
+
+
+ANALYTICS_ORACLES["supplier_pareto"] = """
+    WITH r AS (
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY 1),
+    t AS (SELECT SUM(revenue) AS total FROM r),
+    c AS (
+      SELECT l_suppkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM r)
+    SELECT l_suppkey, revenue,
+           ROUND(cum_rev / total, 6) AS cum_share,
+           ROUND(cum_rev / total, 6) <= 0.8 AS in_top80
+    FROM c, t
+"""
+
+
+def q_events_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts per event type via two-level bitmap
+    aggregation (``bitmap_construct_agg`` per 32k-id bucket, counts
+    summed across buckets) — the fixed-memory exact alternative to both
+    ``count_distinct`` (shuffles every distinct id) and HyperLogLog
+    (approximate).  Partial bitmaps OR map-side, so the shuffle carries
+    ≤ one 4 KB bitmap per (type, bucket) regardless of row count — at
+    100 TB this is the plan that replaces a multi-TB distinct shuffle
+    with megabytes.  Oracle: the plain COUNT(DISTINCT) it must equal."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("n_in_bucket"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("n_in_bucket").alias("n_users")
+    )
+
+
+ANALYTICS_ORACLES["events_bitmap_distinct"] = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint suite (Deequ-style)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/Great-Expectations
+    shape): completeness, domain bounds, key uniqueness and referential
+    integrity as a long (check, metric) report.  All scan-local checks
+    fold into ONE aggregation pass over lineitem (stack-unpivoted from
+    the 1-row result); the referential check is a left-anti join
+    against orders — at scale the only shuffle, on the join key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("ok"))
+    one = li.agg(
+        F.count(F.lit(1)).cast("long").alias("row_count"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_shipdate"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_quantity"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("discount_out_of_range"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber")))
+        .cast("long")
+        .alias("dup_order_line"),
+    )
+    scan_checks = one.select(
+        F.expr(
+            "stack(5, 'row_count', row_count,"
+            " 'null_shipdate', null_shipdate,"
+            " 'nonpositive_quantity', nonpositive_quantity,"
+            " 'discount_out_of_range', discount_out_of_range,"
+            " 'dup_order_line', dup_order_line) AS (check, metric)"
+        )
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(orders, li["l_orderkey"] == orders["ok"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("metric"))
+        .select(F.lit("orphan_lineitems").alias("check"), "metric")
+    )
+    return scan_checks.unionByName(orphans)
+
+
+ANALYTICS_ORACLES["lineitem_dq_checks"] = """
+    SELECT 'row_count' AS check, COUNT(*) AS metric FROM lineitem
+    UNION ALL
+    SELECT 'null_shipdate',
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'dup_order_line',
+           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+    FROM lineitem
+    UNION ALL
+    SELECT 'orphan_lineitems',
+           (SELECT COUNT(*) FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus scores
+# ---------------------------------------------------------------------------
+
+
+def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus-LM quality score: a bigram MLE model is
+    trained on the whole corpus and every document is scored by its
+    average negative log-likelihood and perplexity under it — the
+    classic filter that drops gibberish (high ppl) and boilerplate
+    (abnormally low ppl).
+
+    Both model tables are plain aggregations; scoring is two equi-joins
+    on (bigram, unigram) keys — distributed end-to-end, no vocabulary
+    collected to the driver.  At corpus scale the hot-key hazard is the
+    handful of stopword bigrams; the same doc-frequency cap used by
+    ``ngram_jaccard_pairs`` (dedup.py:97) applies if the model join
+    skews.  Docs with <2 tokens have no bigrams and drop out (same
+    filter on both engines)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("t", tokens(F.lower(F.col("text")))).filter(
+        F.size("t") >= 2
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, concat(t[i], ' ', t[i+1]) AS bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    m12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    m1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    nll = -F.log(F.col("c12").cast("double") / F.col("c1"))
+    return (
+        bg.join(m12, "bg")
+        .join(m1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+        )
+    )
+
+
+ANALYTICS_ORACLES["doc_bigram_perplexity"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+      WHERE len({_TOKS}) >= 2),
+    bg AS (
+      SELECT doc_id, t[g] AS w1, t[g] || ' ' || t[g + 1] AS bg
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS g
+            FROM toks)),
+    m12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    m1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    sc AS (
+      SELECT doc_id, -ln(c12::DOUBLE / c1) AS nll
+      FROM bg JOIN m12 USING (bg) JOIN m1 USING (w1))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(nll), 6) AS avg_nll,
+           ROUND(EXP(AVG(nll)), 4) AS ppl
+    FROM sc GROUP BY doc_id
+"""
+
+
+def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: for each document (in doc_id
+    ingest order) the number of never-seen-before tokens it introduces
+    and the cumulative vocabulary size — the dataset-card curve that
+    tells you whether more data still buys new vocabulary.
+
+    First occurrences come from a min-aggregation per token (one
+    shuffle on the token key — no window over the token stream); the
+    cumulative curve is the range-partitioned running sum over ~|docs|
+    rows.  Documents introducing zero new tokens are absent on both
+    engines (inner aggregation semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    first = tok.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    per_doc = first.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    out = range_partitioned_running_sum(
+        per_doc, [F.col("doc_id")], "n_new", out_col="vocab_size"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+    )
+
+
+ANALYTICS_ORACLES["corpus_vocab_growth"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    f AS (SELECT tok, MIN(doc_id) AS doc_id FROM tok GROUP BY 1),
+    n AS (SELECT doc_id, COUNT(*) AS n_new FROM f GROUP BY 1)
+    SELECT doc_id, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS vocab_size
+    FROM n
+"""
+
+
+ANALYTICS_QUERIES = {
+    "events_scd2_intervals": q_events_scd2_intervals,
+    "events_ewma": q_events_ewma,
+    "events_regr_trend": q_events_regr_trend,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
+    "supplier_pareto": q_supplier_pareto,
+    "events_bitmap_distinct": q_events_bitmap_distinct,
+    "lineitem_dq_checks": q_lineitem_dq_checks,
+    "doc_bigram_perplexity": q_doc_bigram_perplexity,
+    "corpus_vocab_growth": q_corpus_vocab_growth,
+}

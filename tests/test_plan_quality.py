@@ -726,6 +726,9 @@ _SCALAR_FOLD_OK = {
     "tpch_q22_acctbal", "tpch_q6_forecast", "doc_bm25_topk",
     "doc_tfidf_topterms", "doc_rarity_quality", "emb_cosine_topk", "emb_sq8_topk",
     "tpch_q11_important", "nation_revenue_share", "lineitem_skew_profile",
+    # round 4: 1-row profile aggregates (corr matrix, DQ report) and the
+    # Pareto grand-total scalar folded back by a broadcast cross join
+    "lineitem_corr_matrix", "lineitem_dq_checks", "supplier_pareto",
 }
 
 
