@@ -4578,6 +4578,9 @@ QUERIES = {
     "lineitem_dq_checks": _qa.q_lineitem_dq_checks,
     "doc_bigram_perplexity": _qa.q_doc_bigram_perplexity,
     "corpus_vocab_growth": _qa.q_corpus_vocab_growth,
+    "orders_lateral_topk": _qa.q_orders_lateral_topk,
+    "events_trailing_range_sum": _qa.q_events_trailing_range_sum,
+    "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     # -- (c) implementation changed in round 4 (forced-broadcast
     # hints dropped) — re-verify under the driver --
     "ingest_join": q_ingest_join,

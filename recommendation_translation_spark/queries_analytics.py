@@ -495,6 +495,104 @@ ANALYTICS_ORACLES["corpus_vocab_growth"] = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL-frontend / window-frame / streaming-provider breadth
+# ---------------------------------------------------------------------------
+
+
+def q_orders_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL frontend: each
+    customer's top-3 orders by price — the per-row-subquery shape SQL
+    users write, planned by Catalyst as a single joined/windowed plan
+    (NOT one subquery execution per customer; compare the DataFrame
+    formulation in ``topk_per_group``, queries.py).  Customers with no
+    orders drop out (inner lateral semantics, both engines)."""
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, t.o_orderkey,
+               ROUND(t.o_totalprice, 2) AS totalprice
+        FROM parquet.`{sf_dir}/customer.parquet` c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM parquet.`{sf_dir}/orders.parquet` o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 3) t
+        """
+    )
+
+
+ANALYTICS_ORACLES["orders_lateral_topk"] = """
+    SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 3) t
+"""
+
+
+def q_events_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per event, the count and sum of
+    the SAME user's events in the trailing 10 minutes — the rolling
+    rate-limiter / velocity-feature shape.  A RANGE frame over event
+    time differs from a rows frame (``lineitem_moving_sum``): the frame
+    extent follows the timestamps, not a fixed row count, and ties on
+    the ordering value all enter the frame together.  One shuffle on
+    user_id; no self-join (compare the as-of join family)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.round(F.sum("value").over(w), 4).alias("sum_10m"),
+    )
+
+
+ANALYTICS_ORACLES["events_trailing_range_sum"] = """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_10m,
+           ROUND(SUM(value) OVER w, 4) AS sum_10m
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tumbling aggregation drained under the
+    RocksDBStateStoreProvider — the state backend a 100 TB production
+    query runs on (disk-spilling state + changelog checkpointing,
+    instead of the default heap-resident HDFS-backed store whose
+    footprint grows with key cardinality).  Same relation as
+    ``events_stream_tumbling``; the oracle pins provider-independence
+    of the result."""
+    from .streaming.events_stream import run_stream_to_memory, stream_tumbling_agg
+
+    return run_stream_to_memory(
+        stream_tumbling_agg(spark, sf_dir), state_store="rocksdb"
+    )
+
+
+# same relation as the batch tumbling aggregation — the provider must
+# not change the result (text mirrors ORACLES["events_stream_tumbling"])
+ANALYTICS_ORACLES["events_stream_rocksdb"] = """
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP))) AS BIGINT)
+             AS window_start_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_ewma": q_events_ewma,
@@ -505,4 +603,7 @@ ANALYTICS_QUERIES = {
     "lineitem_dq_checks": q_lineitem_dq_checks,
     "doc_bigram_perplexity": q_doc_bigram_perplexity,
     "corpus_vocab_growth": q_corpus_vocab_growth,
+    "orders_lateral_topk": q_orders_lateral_topk,
+    "events_trailing_range_sum": q_events_trailing_range_sum,
+    "events_stream_rocksdb": q_events_stream_rocksdb,
 }

@@ -270,3 +270,21 @@ def load_testdata(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Da
         else:
             out[n] = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
     return out
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema=None) -> DataFrame:
+    """XML source (Spark 4 built-in, SPARK-44751).  Pass an explicit
+    ``schema`` in production: like the JSONL/TSV sources, inference
+    costs a full extra pass — and XML inference must parse every
+    element.  Attribute/element disambiguation follows the spark-xml
+    defaults (attributes prefixed ``_``).  Not splittable within a
+    single large XML document (one <rootTag> file = one task): shard
+    the input into many files upstream, exactly as the pagecounts TSVs
+    arrive — per-file parallelism is the scale path, not intra-file.
+    Extension surface; round-trip + pruning pinned in
+    tests/test_sources_roundtrip.py."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

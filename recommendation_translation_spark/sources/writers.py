@@ -186,3 +186,14 @@ def read_current_version(spark, target_path: str) -> DataFrame:
 
     with open(os.path.join(target_path, "_CURRENT")) as fh:
         return spark.read.parquet(os.path.join(target_path, fh.read().strip()))
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "errorifexists") -> None:
+    """XML sink (built into Spark 4 after the spark-xml migration,
+    SPARK-44751) — the interchange format of legacy feeds (sitemaps,
+    news syndication, Wikipedia dumps like the reference's upstream
+    corpus).  One element per row under ``row_tag``; same errorifexists
+    discipline as the other sinks.  Extension surface."""
+    (df.write.mode(mode).format("xml")
+       .option("rowTag", row_tag).option("rootTag", root_tag).save(path))

@@ -263,7 +263,10 @@ def stream_stream_join(
 
 
 def run_stream_to_memory(
-    agg: DataFrame, output_mode: str = "complete", shuffle_partitions: int = 8
+    agg: DataFrame,
+    output_mode: str = "complete",
+    shuffle_partitions: int = 8,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drain a bounded streaming aggregation synchronously; returns the
     final result as a batch DataFrame (memory sink).
@@ -275,11 +278,26 @@ def run_stream_to_memory(
     production the number is sized to stateful-key cardinality ×
     throughput (hundreds+ for a real Kafka stream), not to this replay
     default — results are partition-count-independent either way.
+
+    ``state_store="rocksdb"`` runs the drain under the
+    RocksDBStateStoreProvider — the provider a long-running production
+    query needs (state spills to local disk + changelog, instead of
+    living wholly in executor heap as with the default HDFS-backed
+    provider, whose memory footprint grows with key cardinality).
+    Results are provider-independent; the conf is captured at query
+    START, so it's set before ``start()`` and restored after.
     """
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     if shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if state_store == "rocksdb":
+        spark.conf.set(
+            _PROVIDER_CONF,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     try:
         name = f"stream_out_{uuid.uuid4().hex[:8]}"
         query = (
@@ -292,6 +310,11 @@ def run_stream_to_memory(
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_store == "rocksdb":
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prev_provider)
     return spark.table(name)
 
 

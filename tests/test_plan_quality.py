@@ -714,6 +714,7 @@ _BUILD_HEAVY = {
     "events_stream_tumbling", "events_stream_hopping", "events_stream_static",
     "events_stream_sessionize", "events_stream_join",
     "events_stream_stateful", "events_stream_dedup", "pysource_stream",
+    "events_stream_rocksdb",
 }
 
 # Bounded 1-row scalar aggregates / scalar-subquery folds: the ONLY

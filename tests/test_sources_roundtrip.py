@@ -123,3 +123,33 @@ def test_binaryfile_media_ingest_feeds_decoder(spark, tmp_path):
     assert all(r.width > 0 and r.height > 0 for r in got.values())
     by_len = {r.n_bytes for r in got.values()}
     assert by_len == {len(payloads["a.img"]), len(payloads["b.img"])}
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from recommendation_translation_spark.sources.readers import read_xml
+    from recommendation_translation_spark.sources.writers import write_xml
+
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation", root_tag="nations")
+
+    back = read_xml(spark, path, row_tag="nation")
+    assert back.count() == nation.count()
+    a = {(r.n_nationkey, r.n_name, r.n_regionkey)
+         for r in nation.select("n_nationkey", "n_name", "n_regionkey").collect()}
+    b = {(r.n_nationkey, r.n_name, r.n_regionkey)
+         for r in back.select("n_nationkey", "n_name", "n_regionkey").collect()}
+    assert a == b
+
+
+def test_xml_explicit_schema_skips_inference(spark, tmp_path):
+    from recommendation_translation_spark.sources.readers import read_xml
+    from recommendation_translation_spark.sources.writers import write_xml
+
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    path = str(tmp_path / "nation_xml2")
+    write_xml(nation, path, row_tag="nation")
+    back = read_xml(spark, path, row_tag="nation",
+                    schema="n_nationkey BIGINT, n_name STRING")
+    assert back.schema.simpleString() == "struct<n_nationkey:bigint,n_name:string>"
+    assert back.count() == nation.count()
