@@ -510,7 +510,8 @@ def corpus_profile(df: DataFrame, text_col: str = "text",
 
 
 def doc_ngrams(df: DataFrame, n: int = 8, text_col: str = "text",
-               id_col: str = "doc_id", hashed: bool = True) -> DataFrame:
+               id_col: str = "doc_id", hashed: bool = True,
+               keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Distinct word n-grams per document → (doc_id, gram).
 
     Gram generation is a higher-order ``transform`` over a
@@ -536,12 +537,16 @@ def doc_ngrams(df: DataFrame, n: int = 8, text_col: str = "text",
     # dedup.word_shingles) — few input splits must not serialize the
     # gram generation/hashing into few tasks.
     par = df.sparkSession.sparkContext.defaultParallelism
+    keep = list(keep_cols)  # per-doc-constant passthroughs (e.g. split):
+    # functionally dependent on id_col, so they don't change the
+    # distinct's cardinality — just ride along instead of re-joining
     out = df.repartition(par).filter(F.size(toks) >= n).select(
-        F.col(id_col), F.explode(grams).alias("gram")
+        F.col(id_col), *keep, F.explode(grams).alias("gram")
     )
     if hashed:
         out = out.select(
             id_col,
+            *keep,
             F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gram"),
         )
     return out.distinct()
@@ -560,6 +565,43 @@ def ngram_contamination(train: DataFrame, test: DataFrame, n: int = 8,
     corpus's text volume and shuffling 16 bytes per gram."""
     tr = doc_ngrams(train, n=n, text_col=text_col, id_col=id_col)
     te = doc_ngrams(test, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("test_id"), "gram"
+    )
+    return (
+        tr.join(te, "gram")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("test_id").alias("n_test_docs"),
+        )
+    )
+
+
+def ngram_contamination_split(docs_with_split: DataFrame, n: int = 8,
+                              split_col: str = "split",
+                              train_value: str = "train",
+                              test_value: str = "test",
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """`ngram_contamination` over a corpus that already carries its
+    train/test ``split_col`` — grams the corpus ONCE and filters the
+    materialized gram relation per side, instead of running the
+    tokenize→explode→hash→distinct pipeline (and its shuffle) twice.
+    At 100 TB that halves the dominant cost — the corpus-text pass —
+    and is why a split column beats two physical corpora for
+    contamination scans.  The split rides through the gram distinct as
+    a per-doc-constant passthrough (NOT a re-join — a per-doc side map
+    is itself SF-scaled, so joining it back would be a second shuffle
+    and broadcasting it an OOM at corpus scale).  The gram relation is
+    localCheckpoint'd: both the train and test branches read the same
+    materialized longs (lineage truncated; same fixed-executor caveat
+    as ordering.py)."""
+    grams = doc_ngrams(
+        docs_with_split.select(id_col, text_col, split_col),
+        n=n, text_col=text_col, id_col=id_col, keep_cols=(split_col,),
+    ).localCheckpoint(eager=False)
+    tr = grams.filter(F.col(split_col) == train_value).select(id_col, "gram")
+    te = grams.filter(F.col(split_col) == test_value).select(
         F.col(id_col).alias("test_id"), "gram"
     )
     return (

@@ -2048,12 +2048,10 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the join (operators.curation.doc_ngrams hashed=True — the
     oracle hashes identically, so parity holds, collisions included;
     at 10⁶ grams the odds of one are ~4·10⁻⁷)."""
-    from .operators.curation import hash_split, ngram_contamination
+    from .operators.curation import hash_split, ngram_contamination_split
 
     docs = hash_split(_t(spark, sf_dir, "documents"))
-    train = docs.filter(F.col("split") == "train")
-    test = docs.filter(F.col("split") == "test")
-    return ngram_contamination(train, test, n=8)
+    return ngram_contamination_split(docs, n=8)
 
 
 # ---------------------------------------------------------------------------
@@ -4581,6 +4579,9 @@ QUERIES = {
     "orders_lateral_topk": _qa.q_orders_lateral_topk,
     "events_trailing_range_sum": _qa.q_events_trailing_range_sum,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
+    "events_variant_props": _qa.q_events_variant_props,
+    "customer_rfm": _qa.q_customer_rfm,
+    "orders_snapshot_diff": _qa.q_orders_snapshot_diff,
     # -- (c) implementation changed in round 4 (forced-broadcast
     # hints dropped) — re-verify under the driver --
     "ingest_join": q_ingest_join,

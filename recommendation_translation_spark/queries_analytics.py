@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.ordering import range_partitioned_running_sum
+from .operators.ordering import (
+    range_partitioned_row_number,
+    range_partitioned_running_sum,
+)
 from .operators.text import tokens
 from .sources.readers import read_events
 
@@ -593,6 +596,173 @@ ANALYTICS_ORACLES["events_stream_rocksdb"] = """
 """
 
 
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4): JSON
+    parsed ONCE into the binary variant encoding, then typed path
+    extraction with ``variant_get`` — the schema-on-read path that
+    replaces per-access JSON re-parsing (``events_json_props``'s
+    get_json_object reparses the string per expression; variant
+    amortizes it, the difference between 1× and k× parse cost for k
+    extractions at scale).  ``try_variant_get`` on a missing path
+    yields NULL instead of failing — the malformed-tolerant posture of
+    the TSV sources, at the field level."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        (F.variant_get(v, "$.k", "bigint") % 7 == 0).alias("k_div7"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+    )
+
+
+ANALYTICS_ORACLES["events_variant_props"] = """
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CAST(props->>'$.k' AS BIGINT) % 7 = 0 AS k_div7,
+           CAST(props->>'$.missing' AS BIGINT) AS k_missing
+    FROM events
+"""
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic CRM scoring: per customer, days since last order,
+    order count, total spend, each quintiled over the customer base
+    and folded into a 3-digit RFM code.
+
+    Quintiles are computed from range-partitioned global row numbers
+    (NO single-partition NTILE window) with the explicit tile formula
+    ``floor((rn-1)·5/n)+1`` — identical distribution to NTILE(5),
+    reproduced verbatim in the oracle so both engines tile the same
+    total order (every ordering carries the custkey tie-break).  The
+    anchor date and customer count fold back as broadcast scalars."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_order").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+    )
+    ranked = range_partitioned_row_number(
+        base, [F.col("recency_days"), F.col("o_custkey")], out_col="r_rn"
+    )
+    ranked = range_partitioned_row_number(
+        ranked,
+        [F.col("frequency").desc(), F.col("o_custkey")],
+        out_col="f_rn",
+    )
+    ranked = range_partitioned_row_number(
+        ranked,
+        [F.col("monetary").desc(), F.col("o_custkey")],
+        out_col="m_rn",
+    )
+    total = base.agg(F.count(F.lit(1)).alias("n_cust"))
+
+    def tile(rn):
+        return (F.floor((F.col(rn) - 1) * 5 / F.col("n_cust")) + 1).cast("long")
+
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        tile("r_rn").alias("r_q"),
+        tile("f_rn").alias("f_q"),
+        tile("m_rn").alias("m_q"),
+        (tile("r_rn") * 100 + tile("f_rn") * 10 + tile("m_rn")).alias("rfm"),
+    )
+
+
+ANALYTICS_ORACLES["customer_rfm"] = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate::DATE) AS last_order,
+             COUNT(*) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', last_order,
+                            (SELECT MAX(o_orderdate::DATE) FROM orders))
+                  AS BIGINT) AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency, monetary
+      FROM per_cust),
+    rn AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) AS r_rn,
+             ROW_NUMBER() OVER (ORDER BY frequency DESC, o_custkey) AS f_rn,
+             ROW_NUMBER() OVER (ORDER BY monetary DESC, o_custkey) AS m_rn,
+             COUNT(*) OVER () AS n_cust
+      FROM base)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(((r_rn - 1) * 5) // n_cust + 1 AS BIGINT) AS r_q,
+           CAST(((f_rn - 1) * 5) // n_cust + 1 AS BIGINT) AS f_q,
+           CAST(((m_rn - 1) * 5) // n_cust + 1 AS BIGINT) AS m_q,
+           CAST((((r_rn - 1) * 5) // n_cust + 1) * 100
+                + (((f_rn - 1) * 5) // n_cust + 1) * 10
+                + (((m_rn - 1) * 5) // n_cust + 1) AS BIGINT) AS rfm
+    FROM rn
+"""
+
+
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators.cdc.snapshot_diff): two synthetic
+    generations of the orders table — rows dropped, rows added, a
+    third repriced — reduced to the insert/update/delete change set
+    via ONE full-outer join on the key.  The change set is what an
+    incremental consumer replays; its size tracks churn, not table
+    size."""
+    from .operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    # repricing doubles (binary-exact — a 1.1× factor would park half
+    # the values on .xx5 decimal-rounding boundaries where Spark's
+    # shortest-repr HALF_UP and DuckDB's exact-binary round disagree)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["price"])
+
+
+ANALYTICS_ORACLES["orders_snapshot_diff"] = """
+    WITH old AS (
+      SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    new AS (
+      SELECT o_orderkey,
+             ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END, 2) AS price
+      FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                WHEN old.price IS DISTINCT FROM new.price THEN 'update'
+           END AS action,
+           old.price AS old_price, new.price AS new_price
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+               WHEN new.o_orderkey IS NULL THEN 'delete'
+               WHEN old.price IS DISTINCT FROM new.price THEN 'update'
+          END IS NOT NULL
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_ewma": q_events_ewma,
@@ -606,4 +776,7 @@ ANALYTICS_QUERIES = {
     "orders_lateral_topk": q_orders_lateral_topk,
     "events_trailing_range_sum": q_events_trailing_range_sum,
     "events_stream_rocksdb": q_events_stream_rocksdb,
+    "events_variant_props": q_events_variant_props,
+    "customer_rfm": q_customer_rfm,
+    "orders_snapshot_diff": q_orders_snapshot_diff,
 }

@@ -132,3 +132,44 @@ def test_best_decoder_selects_available_path(spark):
     docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     out = decode_image_meta(attach_fake_media(docs), decoder=dec).collect()
     assert len(out) == 1 and out[0].width > 0 and out[0].height > 0
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_and_is_null_safe(spark):
+    from recommendation_translation_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 33.0), (5, 50.0)], "k long, v double"
+    )
+    rows = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 2 null==null unchanged (absent, null-safe),
+    # 3 updated, 4 deleted, 5 inserted
+    assert set(rows) == {3, 4, 5}
+    assert rows[3].action == "update" and rows[3].old_v == 30.0 and rows[3].new_v == 33.0
+    assert rows[4].action == "delete" and rows[4].new_v is None
+    assert rows[5].action == "insert" and rows[5].old_v is None
+
+
+def test_snapshot_diff_null_transition_is_update(spark):
+    from recommendation_translation_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v double")
+    new = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    [r] = snapshot_diff(old, new, ["k"]).collect()
+    assert r.action == "update"
+
+
+def test_snapshot_diff_requires_keys(spark):
+    import pytest as _pytest
+    from recommendation_translation_spark.operators.cdc import snapshot_diff
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, df, [])

@@ -730,6 +730,8 @@ _SCALAR_FOLD_OK = {
     # round 4: 1-row profile aggregates (corr matrix, DQ report) and the
     # Pareto grand-total scalar folded back by a broadcast cross join
     "lineitem_corr_matrix", "lineitem_dq_checks", "supplier_pareto",
+    # customer_rfm folds two 1-row scalars (anchor date, customer count)
+    "customer_rfm",
 }
 
 
