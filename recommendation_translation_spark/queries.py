@@ -4582,6 +4582,8 @@ QUERIES = {
     "events_variant_props": _qa.q_events_variant_props,
     "customer_rfm": _qa.q_customer_rfm,
     "orders_snapshot_diff": _qa.q_orders_snapshot_diff,
+    "ml_als_recs": _qa.q_ml_als_recs,
+    "pricing_decimal_exact": _qa.q_pricing_decimal_exact,
     # -- (c) implementation changed in round 4 (forced-broadcast
     # hints dropped) — re-verify under the driver --
     "ingest_join": q_ingest_join,

@@ -763,6 +763,102 @@ ANALYTICS_ORACLES["orders_snapshot_diff"] = """
 """
 
 
+def q_ml_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering recommendations via seeded implicit ALS
+    — the modern MLlib form of the reference's whole purpose
+    (recommend items to users; JobRunner.scala orchestrates exactly
+    this per-site, with RF over hand-built rank features standing in
+    for factorization).  Implicit ratings are customer×part purchase
+    counts (lineitem⋈orders); top-3 recs for the 50 smallest user ids
+    via ``recommendForUserSubset`` — the blocked-BLAS scoring path,
+    NOT a full |users|×|items| cross product.  Rows-only: iterative
+    ALS factorization is not SQL-expressible."""
+    from pyspark.ml.recommendation import ALS
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+        .coalesce(8)
+    )
+    als = ALS(
+        rank=8,
+        maxIter=3,  # each iteration is 2 block shuffles; 3 converges
+        # far enough for a deterministic demo at bench scale
+        # 8 blocks match the bounded replay (ALS's many small per-block
+        # tasks dominate at bench scale); production sizes blocks to
+        # |ratings| / executor memory, same dial as shuffle partitions
+        numUserBlocks=8,
+        numItemBlocks=8,
+        seed=42,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().orderBy("user").limit(50)
+    recs = model.recommendForUserSubset(users, 3)
+    return recs.select(
+        "user", F.explode("recommendations").alias("r")
+    ).select(
+        F.col("user").cast("long").alias("user"),
+        F.col("r.item").cast("long").alias("item"),
+        F.round(F.col("r.rating").cast("double"), 4).alias("score"),
+    )
+
+
+def q_pricing_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation beside the catalog's double-based
+    twins: prices cast to DECIMAL(18,2) / discounts to DECIMAL(18,4)
+    at the scan, summed exactly per return flag — no floating-point
+    drift, no summation-order dependence, identical digits on any
+    cluster size.  At 100 TB this is the money-column discipline:
+    a double sum over 10¹¹ rows carries ~10⁻⁵ relative error and
+    changes with partitioning, a decimal sum is exact and
+    deterministic (and stays inside Tungsten codegen — UnsafeRow
+    stores small decimals as longs).  Exported as strings so both
+    engines compare digit-for-digit, not via float parsing."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,4)")
+    rev = (p * (F.lit(1).cast("decimal(18,4)") - d)).cast("decimal(30,6)")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(p).cast("decimal(38,2)").alias("sum_price_dec"),
+            F.sum(rev).cast("decimal(38,6)").alias("sum_revenue_dec"),
+        )
+        .select(
+            "flag",
+            "n",
+            F.col("sum_price_dec").cast("string").alias("sum_price"),
+            F.col("sum_revenue_dec").cast("string").alias("sum_revenue"),
+        )
+    )
+
+
+ANALYTICS_ORACLES["pricing_decimal_exact"] = """
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,4))
+                                 - CAST(l_discount AS DECIMAL(18,4)))
+                              AS DECIMAL(30,6)))
+                     AS DECIMAL(38,6)) AS VARCHAR) AS sum_revenue
+    FROM lineitem GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_ewma": q_events_ewma,
@@ -779,4 +875,6 @@ ANALYTICS_QUERIES = {
     "events_variant_props": q_events_variant_props,
     "customer_rfm": q_customer_rfm,
     "orders_snapshot_diff": q_orders_snapshot_diff,
+    "ml_als_recs": q_ml_als_recs,
+    "pricing_decimal_exact": q_pricing_decimal_exact,
 }

@@ -24,6 +24,8 @@ ROWS_ONLY = {
                             "not SQL-expressible",
     "doc_quality_classifier": "iterative LBFGS logistic-regression "
                               "training is not SQL-expressible",
+    "ml_als_recs": "iterative ALS matrix factorization is not "
+                   "SQL-expressible",
 }
 
 

@@ -711,6 +711,10 @@ def test_string_funcs_zero_shuffle(spark):
 _BUILD_HEAVY = {
     "ml_train_rmse", "ml_score_topk", "ml_feature_importance", "ml_cv_tuning",
     "emb_kmeans_centroids", "doc_quality_classifier",
+    # ALS trains at build time; recommendForUserSubset's plan contains
+    # MLlib's own blocked user×item factor cross product — bounded by
+    # (|subset| × rank), deliberate blocked-BLAS scoring, not a scan join
+    "ml_als_recs",
     "events_stream_tumbling", "events_stream_hopping", "events_stream_static",
     "events_stream_sessionize", "events_stream_join",
     "events_stream_stateful", "events_stream_dedup", "pysource_stream",
