@@ -4558,13 +4558,22 @@ QUERIES = {
     "lineitem_yearly_growth": q_lineitem_yearly_growth,
     "events_trimmed_mean": q_events_trimmed_mean,
     "pysource_scan": q_pysource_scan,
-    # -- (b) new in round 4 --
+    # -- (b) implementation changed in round 4 (forced-broadcast
+    # hints dropped) — re-verify under the driver BEFORE the new
+    # entries: a changed green query regaining its driver row outranks
+    # a new query gaining its first one (new ones are locally
+    # parity-tested and rotate in next round regardless) --
+    "ingest_join": q_ingest_join,
+    "nation_revenue_share": q_nation_revenue_share,
+    "tpch_q14_promo": q_tpch_q14_promo,
+    "tpch_q18_bigorders": q_tpch_q18_bigorders,
+    # -- (c) new in round 4, oracle-checked first; the tail of this
+    # block (rows-only ML + the rocksdb twin of the already-green
+    # tumbling relation) can safely fall outside the ~50-entry window --
     "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
     "dedup_band_histogram": q_dedup_band_histogram,
     "doc_rarity_quality": q_doc_rarity_quality,
     "events_stream_hopping": q_events_stream_hopping,
-    "emb_kmeans_centroids": q_emb_kmeans_centroids,
-    "doc_quality_classifier": q_doc_quality_classifier,
     "lineitem_udaf_wavg": q_lineitem_udaf_wavg,
     "events_stream_static": q_events_stream_static,
     "events_scd2_intervals": _qa.q_events_scd2_intervals,
@@ -4578,18 +4587,14 @@ QUERIES = {
     "corpus_vocab_growth": _qa.q_corpus_vocab_growth,
     "orders_lateral_topk": _qa.q_orders_lateral_topk,
     "events_trailing_range_sum": _qa.q_events_trailing_range_sum,
-    "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     "events_variant_props": _qa.q_events_variant_props,
     "customer_rfm": _qa.q_customer_rfm,
     "orders_snapshot_diff": _qa.q_orders_snapshot_diff,
-    "ml_als_recs": _qa.q_ml_als_recs,
     "pricing_decimal_exact": _qa.q_pricing_decimal_exact,
-    # -- (c) implementation changed in round 4 (forced-broadcast
-    # hints dropped) — re-verify under the driver --
-    "ingest_join": q_ingest_join,
-    "nation_revenue_share": q_nation_revenue_share,
-    "tpch_q14_promo": q_tpch_q14_promo,
-    "tpch_q18_bigorders": q_tpch_q18_bigorders,
+    "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
+    "emb_kmeans_centroids": q_emb_kmeans_centroids,
+    "doc_quality_classifier": q_doc_quality_classifier,
+    "ml_als_recs": _qa.q_ml_als_recs,
     # -- (d) driver-green in some earlier round (rotate forward as
     # needed; tests/test_oracle_parity.py verifies ALL of them
     # locally every session regardless of position) --
