@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "range_partitioned_row_number",
     "range_partitioned_running_sum",
+    "range_partitioned_running_max",
 ]
 
 # Non-printable key separator for the (partition, group) offset map —
@@ -52,15 +53,22 @@ def _apply(
     window_fn,
     out_col: str,
     group_cols: list[str] | None,
+    combine: str = "sum",
 ) -> DataFrame:
     """Shared two-pass skeleton: range partition → offset histogram →
-    offset + partition-local window.
+    offset ⊕ partition-local window.
 
-    ``agg`` aggregates a partition's contribution (count / sum);
+    ``agg`` aggregates a partition's contribution (count / sum / max);
     ``window_fn(w)`` produces the partition-local window Column over
     the same ordering.  ``group_cols`` (small cardinality —
     data-mixing sources, not user ids) restarts the numbering per
-    group.
+    group.  ``combine`` is the offset monoid: "sum" adds the preceding
+    partitions' totals to the local window value; "max" takes the
+    greatest of the preceding partitions' maxima and the local window
+    value (the local value may be NULL for an exclusive-preceding
+    frame's first row — ``greatest`` ignores NULL operands, and a
+    first partition has no offset entry at all, so the result is NULL
+    exactly when no preceding row exists anywhere).
     """
     spark = df.sparkSession
     group_cols = list(group_cols or [])
@@ -133,25 +141,46 @@ def _apply(
         gkey = r["_mkey"][prefix_len:]
         by_group.setdefault(gkey, []).append((pid, r["_v"] or 0, r["_mkey"]))
     entries: list[Column] = []
-    for pids in by_group.values():
-        acc = 0
-        for _pid, v, collected_mkey in sorted(pids):
-            entries.append(F.lit(collected_mkey))
-            entries.append(F.lit(acc))
-            acc += v
-    if not entries:  # empty input — offsets are all zero
-        offset = F.lit(0).cast("long")
+    if combine == "sum":
+        for pids in by_group.values():
+            acc = 0
+            for _pid, v, collected_mkey in sorted(pids):
+                entries.append(F.lit(collected_mkey))
+                entries.append(F.lit(acc))
+                acc += v
+    elif combine == "max":
+        for pids in by_group.values():
+            acc = None  # no preceding partition → no map entry → NULL
+            for _pid, v, collected_mkey in sorted(pids):
+                if acc is not None:
+                    entries.append(F.lit(collected_mkey))
+                    entries.append(F.lit(acc))
+                acc = v if acc is None else max(acc, v)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown combine {combine!r}")
+
+    if combine == "sum":
+        if not entries:  # empty input — offsets are all zero
+            offset = F.lit(0).cast("long")
+        else:
+            offset = F.coalesce(
+                F.create_map(*entries)[mkey].cast("long"), F.lit(0).cast("long")
+            )
+        fold = lambda local: (offset + local).cast("long")  # noqa: E731
     else:
-        offset = F.coalesce(
-            F.create_map(*entries)[mkey].cast("long"), F.lit(0).cast("long")
+        offset = (
+            F.create_map(*entries)[mkey].cast("long")
+            if entries
+            else F.lit(None).cast("long")
         )
+        # greatest drops NULL operands; NULL only when BOTH are NULL
+        # (first row of the first partition under an exclusive frame)
+        fold = lambda local: F.greatest(offset, local).cast("long")  # noqa: E731
 
     # Pass 2: partition-local window (hash exchange on _pid — parallel,
-    # never SinglePartition) + the baked-in offset.
+    # never SinglePartition) ⊕ the baked-in offset.
     w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
-    return ranged.withColumn(out_col, (offset + window_fn(w)).cast("long")).drop(
-        "_pid"
-    )
+    return ranged.withColumn(out_col, fold(window_fn(w))).drop("_pid")
 
 
 def range_partitioned_row_number(
@@ -198,4 +227,32 @@ def range_partitioned_running_sum(
         ),
         out_col,
         group_cols,
+    )
+
+
+def range_partitioned_running_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "running_max",
+    group_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Running maximum of ``value_col`` over a total ordering with no
+    single-partition exchange.  ``inclusive=False`` gives the
+    strictly-preceding-rows maximum (frame ``(-inf, -1)``): NULL for
+    the globally first row — the sweep-line primitive (skyline
+    dominance, high-watermark detection).  Values are cast to long.
+    """
+    end = Window.currentRow if inclusive else -1
+    return _apply(
+        df,
+        order_cols,
+        F.max(F.col(value_col).cast("long")),
+        lambda w: F.max(F.col(value_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, end)
+        ),
+        out_col,
+        group_cols,
+        combine="max",
     )

@@ -4591,6 +4591,10 @@ QUERIES = {
     "customer_rfm": _qa.q_customer_rfm,
     "orders_snapshot_diff": _qa.q_orders_snapshot_diff,
     "pricing_decimal_exact": _qa.q_pricing_decimal_exact,
+    "part_skyline": _qa.q_part_skyline,
+    "lineitem_equidepth_histogram": _qa.q_lineitem_equidepth_histogram,
+    "events_first_last_touch": _qa.q_events_first_last_touch,
+    "orders_month_spine": _qa.q_orders_month_spine,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
     "doc_quality_classifier": q_doc_quality_classifier,

@@ -23,8 +23,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 __all__ = ["SyntheticEventsSource", "register_synthetic_source"]
@@ -100,6 +102,63 @@ class _SyntheticStreamReader(SimpleDataSourceStreamReader):
         pass  # nothing external to acknowledge
 
 
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged, self.rows = staged, rows
+
+
+class _JsonlTwoPhaseWriter(DataSourceWriter):
+    """Python DataSource WRITER with the two-phase commit contract the
+    API exists for: each task writes its partition to a private
+    ``_staging`` file and returns a commit message; only the driver's
+    ``commit()`` publishes the files (rename + ``_SUCCESS`` marker),
+    and ``abort()`` discards the staging dir — a half-failed job never
+    leaves partial output visible.  Local-filesystem staging works in
+    this single-node sandbox; a production writer stages into the
+    target SYSTEM's transactional primitive (S3 MPU upload ids, a DB
+    transaction, an idempotent PUT) — the protocol shape is the same.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("synthetic_events writer requires option 'path'")
+
+    def write(self, iterator) -> _StagedFile:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _StagedFile(staged, n)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        total = 0
+        for m in messages:
+            os.replace(
+                m.staged, os.path.join(self.path, os.path.basename(m.staged))
+            )
+            total += m.rows
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
 class SyntheticEventsSource(DataSource):
     """``spark.read.format("synthetic_events").option("rows", n)`` —
     deterministic (id, bucket, score) rows; also usable as a streaming
@@ -118,6 +177,9 @@ class SyntheticEventsSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _SyntheticStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlTwoPhaseWriter(self.options)
 
 
 def register_synthetic_source(spark) -> None:

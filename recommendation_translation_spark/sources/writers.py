@@ -188,6 +188,39 @@ def read_current_version(spark, target_path: str) -> DataFrame:
         return spark.read.parquet(os.path.join(target_path, fh.read().strip()))
 
 
+def list_versions(target_path: str) -> list[int]:
+    """Version numbers present in a :func:`merge_upsert_parquet`
+    target, ascending — the time-travel catalog."""
+    import os
+    import re
+
+    out = []
+    for name in os.listdir(target_path):
+        m = re.fullmatch(r"_v(\d+)", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_version(spark, target_path: str, version: int) -> DataFrame:
+    """Time-travel read: a SPECIFIC snapshot of a
+    :func:`merge_upsert_parquet` target, by version number.  Old
+    version directories are immutable once the pointer moves past
+    them, so historical reads are reproducible; pair with
+    ``operators.cdc.snapshot_diff`` to recover the change set between
+    any two versions.  (Retention/vacuum is the deployment's call —
+    this sandbox keeps every version.)"""
+    import os
+
+    path = os.path.join(target_path, f"_v{version}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"version {version} not present under {target_path}; "
+            f"have {list_versions(target_path)}"
+        )
+    return spark.read.parquet(path)
+
+
 def write_xml(df: DataFrame, path: str, row_tag: str = "row",
               root_tag: str = "rows", mode: str = "errorifexists") -> None:
     """XML sink (built into Spark 4 after the spark-xml migration,

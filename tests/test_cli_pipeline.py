@@ -388,3 +388,44 @@ def test_pageview_sql_source_against_catalog_table(spark, tmp_path):
         assert "PartitionFilters" in plan and "day" in plan
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_time_travel_reads_and_cdc_between_versions(spark, tmp_path):
+    from recommendation_translation_spark.operators.cdc import snapshot_diff
+    from recommendation_translation_spark.sources.writers import (
+        list_versions,
+        merge_upsert_parquet,
+        read_current_version,
+        read_version,
+    )
+
+    target = str(tmp_path / "tt")
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    merge_upsert_parquet(spark, target, v1, ["k"])
+    v2 = spark.createDataFrame([(2, 25.0), (3, 30.0)], "k long, v double")
+    merge_upsert_parquet(spark, target, v2, ["k"])
+
+    assert list_versions(target) == [1, 2]
+    # old versions are immutable + readable; current == latest
+    assert {(r.k, r.v) for r in read_version(spark, target, 1).collect()} == {
+        (1, 10.0), (2, 20.0)
+    }
+    assert {(r.k, r.v) for r in read_version(spark, target, 2).collect()} == {
+        (1, 10.0), (2, 25.0), (3, 30.0)
+    }
+    cur = {(r.k, r.v) for r in read_current_version(spark, target).collect()}
+    assert cur == {(1, 10.0), (2, 25.0), (3, 30.0)}
+
+    # CDC between versions recovers exactly the applied upsert
+    diff = {
+        (r.k, r.action)
+        for r in snapshot_diff(
+            read_version(spark, target, 1), read_version(spark, target, 2), ["k"]
+        ).collect()
+    }
+    assert diff == {(2, "update"), (3, "insert")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, target, 9)

@@ -517,12 +517,22 @@ def test_keep_best_anti_join_broadcast(spark):
 
 
 def test_contamination_gram_join_is_hash(spark):
-    # gram generation is Generate(explode) row-local; the cross-split
-    # match must be a shuffled hash join, never nested-loop
+    # the cross-split match must be a shuffled hash join, never
+    # nested-loop.  (Since the round-4 single-pass rewrite the gram
+    # relation sits behind a localCheckpoint boundary, so its
+    # Generate(explode) is asserted on the pre-checkpoint relation,
+    # not the final plan.)
     df = QUERIES["corpus_contamination"](spark, SF_SMALL)
     plan = physical_plan(df, mode="simple")
-    assert "Generate" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    from recommendation_translation_spark.operators.curation import doc_ngrams
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    gram_plan = physical_plan(
+        doc_ngrams(docs, n=8, keep_cols=()), mode="simple"
+    )
+    assert "Generate" in gram_plan
 
 
 def test_percentiles_single_pass(spark):
@@ -736,6 +746,8 @@ _SCALAR_FOLD_OK = {
     "lineitem_corr_matrix", "lineitem_dq_checks", "supplier_pareto",
     # customer_rfm folds two 1-row scalars (anchor date, customer count)
     "customer_rfm",
+    # equi-depth histogram folds the 1-row total-count scalar
+    "lineitem_equidepth_histogram",
 }
 
 

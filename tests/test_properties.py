@@ -535,3 +535,48 @@ def test_range_partitioned_grouping_nonstring_and_empty_groups(spark):
             ).collect()
         }
         assert got == want, schema
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.text(alphabet="ab", min_size=1, max_size=2),
+                  st.integers(min_value=0, max_value=40),
+                  st.integers(min_value=-5, max_value=9)),
+        min_size=0, max_size=60),
+)
+def test_range_partitioned_running_max_equals_global_window(spark, rows):
+    # inclusive AND exclusive (strictly-preceding) running max must
+    # equal the single-reducer global window, incl. negative values,
+    # ties, and the NULL first row of the exclusive frame
+    from pyspark.sql import Window
+    from recommendation_translation_spark.operators.ordering import (
+        range_partitioned_running_max,
+    )
+
+    uniq = {(g, i): v for g, i, v in rows}
+    df = spark.createDataFrame(
+        [(g, i, v) for (g, i), v in uniq.items()],
+        "grp string, id long, val long",
+    )
+    order = [F.col("id").desc(), F.col("grp")]
+    for inclusive in (True, False):
+        end = Window.currentRow if inclusive else -1
+        got = {
+            (r.grp, r.id): r.rm
+            for r in range_partitioned_running_max(
+                df, order, "val", "rm", inclusive=inclusive
+            ).collect()
+        }
+        want = {
+            (r.grp, r.id): r.rm
+            for r in df.withColumn(
+                "rm",
+                F.max("val").over(
+                    Window.orderBy(*order).rowsBetween(
+                        Window.unboundedPreceding, end
+                    )
+                ),
+            ).collect()
+        }
+        assert got == want, f"inclusive={inclusive}"

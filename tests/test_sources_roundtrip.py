@@ -153,3 +153,33 @@ def test_xml_explicit_schema_skips_inference(spark, tmp_path):
                     schema="n_nationkey BIGINT, n_name STRING")
     assert back.schema.simpleString() == "struct<n_nationkey:bigint,n_name:string>"
     assert back.count() == nation.count()
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    import json
+    import os
+
+    from recommendation_translation_spark.sources.pysource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    out = str(tmp_path / "pysink")
+    df = spark.read.format("synthetic_events").option("rows", "200").load()
+    (df.write.format("synthetic_events").option("path", out)
+       .mode("append").save())
+
+    # committed: staging gone, _SUCCESS present with the row total
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read() == "200"
+    rows = []
+    for name in os.listdir(out):
+        if name.endswith(".jsonl"):
+            with open(os.path.join(out, name)) as fh:
+                rows += [json.loads(line) for line in fh]
+    assert len(rows) == 200
+    # content identical to the source relation
+    want = {(r.id, r.bucket, round(r.score, 2)) for r in df.collect()}
+    got = {(r["id"], r["bucket"], round(r["score"], 2)) for r in rows}
+    assert got == want
