@@ -144,19 +144,38 @@ def ngram_jaccard_pairs(
     )
 
 
+_MH_P = 4294967291  # largest 32-bit prime: range of the derived permutations
+
+
 def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """k-permutation MinHash signature: (id, sig_0 … sig_{k-1}).
 
     One aggregation over the exploded shingles — the k hash functions
-    are k ``min(H(seed_i, shingle))`` aggregates, so signature width
-    never multiplies the shuffle volume."""
+    are k ``min(h_i(shingle))`` aggregates, so signature width never
+    multiplies the shuffle volume.  The k permutations derive from ONE
+    md5 per shingle via Kirsch-Mitzenmacher double hashing:
+    ``h_i = (x1 + i·x2) mod p`` with x1/x2 the digest's two 32-bit
+    halves (cross_engine_hash/_hi share the digest through Catalyst
+    CSE) — k=16 md5s per shingle was the dominant cost of the whole
+    minhash family (~2× wall-clock on the signature pass), and K-M
+    composition preserves the uniformity minhash needs.  Max value
+    x1 + 15·x2 < 2³⁶, so the arithmetic stays in native int64 on both
+    engines; the oracle mirrors the same digest slices and affine
+    combine (queries._minhash_sigs_sql)."""
+    from .text import cross_engine_hash_hi
+
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    base = sh.select(
+        F.col(id_col),
+        cross_engine_hash(F.col("shingle"), seed="mh").alias("x1"),
+        cross_engine_hash_hi(F.col("shingle"), seed="mh").alias("x2"),
+    )
     aggs = [
-        F.min(cross_engine_hash(F.col("shingle"), seed=f"mh{i}")).alias(f"sig_{i}")
+        F.min((F.col("x1") + F.lit(i) * F.col("x2")) % F.lit(_MH_P)).alias(f"sig_{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(

@@ -2561,10 +2561,19 @@ _SHINGLES_SQL = f"""
 
 
 def _minhash_sigs_sql(k: int = 16) -> str:
+    # Kirsch-Mitzenmacher permutations from ONE md5 per shingle —
+    # mirrors operators.dedup.minhash_signatures exactly (same digest
+    # slices, same affine combine, same modulus)
+    x1 = "('0x' || substr(d, 1, 8))::BIGINT"
+    x2 = "('0x' || substr(d, 9, 8))::BIGINT"
     aggs = ", ".join(
-        f"MIN({_hash_sql('shingle', seed=f'mh{i}')}) AS sig_{i}" for i in range(k)
+        f"MIN(({x1} + {i} * {x2}) % 4294967291) AS sig_{i}" for i in range(k)
     )
-    return f"SELECT doc_id, {aggs} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+    return (
+        f"SELECT doc_id, {aggs} FROM ("
+        f"SELECT doc_id, md5(concat('mh:', shingle)) AS d FROM ({_SHINGLES_SQL})"
+        f") GROUP BY doc_id"
+    )
 
 
 def _minhash_stacked_sql(k: int = 16, bands: int = 8) -> str:
@@ -4520,6 +4529,40 @@ ORACLES["doc_string_funcs"] = """
 
 ORACLES.update(_qa.ANALYTICS_ORACLES)
 
+# Oracle for the LSH approximation-quality report (query lives in
+# queries_analytics; the SQL composes this module's minhash/shingle
+# builders, so it registers here).  `truth` mirrors ngram_jaccard_pairs
+# (round-then-compare threshold), `cand` mirrors minhash_bands'
+# band-collision join.
+ORACLES["dedup_lsh_recall_report"] = f"""
+    WITH {_minhash_stacked_sql(16, 8)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    sh AS ({{shingles}}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT a_id, b_id FROM inter
+      JOIN sizes na ON na.doc_id = a_id
+      JOIN sizes nb ON nb.doc_id = b_id
+      WHERE ROUND(n_inter / (na.n_sh + nb.n_sh - n_inter)::DOUBLE, 6) >= 0.02),
+    ver AS (SELECT c.a_id FROM cand c
+            JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM ver) AS n_verified,
+           ROUND((SELECT COUNT(*) FROM ver)
+                 / (SELECT COUNT(*) FROM truth)::DOUBLE, 6) AS recall,
+           ROUND((SELECT COUNT(*) FROM ver)
+                 / (SELECT COUNT(*) FROM cand)::DOUBLE, 6) AS cand_precision
+""".format(shingles=_SHINGLES_SQL)
+
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
 # round-by-round (round-2 verdict #3).  Round-4 front: (a) the 25
@@ -4595,6 +4638,8 @@ QUERIES = {
     "lineitem_equidepth_histogram": _qa.q_lineitem_equidepth_histogram,
     "events_first_last_touch": _qa.q_events_first_last_touch,
     "orders_month_spine": _qa.q_orders_month_spine,
+    "dedup_lsh_recall_report": _qa.q_dedup_lsh_recall_report,
+    "events_median_arrow": _qa.q_events_median_arrow,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
     "doc_quality_classifier": q_doc_quality_classifier,

@@ -1039,6 +1039,92 @@ def q_orders_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANALYTICS_ORACLES["orders_month_spine"] = _MONTH_SPINE_SQL.format(orders="orders")
 
 
+def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit of the MinHash LSH pipeline against
+    exact ground truth — the report a dedup run ships with its dataset
+    card: true near-dup pairs (exact n-gram Jaccard ≥ t), LSH candidate
+    pairs (band collisions), verified survivors, recall
+    (verified/true — what the banding missed) and candidate precision
+    (verified/candidates — how much verification work the bands
+    wasted).  Everything folds to ONE row of counts; at scale this runs
+    on a SAMPLE while the production path runs banding only — the
+    report is how you justify k/bands before trusting them."""
+    from .operators.dedup import minhash_bands, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.02).select("a_id", "b_id")
+    stacked = minhash_bands(docs, k=16, bands=8)
+    b2 = stacked.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band").alias("band2"),
+        F.col("band_hash").alias("band_hash2"),
+    )
+    cand = (
+        stacked.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("band_hash") == F.col("band_hash2"))
+            & (F.col("doc_id") < F.col("b_id")),
+        )
+        .select(F.col("doc_id").alias("a_id"), "b_id")
+        .distinct()
+    )
+    verified = cand.join(truth, ["a_id", "b_id"], "left_semi")
+    s_truth = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    s_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    s_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    return (
+        s_truth.crossJoin(F.broadcast(s_cand))
+        .crossJoin(F.broadcast(s_ver))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_verified",
+            F.round(F.col("n_verified") / F.col("n_true"), 6).alias("recall"),
+            F.round(F.col("n_verified") / F.col("n_candidates"), 6).alias(
+                "cand_precision"
+            ),
+        )
+    )
+
+
+def q_events_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type median via ``applyInArrow`` — the pure-Arrow
+    grouped escape hatch (no pandas conversion: the group arrives as a
+    ``pyarrow.Table``, math runs on the Arrow buffer through numpy,
+    one tiny table returns).  Beside the pandas UDAF
+    (`events_trimmed_mean`) and the JVM sketch (`events_sketch_stats`),
+    this completes the three grouped-custom-aggregate tiers.  An exact
+    median needs the group's values together (hostile at extreme
+    group sizes — that's what the t-digest twin is for); groups here
+    are |event_type| ≈ 5, each a bounded slice of the stream."""
+    import pyarrow as pa
+
+    def med(table: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        v = table.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [len(v)],
+                "median_value": [round(float(np.median(v)), 6)],
+            }
+        )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        med, "event_type string, n bigint, median_value double"
+    )
+
+
+ANALYTICS_ORACLES["events_median_arrow"] = """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(median(value), 6) AS median_value
+    FROM events GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_ewma": q_events_ewma,
@@ -1061,4 +1147,6 @@ ANALYTICS_QUERIES = {
     "lineitem_equidepth_histogram": q_lineitem_equidepth_histogram,
     "events_first_last_touch": q_events_first_last_touch,
     "orders_month_spine": q_orders_month_spine,
+    "dedup_lsh_recall_report": q_dedup_lsh_recall_report,
+    "events_median_arrow": q_events_median_arrow,
 }

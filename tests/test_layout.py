@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .conftest import SF_SMALL
 from recommendation_translation_spark.operators.layout import (
     write_zordered,
     zorder_dataframe,
@@ -78,3 +79,29 @@ def test_zorder_preserves_rows(spark):
     out = zorder_dataframe(df, ["x", "y"], n_files=4)
     assert out.count() == 500
     assert {r.x for r in out.collect()} == set(range(500))
+
+
+def test_analyze_table_feeds_cost_based_optimizer(spark, tmp_path):
+    # ANALYZE TABLE populates catalog statistics (row count, column
+    # NDV/min/max) that the CBO uses for join ordering and broadcast
+    # decisions — the production habit for dimension tables.
+    name = "stats_nation_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.read.parquet(f"{SF_SMALL}/nation.parquet").write.saveAsTable(name)
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+        detail = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        assert "25 rows" in detail.get("Statistics", "")
+        col = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                f"DESCRIBE EXTENDED {name} n_nationkey"
+            ).collect()
+        }
+        assert col.get("distinct_count") == "25"
+        assert col.get("min") == "0" and col.get("max") == "24"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

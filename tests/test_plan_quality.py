@@ -748,6 +748,8 @@ _SCALAR_FOLD_OK = {
     "customer_rfm",
     # equi-depth histogram folds the 1-row total-count scalar
     "lineitem_equidepth_histogram",
+    # LSH recall report folds three 1-row count scalars
+    "dedup_lsh_recall_report",
 }
 
 
