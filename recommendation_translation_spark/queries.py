@@ -4640,6 +4640,7 @@ QUERIES = {
     "orders_month_spine": _qa.q_orders_month_spine,
     "dedup_lsh_recall_report": _qa.q_dedup_lsh_recall_report,
     "events_median_arrow": _qa.q_events_median_arrow,
+    "events_anomaly_mad": _qa.q_events_anomaly_mad,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
     "doc_quality_classifier": q_doc_quality_classifier,

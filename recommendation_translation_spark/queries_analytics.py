@@ -1125,6 +1125,62 @@ ANALYTICS_ORACLES["events_median_arrow"] = """
 """
 
 
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe companion of `events_zscore_outliers` (mean/stddev
+    break down when the outliers themselves inflate the baseline; the
+    median/MAD pair has a 50% breakdown point).  Two aggregation
+    passes (per-type median, then median of |x − median|), each a
+    |types|-row relation broadcast back onto the stream — the facts
+    never shuffle.  The 1.4826 factor rescales MAD to σ-equivalents
+    for a normal distribution; flags |x − med| > 3·1.4826·MAD.
+    Medians are rounded before the comparison so the flag boundary is
+    engine-deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 6
+            ).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    score = F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        ev.join(F.broadcast(dev), "event_type")
+        .filter(score > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(score, 4).alias("mad_score"),
+        )
+    )
+
+
+ANALYTICS_ORACLES["events_anomaly_mad"] = """
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type,
+             ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+             MIN(m.med) AS med
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           ROUND(abs(e.value - d.med) / (1.4826 * d.mad), 4) AS mad_score
+    FROM events e JOIN dev d USING (event_type)
+    WHERE abs(e.value - d.med) / (1.4826 * d.mad) > 3
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_ewma": q_events_ewma,
@@ -1149,4 +1205,5 @@ ANALYTICS_QUERIES = {
     "orders_month_spine": q_orders_month_spine,
     "dedup_lsh_recall_report": q_dedup_lsh_recall_report,
     "events_median_arrow": q_events_median_arrow,
+    "events_anomaly_mad": q_events_anomaly_mad,
 }
