@@ -4641,6 +4641,7 @@ QUERIES = {
     "dedup_lsh_recall_report": _qa.q_dedup_lsh_recall_report,
     "events_median_arrow": _qa.q_events_median_arrow,
     "events_anomaly_mad": _qa.q_events_anomaly_mad,
+    "orders_pipe_sql": _qa.q_orders_pipe_sql,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
     "doc_quality_classifier": q_doc_quality_classifier,

@@ -1181,6 +1181,37 @@ ANALYTICS_ORACLES["events_anomaly_mad"] = """
 """
 
 
+def q_orders_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators): the scan→filter→
+    join→aggregate→post-filter chain written as a linear pipeline —
+    the readable modern form of nested subqueries, compiled by
+    Catalyst to the IDENTICAL plan as the classic formulation (the
+    oracle is that classic SQL; hash parity proves plan-equivalence
+    of the two frontends)."""
+    return spark.sql(
+        f"""
+        FROM parquet.`{sf_dir}/orders.parquet`
+        |> WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |> JOIN parquet.`{sf_dir}/customer.parquet` ON o_custkey = c_custkey
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue
+           GROUP BY c_nationkey
+        |> WHERE n_orders > 50
+        |> SELECT c_nationkey, n_orders, revenue
+        """
+    )
+
+
+ANALYTICS_ORACLES["orders_pipe_sql"] = """
+    SELECT c_nationkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 50
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_ewma": q_events_ewma,
@@ -1206,4 +1237,5 @@ ANALYTICS_QUERIES = {
     "dedup_lsh_recall_report": q_dedup_lsh_recall_report,
     "events_median_arrow": q_events_median_arrow,
     "events_anomaly_mad": q_events_anomaly_mad,
+    "orders_pipe_sql": q_orders_pipe_sql,
 }
