@@ -208,3 +208,32 @@ def resample_interpolate(events: DataFrame, width: str = "1 hour") -> DataFrame:
         F.when(observed, 0).otherwise(1).cast("long").alias("is_gap"),
         interp.alias("sum_value_interp"),
     )
+
+
+def sessionize_dynamic(events: DataFrame) -> DataFrame:
+    """Dynamic-gap sessionization via ``session_window`` with a
+    per-event gap COLUMN (error events hold a session open for 60
+    minutes, everything else 30): sessions are unions of overlapping
+    ``[ts, ts+gap)`` intervals, so a single long-gap event stretches
+    the whole session — semantics a fixed-gap lag/flag formulation
+    cannot express.  Batch mode here; the identical expression runs
+    under readStream with a watermark.  One shuffle on (user_id), the
+    native session merge runs inside the aggregation."""
+    gap = (
+        F.when(F.col("event_type") == "error", "60 minutes")
+        .otherwise("30 minutes")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+    )

@@ -597,6 +597,21 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream_sessionize(spark, sf_dir), output_mode="append")
 
 
+def q_events_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators (Spark 4): the watermarked
+    stream-stream join feeds an hourly tumbling aggregation in the
+    SAME query — two state stores, one append-mode sink (pre-Spark-4
+    this took two queries bridged by a sink).  Emits the
+    watermark-finalized windows; the oracle reproduces the join, the
+    hourly rollup, and the finalization cutoff (window end ≤ min of
+    both sides' max event time − the 30-minute delay)."""
+    from .streaming.events_stream import run_stream_to_memory, stream_join_then_agg
+
+    return run_stream_to_memory(
+        stream_join_then_agg(spark, sf_dir), output_mode="append"
+    )
+
+
 def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user running stats (update mode)."""
     from .streaming.events_stream import run_stream_to_memory, stream_user_stats
@@ -4529,6 +4544,32 @@ ORACLES["doc_string_funcs"] = """
 
 ORACLES.update(_qa.ANALYTICS_ORACLES)
 
+ORACLES["events_stream_chained"] = """
+    WITH ev AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts
+                FROM events),
+    err AS (SELECT event_id AS err_id, user_id, ts AS err_ts
+            FROM ev WHERE event_type = 'error'),
+    clk AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM ev WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(err_ts) FROM err),
+                        (SELECT max(click_ts) FROM clk))
+                  - INTERVAL 30 MINUTE AS w),
+    j AS (SELECT err_id, click_id, err.user_id, err_ts, click_ts
+          FROM err JOIN clk ON err.user_id = clk.user_id
+           AND click_ts >= err_ts - INTERVAL 30 MINUTE
+           AND click_ts <= err_ts),
+    agg AS (SELECT time_bucket(INTERVAL '1 hour', err_ts) AS ws,
+                   COUNT(*) AS n_pairs,
+                   ROUND(AVG((epoch_us(err_ts) - epoch_us(click_ts)) / 1e6),
+                         4) AS avg_lag_s
+            FROM j GROUP BY 1)
+    SELECT CAST(epoch_us(ws) AS BIGINT) AS window_start_us,
+           n_pairs, avg_lag_s
+    FROM agg, wm
+    WHERE ws + INTERVAL 1 HOUR <= w
+"""
+
+
 # Oracle for the LSH approximation-quality report (query lives in
 # queries_analytics; the SQL composes this module's minhash/shingle
 # builders, so it registers here).  `truth` mirrors ngram_jaccard_pairs
@@ -4642,6 +4683,8 @@ QUERIES = {
     "events_median_arrow": _qa.q_events_median_arrow,
     "events_anomaly_mad": _qa.q_events_anomaly_mad,
     "orders_pipe_sql": _qa.q_orders_pipe_sql,
+    "events_sessionize_dynamic": _qa.q_events_sessionize_dynamic,
+    "events_stream_chained": q_events_stream_chained,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
     "doc_quality_classifier": q_doc_quality_classifier,

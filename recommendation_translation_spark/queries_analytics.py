@@ -1212,6 +1212,47 @@ ANALYTICS_ORACLES["orders_pipe_sql"] = """
 """
 
 
+def q_events_sessionize_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions (operators.events.sessionize_dynamic):
+    per-event gap column — error events hold the session open 60 min,
+    others 30.  The oracle reproduces Spark's interval-union merge
+    with a strictly-preceding running max of interval ends (an event
+    starts a new session iff its ts exceeds every previous event's
+    ts+gap) — the gaps-and-islands generalization the fixed-gap
+    `events_sessionize` lag test can't express."""
+    from .operators.events import sessionize_dynamic
+
+    return sessionize_dynamic(_t(spark, sf_dir, "events"))
+
+
+ANALYTICS_ORACLES["events_sessionize_dynamic"] = """
+    WITH ev AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+             CASE WHEN event_type = 'error' THEN INTERVAL 60 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events),
+    x AS (SELECT *, ts + gap AS en FROM ev),
+    m AS (SELECT *,
+                 MAX(en) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+          FROM x),
+    f AS (SELECT *, CASE WHEN prev_max IS NULL OR ts > prev_max
+                         THEN 1 ELSE 0 END AS ns
+          FROM m),
+    s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS seq
+          FROM f)
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(en)) AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, seq
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_ewma": q_events_ewma,
@@ -1238,4 +1279,5 @@ ANALYTICS_QUERIES = {
     "events_median_arrow": q_events_median_arrow,
     "events_anomaly_mad": q_events_anomaly_mad,
     "orders_pipe_sql": q_orders_pipe_sql,
+    "events_sessionize_dynamic": q_events_sessionize_dynamic,
 }

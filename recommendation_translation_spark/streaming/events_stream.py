@@ -211,7 +211,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_stream_join(
-    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30,
+    keep_event_time: bool = False,
 ) -> DataFrame:
     """Watermarked stream-stream inner join: each error event joined to
     the same user's click events in the preceding ``window_minutes``.
@@ -259,6 +260,41 @@ def stream_stream_join(
         F.col("err_user").alias("user_id"),
         F.unix_micros("err_ts").alias("err_ts_us"),
         F.unix_micros("click_ts").alias("click_ts_us"),
+        # the RAW event-time column (watermark metadata intact) for
+        # chained stateful consumers — a rebuilt timestamp_micros copy
+        # loses the watermark and append-mode aggs downstream fail
+        *([F.col("err_ts")] if keep_event_time else []),
+    )
+
+
+def stream_join_then_agg(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4
+    multi-stateful support): the watermarked stream-stream join feeds a
+    tumbling hourly aggregation downstream — one query, two state
+    stores, append mode.  Before Spark 4 this required two queries
+    bridged by a sink; watermark propagation now finalizes the
+    downstream windows once the upstream join can no longer produce
+    rows for them.  Emits the finalized subset: windows whose end the
+    final global watermark (min of both sides' max event time, minus
+    the delay) has passed."""
+    joined = stream_stream_join(
+        spark, sf_dir, window_minutes=window_minutes, keep_event_time=True
+    )
+    return (
+        joined.groupBy(F.window("err_ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.avg((F.col("err_ts_us") - F.col("click_ts_us")) / 1e6), 4
+            ).alias("avg_lag_s"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_pairs",
+            "avg_lag_s",
+        )
     )
 
 

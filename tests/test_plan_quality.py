@@ -728,7 +728,7 @@ _BUILD_HEAVY = {
     "events_stream_tumbling", "events_stream_hopping", "events_stream_static",
     "events_stream_sessionize", "events_stream_join",
     "events_stream_stateful", "events_stream_dedup", "pysource_stream",
-    "events_stream_rocksdb",
+    "events_stream_rocksdb", "events_stream_chained",
 }
 
 # Bounded 1-row scalar aggregates / scalar-subquery folds: the ONLY
@@ -854,3 +854,48 @@ def test_no_forced_broadcast_on_sf_scaled_relations(spark, monkeypatch):
         f"forced broadcast hint on un-aggregated SF-scaled relation in: "
         f"{sorted(set(offenders))}"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 families: shuffle floors
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_single_shuffle(spark):
+    # all three windows (lag, island sum, lead) share the user_id
+    # partitioning; the groupBy re-uses it → one exchange total
+    df = QUERIES["events_scd2_intervals"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_ewma_single_shuffle(spark):
+    # ordered frame + HOF fold: one exchange on user_id
+    df = QUERIES["events_ewma"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_trailing_range_sum_single_shuffle(spark):
+    df = QUERIES["events_trailing_range_sum"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_first_last_touch_single_shuffle(spark):
+    # min_by/max_by/count fold into ONE aggregation (partial + final)
+    df = QUERIES["events_first_last_touch"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_bitmap_distinct_two_level(spark):
+    # (type, bucket) partial bitmaps then per-type counts: 2 exchanges,
+    # and the shuffled payload is the bitmap column, never raw ids
+    df = QUERIES["events_bitmap_distinct"](spark, SF_SMALL)
+    assert count_exchanges(df) == 2
+    assert "bitmap_construct_agg" in physical_plan(df, mode="simple")
+
+
+def test_mad_outliers_facts_never_shuffle(spark):
+    # per-type stats broadcast back onto the stream: the only
+    # exchanges aggregate the |types|-row stat relations
+    df = QUERIES["events_anomaly_mad"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") == 2
