@@ -4684,6 +4684,8 @@ QUERIES = {
     "events_anomaly_mad": _qa.q_events_anomaly_mad,
     "orders_pipe_sql": _qa.q_orders_pipe_sql,
     "events_sessionize_dynamic": _qa.q_events_sessionize_dynamic,
+    "events_reach_curve": _qa.q_events_reach_curve,
+    "orders_pivot_unpivot_sql": _qa.q_orders_pivot_unpivot_sql,
     "events_stream_chained": q_events_stream_chained,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,

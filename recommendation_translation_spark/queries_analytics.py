@@ -1253,6 +1253,78 @@ ANALYTICS_ORACLES["events_sessionize_dynamic"] = """
 """
 
 
+def q_events_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-reach curve: distinct users ever seen, by day — the
+    audience-growth line on every analytics dashboard.  Running
+    distinct is NOT windowable at scale; the scalable identity is
+    first-occurrence: min(day) per user (one shuffle on user_id) →
+    new users per day → running sum over the per-day relation, which
+    is bounded by the CALENDAR (≤ 31 rows here, ~36.5k for a century)
+    — so the final cumulative window is domain-bounded, never
+    data-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    first = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    per_day = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.unix_date("day").alias("day_epoch"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_reach"),
+    )
+
+
+ANALYTICS_ORACLES["events_reach_curve"] = """
+    WITH f AS (
+      SELECT user_id, MIN(ts::TIMESTAMP::DATE) AS day
+      FROM events GROUP BY 1),
+    d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+    SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day_epoch,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_reach
+    FROM d
+"""
+
+
+def q_orders_pivot_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT → UNPIVOT round trip (both Spark SQL clauses): yearly
+    order counts pivoted into one column per order status, then
+    unpivoted back to long form — hash-equal to the plain GROUP BY the
+    oracle computes, which proves the two reshapes are exact inverses
+    (modulo the NULL cells UNPIVOT drops; statuses absent in a year
+    vanish on both engines).  The DataFrame twins are
+    `feature_pivot`/`feature_unpivot`; this pins the SQL frontend."""
+    return spark.sql(
+        f"""
+        SELECT year, status, n_orders FROM (
+          SELECT * FROM (
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS year, o_orderstatus
+            FROM parquet.`{sf_dir}/orders.parquet`
+          )
+          PIVOT (COUNT(*) AS cnt FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        )
+        UNPIVOT (n_orders FOR status IN (f AS `F`, o AS `O`, p AS `P`))
+        """
+    ).select(
+        F.col("year").cast("long").alias("year"),
+        "status",
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+ANALYTICS_ORACLES["orders_pivot_unpivot_sql"] = """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+           o_orderstatus AS status, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_ewma": q_events_ewma,
@@ -1280,4 +1352,6 @@ ANALYTICS_QUERIES = {
     "events_anomaly_mad": q_events_anomaly_mad,
     "orders_pipe_sql": q_orders_pipe_sql,
     "events_sessionize_dynamic": q_events_sessionize_dynamic,
+    "events_reach_curve": q_events_reach_curve,
+    "orders_pivot_unpivot_sql": q_orders_pivot_unpivot_sql,
 }

@@ -750,6 +750,9 @@ _SCALAR_FOLD_OK = {
     "lineitem_equidepth_histogram",
     # LSH recall report folds three 1-row count scalars
     "dedup_lsh_recall_report",
+    # reach curve: the cumulative window runs over the per-DAY relation
+    # — bounded by the calendar (≤36.5k rows/century), not the data
+    "events_reach_curve",
 }
 
 
