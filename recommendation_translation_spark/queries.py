@@ -4544,6 +4544,31 @@ ORACLES["doc_string_funcs"] = """
 
 ORACLES.update(_qa.ANALYTICS_ORACLES)
 
+# Connected components ARE SQL-expressible after all: the transitive
+# closure via a recursive CTE with UNION (distinct) terminates on the
+# finite reachable-pair set, and min-over-reachable is the cluster id.
+# O(Σ component²) pairs — fine at oracle scale (sf0.01), which is
+# exactly why the SPARK side runs pointer jumping instead (the closure
+# materializes every reachable pair; the CC loop never does).  This
+# upgrades dedup_clusters from rows-only to hash-checked (the round-3
+# verdict listed it as the weakest check in the dedup family).
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE s AS ({_simhash_sql()}),
+    p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+    e AS (SELECT a_id AS u, b_id AS v FROM p
+          UNION SELECT b_id, a_id FROM p),
+    r(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+    FROM r GROUP BY u
+"""
+
 ORACLES["events_stream_chained"] = """
     WITH ev AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts
                 FROM events),

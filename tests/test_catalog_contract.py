@@ -15,8 +15,9 @@ ROWS_ONLY = {
     "ml_score_topk": "scores come from the trained RF models",
     "ml_feature_importance": "importances come from the RF internals",
     "ml_cv_tuning": "CrossValidator fold metrics come from RF fits",
-    "dedup_clusters": "iterative fixpoint; exactness pinned vs a "
-                      "union-find oracle in tests/test_curation.py",
+    # dedup_clusters graduated to a full hash-checked oracle in round 4
+    # (recursive-CTE transitive closure); the union-find property test
+    # in tests/test_curation.py remains as the fast local pin.
     "events_approx_stats": "HLL++/quantile sketches are approximate by "
                            "design; error bounds pinned in tests",
     "events_sketch_stats": "same — sketch outputs, error-bound tested",
