@@ -4711,6 +4711,7 @@ QUERIES = {
     "events_sessionize_dynamic": _qa.q_events_sessionize_dynamic,
     "events_reach_curve": _qa.q_events_reach_curve,
     "orders_pivot_unpivot_sql": _qa.q_orders_pivot_unpivot_sql,
+    "corpus_weighted_sample": _qa.q_corpus_weighted_sample,
     "events_stream_chained": q_events_stream_chained,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,

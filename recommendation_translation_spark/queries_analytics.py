@@ -1325,6 +1325,58 @@ ANALYTICS_ORACLES["orders_pivot_unpivot_sql"] = """
 """
 
 
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each document draws a hash-seeded
+    uniform u and competes with key u^(1/w), w = token count; the
+    top-k keys are a weighted sample — one scan plus a top-k, no
+    per-stratum passes, reproducible across runs and cluster sizes
+    (the classic way a curation pipeline takes a longer-docs-favored
+    subsample of a 100 TB corpus).  The uniform comes from the
+    cross-engine md5 hash, so the oracle draws the identical sample;
+    keys are rounded before ranking (consecutive order statistics of
+    5000 uniforms are ~2e-4 apart — far above any pow() ulp noise)."""
+    from .operators.text import cross_engine_hash, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.greatest(F.size(tokens(F.lower(F.col("text")))), F.lit(1))
+    u = (cross_engine_hash(F.col("doc_id").cast("string"), seed="ws") + 1) / F.lit(
+        2**32 + 1.0
+    )
+    keyed = docs.select(
+        "doc_id",
+        w.cast("long").alias("n_tokens"),
+        F.round(F.pow(u, 1.0 / w), 10).alias("es_key"),
+    )
+    # global top-k over the (doc_id, key) projection via the
+    # range-partitioned row number — no single-partition window even
+    # though only k=200 rows survive
+    ranked = range_partitioned_row_number(
+        keyed, [F.col("es_key").desc(), F.col("doc_id")], out_col="rk"
+    )
+    return ranked.filter(F.col("rk") <= 200).select(
+        "doc_id", "n_tokens", "es_key", F.col("rk").cast("long").alias("rk")
+    )
+
+
+# DuckDB side of operators.text.cross_engine_hash(doc_id, seed="ws")
+_hash_ws = "('0x' || substr(md5(concat('ws:', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT"
+
+ANALYTICS_ORACLES["corpus_weighted_sample"] = f"""
+    WITH k AS (
+      SELECT doc_id,
+             CAST(GREATEST(len({_TOKS}), 1) AS BIGINT) AS n_tokens,
+             ROUND(POW(({_hash_ws} + 1) / (4294967296.0 + 1.0),
+                       1.0 / GREATEST(len({_TOKS}), 1)), 10) AS es_key
+      FROM documents)
+    SELECT doc_id, n_tokens, es_key,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rk
+          FROM k)
+    WHERE rk <= 200
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_ewma": q_events_ewma,
@@ -1354,4 +1406,5 @@ ANALYTICS_QUERIES = {
     "events_sessionize_dynamic": q_events_sessionize_dynamic,
     "events_reach_curve": q_events_reach_curve,
     "orders_pivot_unpivot_sql": q_orders_pivot_unpivot_sql,
+    "corpus_weighted_sample": q_corpus_weighted_sample,
 }
