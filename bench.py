@@ -65,6 +65,25 @@ def main() -> int:
     qmap = entry_mod.queries()
     only = sys.argv[1:]  # optional subset: bench.py q1 q2 ...
     timings: dict[str, float] = {}
+    reruns: list[str] = []
+    # Quiet-host protocol (round-4 verdict #5): the committed
+    # BENCH_QUERIES.json still holds the PREVIOUS full-catalog map when
+    # this run starts — use it as the contention reference.  A query
+    # measuring >1.5x its prior time (plus a 0.2 s floor so sub-100 ms
+    # noise never triggers) is re-run once and the MIN is kept: a real
+    # regression reproduces, a co-tenant CPU burst doesn't.  New
+    # queries (no prior) also get best-of-2 so a contended first
+    # measurement can't poison the recorded baseline.
+    prior: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_QUERIES.json")) as fh:
+            prior = {
+                k: v for k, v in json.load(fh).get("queries", {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+    except (OSError, ValueError):
+        pass
     t_all = time.perf_counter()
     # Sorted order, NOT dict order: the queries() dict rotates across
     # rounds for the correctness driver's window, and per-query timings
@@ -105,29 +124,45 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
             break
+        t = timings[name]
+        ref = prior.get(name)
+        if t > 0 and (ref is None or t > 1.5 * ref + 0.2):
+            try:
+                t1 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                t2 = round(time.perf_counter() - t1, 3)
+            except Exception:
+                t2 = t
+            if t2 < t:
+                timings[name] = t2
+            reruns.append(name)
+            print(f"# re-measured {name}: {t}s -> {timings[name]}s "
+                  f"(prior {ref})", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
 
-    # The full per-query map (now 100+ entries, ~3.5 KB as JSON) overflows
-    # the driver's tail-capture buffer and made round 2's BENCH unparseable.
-    # So: full map goes to a sidecar file + stderr; the single stdout line
-    # stays compact (total + the 10 slowest queries, < 1 KB).  Subset
-    # runs (bench.py q1 q2 ...) skip the sidecar — a partial map must
-    # not clobber the committed full-catalog timing record.
+    # BENCH_QUERIES.json sidecar keeps the full map + the re-measure
+    # audit trail.  Subset runs (bench.py q1 q2 ...) skip it — a
+    # partial map must not clobber the committed full-catalog record.
     if not only:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_QUERIES.json"), "w") as fh:
-            json.dump({"total_wall_sec": total, "sf": sf, "queries": timings},
+            json.dump({"total_wall_sec": total, "sf": sf,
+                       "queries": timings, "remeasured": sorted(reruns)},
                       fh, indent=1, sort_keys=True)
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # The stdout line now carries the FULL per-query map (round-4
+    # verdict #7): ~160 entries is ~4 KB compact JSON, inside the
+    # driver's tail capture now that stderr carries the chatter.
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": slowest,
+                "queries": dict(sorted(timings.items())),
+                "remeasured": sorted(reruns),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     return 0

@@ -94,19 +94,32 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# Default document-frequency cap for the shingle inverted index: a
+# shingle in more than this many documents is dropped before the
+# self-join.  Finite BY DEFAULT so the skew-safe plan is the one users
+# get without reading the docstring — at corpus scale a stopword
+# shingle in 10⁶ docs would emit 10¹² join rows; pass
+# ``max_doc_freq=None`` to explicitly opt out (e.g. for an exact
+# ground-truth set in a recall audit).
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     (a, b, jaccard) for a < b with jaccard ≥ threshold.  ``max_doc_freq``
-    drops shingles appearing in more than that many docs (skew guard —
-    at scale a stopword shingle in 10⁶ docs would emit 10¹² join rows).
+    (finite by default — see DEFAULT_MAX_DOC_FREQ) drops shingles
+    appearing in more than that many docs before the inverted-index
+    self-join; sizes and intersections are both computed on the capped
+    relation, so the Jaccard stays a true set similarity of the capped
+    shingle sets.  ``max_doc_freq=None`` opts out (exact, skew-unsafe).
     """
     # hash each shingle to a 64-bit key BEFORE any shuffle: the
     # self-join/aggregations then ship 8-byte longs instead of n-word

@@ -134,28 +134,36 @@ def _apply(
     # group part of the key is the Spark-computed _mkey with its
     # "<pid>\x1f" prefix stripped (empty string for the ungrouped
     # case) — Python never re-stringifies the group values.
-    by_group: dict[str, list[tuple[int, int, str]]] = {}
+    by_group: dict[str, list[tuple[int, int | None, str]]] = {}
     for r in hist:
         pid = r["_pid"]
         prefix_len = len(str(pid)) + (1 if group_cols else 0)
         gkey = r["_mkey"][prefix_len:]
-        by_group.setdefault(gkey, []).append((pid, r["_v"] or 0, r["_mkey"]))
+        by_group.setdefault(gkey, []).append((pid, r["_v"], r["_mkey"]))
     entries: list[Column] = []
     if combine == "sum":
         for pids in by_group.values():
             acc = 0
-            for _pid, v, collected_mkey in sorted(pids):
+            for _pid, v, collected_mkey in sorted(
+                pids, key=lambda t: t[0]
+            ):
                 entries.append(F.lit(collected_mkey))
                 entries.append(F.lit(acc))
-                acc += v
+                acc += v or 0  # NULL partition sum contributes nothing
     elif combine == "max":
         for pids in by_group.values():
             acc = None  # no preceding partition → no map entry → NULL
-            for _pid, v, collected_mkey in sorted(pids):
+            for _pid, v, collected_mkey in sorted(
+                pids, key=lambda t: t[0]
+            ):
                 if acc is not None:
                     entries.append(F.lit(collected_mkey))
                     entries.append(F.lit(acc))
-                acc = v if acc is None else max(acc, v)
+                # an all-NULL partition has NO max — skip it rather than
+                # coercing to 0 (which would wrongly dominate all-negative
+                # data); the offset chain carries the last real max past it
+                if v is not None:
+                    acc = v if acc is None else max(acc, v)
     else:  # pragma: no cover
         raise ValueError(f"unknown combine {combine!r}")
 

@@ -108,12 +108,23 @@ def build_models(
     features.count()  # materialize before fan-out: concurrent per-site jobs
     # would otherwise each recompute the uncached feature lineage
 
+    sc = features.sparkSession.sparkContext
+
     def run(site: str) -> TrainResult:
+        # One FAIR pool per site (JobRunner.scala:51-54 intent): under
+        # spark.scheduler.mode=FAIR (session.py) the 8 concurrent sites
+        # round-robin executor slots instead of FIFO-queueing one
+        # site's tree-depth jobs ahead of the rest.  The local property
+        # is per-thread; reset in finally because the pool reuses
+        # threads across sites.  No-op under a FIFO session.
+        sc.setLocalProperty("spark.scheduler.pool", f"site-{site}")
         try:
             return _train_one(features, site, seed, model_dir)
         except Exception as exc:  # X2: log & continue (ModelBuilder.scala:35-37)
             log.warning("model build failed for site %s: %s", site, exc)
             return TrainResult(site=site, error=str(exc))
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
 
     with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
         results = list(pool.map(run, sites))

@@ -892,9 +892,11 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over SimHash near-dup pairs → (doc_id,
-    cluster_id).  Iterative min-label propagation (not SQL-expressible;
-    rows-only check here, exactness covered by tests/ vs a union-find
-    oracle)."""
+    cluster_id).  The Spark side is iterative pointer jumping
+    (operators/curation.py); the driver oracle is an exact DuckDB
+    recursive-CTE transitive closure over the same pairs — min
+    reachable id per member — so this is a full hash-checked row,
+    plus a union-find property oracle in tests/."""
     pairs = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
     return dup_clusters(pairs)
 
@@ -1024,25 +1026,35 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path where exact distinct
     counts / quantiles would shuffle every value: HyperLogLog++ distinct
     users and approximate value percentiles per event type, fixed-size
-    state per group regardless of data volume.  No SQL oracle (sketches
-    are approximate by construction); tests/test_curation.py bounds the
-    error against the exact answers instead."""
+    state per group regardless of data volume.  Output = exact twins
+    plus per-estimate 5%-relative-error bound flags (the estimates
+    themselves are engine-specific; the flags are deterministic for a
+    given dataset), so the driver hash-checks the sketch accuracy
+    instead of recording rows-only (round-4 verdict #6).
+    tests/test_curation.py additionally bounds the raw errors."""
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_pcts"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            F.round(F.col("value_pcts")[0], 2).alias("p50"),
-            F.round(F.col("value_pcts")[1], 2).alias("p95"),
-            F.round(F.col("value_pcts")[2], 2).alias("p99"),
-            "n",
-        )
+    prof = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10_000)).alias("apcts"),
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("epcts"),
+        F.count("*").alias("n"),
+    )
+
+    def bound(a, e):
+        return (F.abs(a - e) / F.abs(e) < 0.05)
+
+    return prof.select(
+        "event_type",
+        "exact_users",
+        F.round(F.col("epcts")[0], 2).alias("p50"),
+        F.round(F.col("epcts")[1], 2).alias("p95"),
+        F.round(F.col("epcts")[2], 2).alias("p99"),
+        "n",
+        bound(F.col("approx_users"), F.col("exact_users")).alias("users_err_lt_5pct"),
+        bound(F.col("apcts")[0], F.col("epcts")[0]).alias("p50_err_lt_5pct"),
+        bound(F.col("apcts")[1], F.col("epcts")[1]).alias("p95_err_lt_5pct"),
+        bound(F.col("apcts")[2], F.col("epcts")[2]).alias("p99_err_lt_5pct"),
     )
 
 
@@ -1524,17 +1536,37 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based per-type profile: HyperLogLog++ distinct users,
-    t-digest quantiles, and exact counterparts side-by-side.  Sketches
-    are the 100 TB path (bounded memory, mergeable partials); exact
-    twins let the caller see the error.  No SQL oracle — sketch
-    estimates are engine-specific (driver records rows-only)."""
+    """Sketch-based per-type profile: HyperLogLog++ distinct users and
+    approximate median computed side-by-side with their exact twins,
+    and the OUTPUT is the exact values plus boolean relative-error
+    bounds (|est − exact| / exact < 5%).  Sketches are the 100 TB path
+    (bounded memory, mergeable partials); the raw estimates themselves
+    are engine-specific so they can't be hashed against DuckDB — but
+    the bound flags are deterministic functions of this dataset, so
+    the driver NOW range-checks the sketch accuracy (oracle emits the
+    exact twins and TRUE literals): a sketch drifting past 5% flips a
+    flag and fails the hash, which is exactly the check a rows-only
+    row never gave (round-4 verdict #6)."""
     ev = read_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    prof = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_users"),
         F.count_distinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", 0.5).alias("approx_p50"),
-        F.percentile("value", 0.5).alias("exact_p50"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("td_p50"),
+        F.percentile("value", F.lit(0.5)).alias("raw_p50"),
+    )
+    return prof.select(
+        "event_type",
+        "exact_users",
+        F.round("raw_p50", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("hll_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < 0.05
+        ).alias("users_err_lt_5pct"),
+        (
+            F.abs(F.col("td_p50") - F.col("raw_p50")) / F.abs(F.col("raw_p50"))
+            < 0.05
+        ).alias("p50_err_lt_5pct"),
     )
 
 
@@ -2992,7 +3024,10 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY 1
     """,
     "dedup_ngram_jaccard": f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH sh0 AS ({_SHINGLES_SQL}),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+               JOIN freq ON sh0.shingle = freq.shingle WHERE freq.df <= 1000),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
@@ -3668,7 +3703,10 @@ ORACLES["corpus_interleave"] = """
 """
 
 ORACLES["corpus_keep_best"] = f"""
-    WITH sh AS ({{shingles}}),
+    WITH sh0 AS ({{shingles}}),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+           JOIN freq ON sh0.shingle = freq.shingle WHERE freq.df <= 1000),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a_id, b_id FROM (
@@ -4460,7 +4498,10 @@ ORACLES["corpus_dedup_report"] = """
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
       FROM documents),
-    sh AS ({shingles}),
+    sh0 AS ({shingles}),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+           JOIN freq ON sh0.shingle = freq.shingle WHERE freq.df <= 1000),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a_id, b_id FROM (
@@ -4595,6 +4636,131 @@ ORACLES["events_stream_chained"] = """
 """
 
 
+def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + S3 CSV option semantics under the driver's hash check.
+
+    Writes a deterministic TSV/pagecounts fixture pair (content derived
+    from the ``nation`` keys — a fixed 25-row domain, same bounded
+    posture as the reference's site list) laced with malformed lines,
+    then reads it back through the EXACT reference option sets
+    (readers.py:68 sitelinks — header/inferSchema/DROPMALFORMED/tab,
+    DataGatherer.scala:37-44; readers.py:100 pagecounts — \\u0000
+    quote/escape, explicit schema, DROPMALFORMED, space sep,
+    DataGatherer.scala:78-92) and full-outer joins the two on title.
+
+    Every option is load-bearing for the hash: the under- and
+    over-length lines must be DROPPED (DROPMALFORMED), the embedded
+    ``"`` must survive literally (quote disabled via \\u0000), the
+    ``.z``-suffix filter must drop the ``.y`` row and rewrite the
+    suffix to ``wiki`` — the oracle reconstructs the clean relation
+    straight from ``nation``, so any deviation in reader semantics
+    mismatches.
+
+    The projection deliberately keeps EVERY fixture column: Spark's
+    CSV column pruning (``spark.sql.csv.parser.columnPruning.enabled``,
+    default on) parses only the referenced columns, and a row is only
+    flagged malformed against the columns actually parsed — select a
+    subset and DROPMALFORMED silently keeps wrong-arity rows.  The
+    reference binds the full row type (DataGatherer.scala:44), so
+    full-width is both the faithful and the correctly-dropping read."""
+    import tempfile
+
+    from .sources.readers import read_pagecounts, read_sitelinks_tsv
+
+    keys = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    d = tempfile.mkdtemp(prefix="tsv_roundtrip_")
+    sl_path = f"{d}/sitelinks.tsv"
+    pc_path = f"{d}/pagecounts.txt"
+    with open(sl_path, "w") as f:
+        f.write("id\tsite\ttitle\n")
+        for k in keys:
+            f.write(f"Q{k}\tsite{k}.z\tTitle_{k}\n")
+        f.write("Q900\tsolo.z\tOnly_in_sitelinks\n")  # no pagecounts twin
+        f.write("malformed_single_token_line\n")  # under-length → dropped
+        f.write("QX\ttoo\tmany\tfields\there\n")  # over-length → dropped
+    with open(pc_path, "w") as f:
+        for k in keys:
+            f.write(f"site{k}.z Title_{k} {k * 10 + 7}\n")
+        f.write('zz.z "Anarchism"_(book) 42\n')  # literal quote char
+        f.write("keep.y Dropped_by_suffix 5\n")  # fails the .z filter
+        f.write("xx.z four token line 9\n")  # over-length → dropped
+        f.write("yy.z only_two\n")  # under-length → dropped
+    sl = read_sitelinks_tsv(spark, sl_path).select(
+        "id", F.col("site").alias("sl_site"), "title"
+    )
+    pc = read_pagecounts(spark, pc_path)
+    # outer-join misses surface as explicit sentinels, not NULLs: a NULL
+    # in a leading sort column breaks order-insensitive row comparison
+    out = pc.join(sl, "title", "full").select(
+        "title",
+        F.coalesce("site", F.lit("-")).alias("site"),
+        F.coalesce("pageviews", F.lit(-1.0)).alias("pageviews"),
+        F.coalesce("id", F.lit("-")).alias("id"),
+        F.coalesce("sl_site", F.lit("-")).alias("sl_site"),
+    )
+    # Eagerly materialize the (≤ |nation|+2 row) result: a bare
+    # ``count()`` on a CSV plan prunes ALL columns, and DROPMALFORMED
+    # only drops rows whose PARSED columns misparse (SPARK-21610) — so
+    # an unmaterialized plan would count the malformed lines it is
+    # supposed to drop.  The checkpoint pins the fully-parsed relation
+    # for every downstream action.
+    return out.localCheckpoint(eager=True)
+
+
+ORACLES["tsv_roundtrip"] = """
+    WITH sl AS (
+      SELECT 'Q' || CAST(n_nationkey AS VARCHAR) AS id,
+             'site' || CAST(n_nationkey AS VARCHAR) || '.z' AS sl_site,
+             'Title_' || CAST(n_nationkey AS VARCHAR) AS title
+      FROM nation
+      UNION ALL SELECT 'Q900', 'solo.z', 'Only_in_sitelinks'),
+    pc AS (
+      SELECT 'site' || CAST(n_nationkey AS VARCHAR) || 'wiki' AS site,
+             'Title_' || CAST(n_nationkey AS VARCHAR) AS title,
+             CAST(n_nationkey * 10 + 7 AS DOUBLE) AS pageviews
+      FROM nation
+      UNION ALL SELECT 'zzwiki', '"Anarchism"_(book)', CAST(42 AS DOUBLE))
+    SELECT COALESCE(pc.title, sl.title) AS title,
+           COALESCE(pc.site, '-') AS site,
+           COALESCE(pc.pageviews, -1.0) AS pageviews,
+           COALESCE(sl.id, '-') AS id,
+           COALESCE(sl.sl_site, '-') AS sl_site
+    FROM pc FULL JOIN sl ON pc.title = sl.title
+"""
+
+
+# Bounded-accuracy oracles for the sketch queries (round-4 verdict #6):
+# the raw HLL++/KLL estimates are engine-specific, but the 5% bound
+# flags are deterministic for a given dataset, so the oracle emits the
+# exact twins plus TRUE literals — a sketch drifting past the bound
+# flips a flag and fails the hash.
+ORACLES["events_sketch_stats"] = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS users_err_lt_5pct,
+           TRUE AS p50_err_lt_5pct
+    FROM events GROUP BY event_type
+"""
+
+ORACLES["events_approx_stats"] = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           ROUND(quantile_cont(value, 0.5), 2) AS p50,
+           ROUND(quantile_cont(value, 0.95), 2) AS p95,
+           ROUND(quantile_cont(value, 0.99), 2) AS p99,
+           COUNT(*) AS n,
+           TRUE AS users_err_lt_5pct,
+           TRUE AS p50_err_lt_5pct,
+           TRUE AS p95_err_lt_5pct,
+           TRUE AS p99_err_lt_5pct
+    FROM events GROUP BY event_type
+"""
+
+
 # Oracle for the LSH approximation-quality report (query lives in
 # queries_analytics; the SQL composes this module's minhash/shingle
 # builders, so it registers here).  `truth` mirrors ngram_jaccard_pairs
@@ -4631,95 +4797,51 @@ ORACLES["dedup_lsh_recall_report"] = f"""
 
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
-# round-by-round (round-2 verdict #3).  Round-4 front: (a) the 25
-# entries that never had a driver row across r1-r3 (round-3 verdict
-# #1) — a green r4 window makes cumulative driver coverage 121/121 —
-# then (b) the queries whose implementation changed this round
-# (forced-broadcast hints dropped), then (c) new round-4 additions.
-# Everything driver-green in an earlier round sits behind them.  The
+# round-by-round (round-2 verdict #3).  Round-5 front: (a) the 17
+# round-4 additions that never had a driver row plus dedup_clusters,
+# whose exact recursive-CTE oracle has never produced a hash-checked
+# driver row (round-4 verdict #1) — a green r5 window closes
+# cumulative driver coverage at the full catalog — then (b) queries
+# whose implementation or oracle changed this round (integer-cents
+# Pareto running sum, NULL-filtered EWMA, default n-gram DF cap folded
+# into three oracles, sketch queries promoted to bounded hash checks)
+# plus the new tsv_roundtrip, then (c) the stalest earlier-round
+# entries.  Everything driver-green in round 4 sits at the back.  The
 # full set is always verified locally by tests/test_oracle_parity.py
 # regardless of position.
 QUERIES = {
-    # -- (a) round-4 front: the 25 entries never driver-checked in
-    # r1-r3 (round-3 verdict #1) --
-    "tpch_q11_important": q_tpch_q11_important,
-    "tpch_q12_priority": q_tpch_q12_priority,
-    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-    "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
-    "tpch_q17_small_qty": q_tpch_q17_small_qty,
-    "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
-    "tpch_q20_excess": q_tpch_q20_excess,
-    "tpch_q21_waiting": q_tpch_q21_waiting,
-    "orders_window_funcs": q_orders_window_funcs,
-    "lineitem_moving_sum": q_lineitem_moving_sum,
-    "orders_date_funcs": q_orders_date_funcs,
-    "corpus_stratified_sample": q_corpus_stratified_sample,
-    "corpus_keep_best": q_corpus_keep_best,
-    "lineitem_percentiles": q_lineitem_percentiles,
-    "pricing_grouping_sets": q_pricing_grouping_sets,
-    "events_hourly_heatmap": q_events_hourly_heatmap,
-    "doc_chunks_udtf": q_doc_chunks_udtf,
-    "mm_frame_sample": q_mm_frame_sample,
-    "events_sketch_stats": q_events_sketch_stats,
-    "emb_sq8_topk": q_emb_sq8_topk,
-    "events_stream_dedup": q_events_stream_dedup,
-    "doc_tfidf_topterms": q_doc_tfidf_topterms,
-    "lineitem_yearly_growth": q_lineitem_yearly_growth,
-    "events_trimmed_mean": q_events_trimmed_mean,
-    "pysource_scan": q_pysource_scan,
-    # -- (b) implementation changed in round 4 (forced-broadcast
-    # hints dropped) — re-verify under the driver BEFORE the new
-    # entries: a changed green query regaining its driver row outranks
-    # a new query gaining its first one (new ones are locally
-    # parity-tested and rotate in next round regardless) --
-    "ingest_join": q_ingest_join,
-    "nation_revenue_share": q_nation_revenue_share,
-    "tpch_q14_promo": q_tpch_q14_promo,
-    "tpch_q18_bigorders": q_tpch_q18_bigorders,
-    # -- (c) new in round 4, oracle-checked first; the tail of this
-    # block (rows-only ML + the rocksdb twin of the already-green
-    # tumbling relation) can safely fall outside the ~50-entry window --
-    "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
-    "dedup_band_histogram": q_dedup_band_histogram,
-    "doc_rarity_quality": q_doc_rarity_quality,
-    "events_stream_hopping": q_events_stream_hopping,
-    "lineitem_udaf_wavg": q_lineitem_udaf_wavg,
-    "events_stream_static": q_events_stream_static,
-    "events_scd2_intervals": _qa.q_events_scd2_intervals,
-    "events_ewma": _qa.q_events_ewma,
-    "events_regr_trend": _qa.q_events_regr_trend,
-    "lineitem_corr_matrix": _qa.q_lineitem_corr_matrix,
-    "supplier_pareto": _qa.q_supplier_pareto,
-    "events_bitmap_distinct": _qa.q_events_bitmap_distinct,
-    "lineitem_dq_checks": _qa.q_lineitem_dq_checks,
-    "doc_bigram_perplexity": _qa.q_doc_bigram_perplexity,
-    "corpus_vocab_growth": _qa.q_corpus_vocab_growth,
-    "orders_lateral_topk": _qa.q_orders_lateral_topk,
-    "events_trailing_range_sum": _qa.q_events_trailing_range_sum,
-    "events_variant_props": _qa.q_events_variant_props,
-    "customer_rfm": _qa.q_customer_rfm,
-    "orders_snapshot_diff": _qa.q_orders_snapshot_diff,
-    "pricing_decimal_exact": _qa.q_pricing_decimal_exact,
-    "part_skyline": _qa.q_part_skyline,
-    "lineitem_equidepth_histogram": _qa.q_lineitem_equidepth_histogram,
-    "events_first_last_touch": _qa.q_events_first_last_touch,
-    "orders_month_spine": _qa.q_orders_month_spine,
-    "dedup_lsh_recall_report": _qa.q_dedup_lsh_recall_report,
-    "events_median_arrow": _qa.q_events_median_arrow,
-    "events_anomaly_mad": _qa.q_events_anomaly_mad,
-    "orders_pipe_sql": _qa.q_orders_pipe_sql,
-    "events_sessionize_dynamic": _qa.q_events_sessionize_dynamic,
-    "events_reach_curve": _qa.q_events_reach_curve,
-    "orders_pivot_unpivot_sql": _qa.q_orders_pivot_unpivot_sql,
+    # -- (a) never driver-checked (r4 verdict #1): 17 round-4 additions
+    # + dedup_clusters with its new exact transitive-closure oracle --
     "corpus_weighted_sample": _qa.q_corpus_weighted_sample,
+    "dedup_lsh_recall_report": _qa.q_dedup_lsh_recall_report,
+    "doc_quality_classifier": q_doc_quality_classifier,
+    "emb_kmeans_centroids": q_emb_kmeans_centroids,
+    "events_anomaly_mad": _qa.q_events_anomaly_mad,
+    "events_first_last_touch": _qa.q_events_first_last_touch,
+    "events_median_arrow": _qa.q_events_median_arrow,
+    "events_reach_curve": _qa.q_events_reach_curve,
+    "events_sessionize_dynamic": _qa.q_events_sessionize_dynamic,
     "events_stream_chained": q_events_stream_chained,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
-    "emb_kmeans_centroids": q_emb_kmeans_centroids,
-    "doc_quality_classifier": q_doc_quality_classifier,
+    "lineitem_equidepth_histogram": _qa.q_lineitem_equidepth_histogram,
     "ml_als_recs": _qa.q_ml_als_recs,
-    # -- (d) driver-green in some earlier round (rotate forward as
-    # needed; tests/test_oracle_parity.py verifies ALL of them
-    # locally every session regardless of position) --
+    "orders_month_spine": _qa.q_orders_month_spine,
+    "orders_pipe_sql": _qa.q_orders_pipe_sql,
+    "orders_pivot_unpivot_sql": _qa.q_orders_pivot_unpivot_sql,
+    "part_skyline": _qa.q_part_skyline,
+    "dedup_clusters": q_dedup_clusters,
+    # -- (b) implementation/oracle changed in round 5 — re-verify under
+    # the driver ahead of already-green entries --
+    "tsv_roundtrip": q_tsv_roundtrip,
+    "supplier_pareto": _qa.q_supplier_pareto,
+    "events_ewma": _qa.q_events_ewma,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "corpus_keep_best": q_corpus_keep_best,
+    "corpus_dedup_report": q_corpus_dedup_report,
+    "events_sketch_stats": q_events_sketch_stats,
+    "events_approx_stats": q_events_approx_stats,
+    # -- (c) stalest earlier-round entries: last driver row r1-r3;
+    # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_source_quota": q_corpus_source_quota,
     "corpus_profile": q_corpus_profile,
@@ -4727,7 +4849,6 @@ QUERIES = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "events_time_rollup": q_events_time_rollup,
     "lineitem_price_histogram": q_lineitem_price_histogram,
-    "corpus_dedup_report": q_corpus_dedup_report,
     "corpus_blocklist": q_corpus_blocklist,
     "orders_cohort_retention": q_orders_cohort_retention,
     "dedup_ngram_capped": q_dedup_ngram_capped,
@@ -4741,19 +4862,15 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,
-    # train precedes score so the memoized models are attributed to
-    # the training query in bench timings (they share _trained's cache)
     "ml_train_rmse": q_ml_train_rmse,
     "ml_score_topk": q_ml_score_topk,
     "doc_array_funcs": q_doc_array_funcs,
     "corpus_contamination": q_corpus_contamination,
-    "dedup_clusters": q_dedup_clusters,
     "pricing_rollup": q_pricing_rollup,
     "customer_semi_anti": q_customer_semi_anti,
     "nation_set_ops": q_nation_set_ops,
     "orders_salted_join": q_orders_salted_join,
     "events_funnel": q_events_funnel,
-    "events_approx_stats": q_events_approx_stats,
     "lineitem_stats": q_lineitem_stats,
     "events_user_lag": q_events_user_lag,
     "events_json_props": q_events_json_props,
@@ -4793,7 +4910,6 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -4814,4 +4930,53 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_pii_redact": q_doc_pii_redact,
     "corpus_hash_split": q_corpus_hash_split,
+    # -- (d) driver-green in round 4 (freshest rows; rotate forward
+    # in later rounds as needed) --
+    "tpch_q11_important": q_tpch_q11_important,
+    "tpch_q12_priority": q_tpch_q12_priority,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+    "tpch_q17_small_qty": q_tpch_q17_small_qty,
+    "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+    "tpch_q20_excess": q_tpch_q20_excess,
+    "tpch_q21_waiting": q_tpch_q21_waiting,
+    "orders_window_funcs": q_orders_window_funcs,
+    "lineitem_moving_sum": q_lineitem_moving_sum,
+    "orders_date_funcs": q_orders_date_funcs,
+    "corpus_stratified_sample": q_corpus_stratified_sample,
+    "lineitem_percentiles": q_lineitem_percentiles,
+    "pricing_grouping_sets": q_pricing_grouping_sets,
+    "events_hourly_heatmap": q_events_hourly_heatmap,
+    "doc_chunks_udtf": q_doc_chunks_udtf,
+    "mm_frame_sample": q_mm_frame_sample,
+    "emb_sq8_topk": q_emb_sq8_topk,
+    "events_stream_dedup": q_events_stream_dedup,
+    "doc_tfidf_topterms": q_doc_tfidf_topterms,
+    "lineitem_yearly_growth": q_lineitem_yearly_growth,
+    "events_trimmed_mean": q_events_trimmed_mean,
+    "pysource_scan": q_pysource_scan,
+    "ingest_join": q_ingest_join,
+    "nation_revenue_share": q_nation_revenue_share,
+    "tpch_q14_promo": q_tpch_q14_promo,
+    "tpch_q18_bigorders": q_tpch_q18_bigorders,
+    "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
+    "dedup_band_histogram": q_dedup_band_histogram,
+    "doc_rarity_quality": q_doc_rarity_quality,
+    "events_stream_hopping": q_events_stream_hopping,
+    "lineitem_udaf_wavg": q_lineitem_udaf_wavg,
+    "events_stream_static": q_events_stream_static,
+    "events_scd2_intervals": _qa.q_events_scd2_intervals,
+    "events_regr_trend": _qa.q_events_regr_trend,
+    "lineitem_corr_matrix": _qa.q_lineitem_corr_matrix,
+    "events_bitmap_distinct": _qa.q_events_bitmap_distinct,
+    "lineitem_dq_checks": _qa.q_lineitem_dq_checks,
+    "doc_bigram_perplexity": _qa.q_doc_bigram_perplexity,
+    "corpus_vocab_growth": _qa.q_corpus_vocab_growth,
+    "orders_lateral_topk": _qa.q_orders_lateral_topk,
+    "events_trailing_range_sum": _qa.q_events_trailing_range_sum,
+    "events_variant_props": _qa.q_events_variant_props,
+    "customer_rfm": _qa.q_customer_rfm,
+    "orders_snapshot_diff": _qa.q_orders_snapshot_diff,
+    "pricing_decimal_exact": _qa.q_pricing_decimal_exact,
 }
+

@@ -122,9 +122,17 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming, hostile in batch); truncating at 32 terms bounds the
     per-row work while (1−α)³² ≈ 8e-4 bounds the truncation error.
     The oracle computes the identical weighted sum via a rows-window
-    self-join — same math, different plan."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    self-join — same math, different plan.
+
+    NULL values are filtered out up front (mirrored in the oracle):
+    ``collect_list`` silently drops NULLs, which would shift the
+    positional weights relative to the oracle's row-number-distance
+    weighting — filtering first makes "position among frame rows" and
+    "position among non-null values" the same thing on both engines."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us"))
     )
     w = (
         Window.partitionBy("user_id")
@@ -154,7 +162,7 @@ ANALYTICS_ORACLES["events_ewma"] = """
       SELECT user_id, event_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY epoch_us(ts), event_id) AS rn
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT a.user_id, a.event_id,
            ROUND(SUM(b.value * POW(0.8, a.rn - b.rn))
                  / ((1 - POW(0.8, COUNT(*))) / 0.2), 6) AS ewma32
@@ -243,21 +251,28 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned two-pass helper — NO single-partition exchange,
     the same plan that orders 10⁸ suppliers; the grand total joins
     back as a broadcast scalar.  Revenue is rounded BEFORE ranking so
-    the descending order is engine-deterministic."""
+    the descending order is engine-deterministic, and the running sum
+    runs over EXACT integer cents (the 2-decimal round makes cents
+    lossless) — integer addition is associative, so the two-pass
+    partial-sums-then-offset plan matches the oracle's sequential
+    window bit-for-bit regardless of accumulation order; a double
+    running sum would differ in the last ulp between engines and
+    flake the 6-decimal cum_share at a rounding boundary."""
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"
         )
     )
-    total = rev.agg(F.sum("revenue").alias("total"))
+    rev = rev.withColumn("_cents", F.round(F.col("revenue") * 100).cast("long"))
+    total = rev.agg(F.sum("_cents").alias("total_cents"))
     ranked = range_partitioned_running_sum(
         rev,
         [F.col("revenue").desc(), F.col("l_suppkey")],
-        "revenue",
-        out_col="cum_rev",
+        "_cents",
+        out_col="cum_cents",
     )
-    share = F.round(F.col("cum_rev") / F.col("total"), 6)
+    share = F.round(F.col("cum_cents") / F.col("total_cents"), 6)
     return ranked.crossJoin(F.broadcast(total)).select(
         "l_suppkey",
         "revenue",
@@ -271,15 +286,19 @@ ANALYTICS_ORACLES["supplier_pareto"] = """
       SELECT l_suppkey,
              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM lineitem GROUP BY 1),
-    t AS (SELECT SUM(revenue) AS total FROM r),
+    rc AS (
+      SELECT l_suppkey, revenue,
+             CAST(ROUND(revenue * 100) AS BIGINT) AS cents
+      FROM r),
+    t AS (SELECT SUM(cents) AS total_cents FROM rc),
     c AS (
       SELECT l_suppkey, revenue,
-             SUM(revenue) OVER (ORDER BY revenue DESC, l_suppkey
-                                ROWS UNBOUNDED PRECEDING) AS cum_rev
-      FROM r)
+             SUM(cents) OVER (ORDER BY revenue DESC, l_suppkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM rc)
     SELECT l_suppkey, revenue,
-           ROUND(cum_rev / total, 6) AS cum_share,
-           ROUND(cum_rev / total, 6) <= 0.8 AS in_top80
+           ROUND(cum_cents / total_cents, 6) AS cum_share,
+           ROUND(cum_cents / total_cents, 6) <= 0.8 AS in_top80
     FROM c, t
 """
 
@@ -633,7 +652,9 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Quintiles are computed from range-partitioned global row numbers
     (NO single-partition NTILE window) with the explicit tile formula
-    ``floor((rn-1)·5/n)+1`` — identical distribution to NTILE(5),
+    ``floor((rn-1)·5/n)+1`` — an NTILE-like equi-width tiling, NOT
+    NTILE-identical when n isn't divisible by 5 (NTILE front-loads the
+    remainder rows into the first buckets; this formula spreads them),
     reproduced verbatim in the oracle so both engines tile the same
     total order (every ordering carries the custkey tie-break).  The
     anchor date and customer count fold back as broadcast scalars."""
@@ -1052,7 +1073,13 @@ def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_bands, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.02).select("a_id", "b_id")
+    # the recall denominator must be the EXACT pair set — explicitly
+    # opt out of the default document-frequency skew cap here (the
+    # audit's whole point is to measure the approximation against
+    # unapproximated truth; |docs| is bounded in an audit run)
+    truth = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.02, max_doc_freq=None
+    ).select("a_id", "b_id")
     stacked = minhash_bands(docs, k=16, bands=8)
     b2 = stacked.select(
         F.col("doc_id").alias("b_id"),

@@ -58,6 +58,14 @@ def get_spark(
         # Spark's TimestampType (µs) cannot represent; read as long and
         # convert in sources.readers.read_events.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # FAIR scheduling so the per-site training fan-out
+        # (pipeline/train.py, mirroring JobRunner.scala:51-54) round-
+        # robins cluster slots across its 8 concurrent sites instead of
+        # FIFO-queueing one site's hundreds of tree-depth jobs ahead of
+        # the rest; each site thread sets its own spark.scheduler.pool.
+        # Static conf — a no-op on sessions built elsewhere (the pool
+        # local-property degrades gracefully to FIFO there).
+        .config("spark.scheduler.mode", "FAIR")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -18,9 +18,9 @@ ROWS_ONLY = {
     # dedup_clusters graduated to a full hash-checked oracle in round 4
     # (recursive-CTE transitive closure); the union-find property test
     # in tests/test_curation.py remains as the fast local pin.
-    "events_approx_stats": "HLL++/quantile sketches are approximate by "
-                           "design; error bounds pinned in tests",
-    "events_sketch_stats": "same — sketch outputs, error-bound tested",
+    # events_approx_stats / events_sketch_stats graduated in round 5:
+    # output = exact twins + deterministic 5%-error bound flags, so the
+    # sketch accuracy itself is now hash-checked against DuckDB.
     "emb_kmeans_centroids": "iterative k-means training (Spark ML) is "
                             "not SQL-expressible",
     "doc_quality_classifier": "iterative LBFGS logistic-regression "

@@ -57,30 +57,21 @@ def test_clusters_cliques_and_singletons(spark):
 
 
 def test_approx_stats_error_bounds(spark):
-    """Sketch aggregates have no SQL oracle; bound their error against
-    the exact answers instead (HLL++ rsd=2% -> allow 6%; KLL-style
-    percentile with accuracy 10k -> allow 2% rank error ~ small value
-    error on this distribution)."""
-    from pyspark.sql import functions as F
-    from recommendation_translation_spark.queries import QUERIES, _t
+    """The sketch queries carry their own deterministic 5%-bound flags
+    (round-4 verdict #6) — every flag must be True at sf0.01, which is
+    the same predicate the driver hashes against the TRUE literals in
+    the oracle."""
+    from recommendation_translation_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.01"
-    approx = {r["event_type"]: r for r in QUERIES["events_approx_stats"](spark, sf).collect()}
-    ev = _t(spark, sf, "events")
-    exact = {
-        r["event_type"]: r
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.percentile("value", F.lit(0.5)).alias("p50"),
-        )
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        e = exact[et]
-        assert abs(a["approx_users"] - e["users"]) <= 0.06 * e["users"], et
-        assert abs(a["p50"] - e["p50"]) <= 0.05 * max(abs(e["p50"]), 1.0), et
+    for q in ("events_approx_stats", "events_sketch_stats"):
+        rows = QUERIES[q](spark, sf).collect()
+        assert rows, q
+        for r in rows:
+            flags = [c for c in r.asDict() if c.endswith("_err_lt_5pct")]
+            assert flags, q
+            for c in flags:
+                assert r[c] is True, (q, r["event_type"], c)
 
 
 def test_doc_array_funcs_blank_and_empty_docs(spark, tmp_path):

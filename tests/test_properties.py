@@ -164,6 +164,41 @@ def test_ngram_jaccard_pairs_bounded_and_symmetric(spark, texts):
 
 @SETTINGS
 @given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=2, max_size=8),
+    cap=st.integers(min_value=1, max_value=4),
+)
+def test_ngram_jaccard_capped_pairs_subset_of_uncapped(spark, texts, cap):
+    # The document-frequency cap only ever REMOVES shingles, so at
+    # threshold 0 a capped pair (nonempty capped intersection) implies
+    # the uncapped intersection was nonempty too: capped pair KEYS are
+    # a subset of uncapped pair keys.  (The Jaccard VALUE may go either
+    # way — dropping a shingle present in only one side shrinks the
+    # union and can raise the similarity — so the subset claim is on
+    # identity, not on thresholded values.)
+    from recommendation_translation_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    uncapped = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=0.0, max_doc_freq=None
+        ).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=0.0, max_doc_freq=cap
+        ).collect()
+    }
+    assert capped <= uncapped
+
+
+@SETTINGS
+@given(
     rows=st.lists(
         st.tuples(st.sampled_from(["s0", "s1", "s2"]),
                   st.integers(min_value=0, max_value=500),
