@@ -44,6 +44,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_bands",
     "minhash_lsh_pairs",
+    "incremental_dedup_flags",
     "simhash",
     "simhash_pairs",
 ]
@@ -276,6 +277,122 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
+    )
+
+
+def incremental_dedup_flags(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: flag each NEW (batch) document
+    that near-duplicates the EXISTING corpus or a lower-id document in
+    the batch itself.  Returns one row per batch doc:
+    ``(doc_id, n_dup_corpus, n_dup_batch, is_new)`` with
+    ``is_new = (both counts are 0)`` — the keep set of an append-only
+    ingest (the min-id keep rule matches :func:`dedup_exact`).
+
+    THE 100 TB ingestion shape: a daily crawl lands next to an
+    N-billion-doc corpus, and re-pairing the corpus against itself is
+    off the table.  This plan never self-joins the corpus:
+
+    - the corpus contributes only its band table ``(id, band,
+      band_hash)`` to the candidate equi-join (in production that
+      table is computed once at ingest and stored — banding is
+      per-document, so it never needs recomputation when new batches
+      arrive);
+    - candidates are (batch × corpus) and (batch × earlier-batch) band
+      collisions only — the join fans out per bucket, never per
+      corpus pair;
+    - exact-Jaccard verification fetches shingles for the batch plus
+      ONLY the corpus docs that appear as candidates (left-semi
+      pushdown), so the big side's text is never re-shuffled.
+    """
+    stacked_c = minhash_bands(corpus, k=k, bands=bands, n=n,
+                              text_col=text_col, id_col=id_col)
+    stacked_b = minhash_bands(batch, k=k, bands=bands, n=n,
+                              text_col=text_col, id_col=id_col)
+    nw, old_c = stacked_b.alias("nw"), stacked_c.alias("old")
+    cand_corpus = (
+        nw.join(old_c, ["band", "band_hash"])
+        .select(
+            F.col(f"nw.{id_col}").alias("new_id"),
+            F.col(f"old.{id_col}").alias("old_id"),
+        )
+        .distinct()
+        .withColumn("src", F.lit("corpus"))
+    )
+    a, b = stacked_b.alias("a"), stacked_b.alias("b")
+    cand_batch = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"b.{id_col}").alias("new_id"),
+            F.col(f"a.{id_col}").alias("old_id"),
+        )
+        .distinct()
+        .withColumn("src", F.lit("batch"))
+    )
+    cand = cand_corpus.unionByName(cand_batch)
+
+    sh_b = word_shingles(batch, n=n, text_col=text_col, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
+    sh_c = word_shingles(corpus, n=n, text_col=text_col, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
+    # only candidate corpus docs enter verification — the semi-join is
+    # what keeps the corpus-side work proportional to the batch
+    sh_c_needed = sh_c.join(
+        cand.select(F.col("old_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh = sh_b.unionByName(sh_c_needed).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("new_id"), "shingle")
+    sb = sh.select(F.col(id_col).alias("old_id"), "shingle")
+    inter = (
+        cand.join(sa, "new_id")
+        .join(sb, ["old_id", "shingle"])
+        .groupBy("new_id", "old_id", "src")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("new_id"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("old_id"), F.col("n_sh").alias("n_b"))
+    verified = (
+        inter.join(na, "new_id")
+        .join(nb, "old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    per_doc = verified.groupBy("new_id").agg(
+        F.sum(F.when(F.col("src") == "corpus", 1).otherwise(0)).alias("n_dup_corpus"),
+        F.sum(F.when(F.col("src") == "batch", 1).otherwise(0)).alias("n_dup_batch"),
+    )
+    return (
+        batch.select(id_col)
+        .join(per_doc.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_corpus", F.lit(0)).cast("long").alias("n_dup_corpus"),
+            F.coalesce("n_dup_batch", F.lit(0)).cast("long").alias("n_dup_batch"),
+            (
+                F.coalesce("n_dup_corpus", F.lit(0)) + F.coalesce("n_dup_batch", F.lit(0))
+                == 0
+            ).alias("is_new"),
+        )
     )
 
 

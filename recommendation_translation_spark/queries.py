@@ -63,7 +63,7 @@ from .operators.similarity import (
     hyperplane_weight,
     ivf_topk,
 )
-from .operators.text import LANG_MARKERS, STOPWORDS, fingerprint, lang_id, quality_score, token_stats
+from .operators.text import LANG_MARKERS, STOPWORDS, fingerprint, lang_id, quality_score, token_stats, tokens
 from .sources.readers import read_events
 from . import queries_analytics as _qa
 
@@ -1567,6 +1567,65 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("td_p50") - F.col("raw_p50")) / F.abs(F.col("raw_p50"))
             < 0.05
         ).alias("p50_err_lt_5pct"),
+    )
+
+
+def q_events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch workflow (Spark 4 Apache DataSketches surface):
+    one HLL sketch per (event_type, day) partial, then
+    ``hll_union_agg`` merges the partials per type — the actual 100 TB
+    pattern, where per-partition/per-day sketches are precomputed at
+    ingest and unioned at query time without touching raw data again.
+    Output = exact distinct users + day count + a deterministic
+    5%-relative-error bound flag on the MERGED estimate (the estimate
+    itself is engine-specific, the flag is not — same contract as
+    events_sketch_stats).  Day keys derive from epoch microseconds
+    (``unix_micros div 86.4e9``), timezone-free on both engines."""
+    ev = read_events(spark, sf_dir)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    daily = ev.groupBy("event_type", day.alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.col("n_days").cast("long").alias("n_days"),
+        (
+            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+            < 0.05
+        ).alias("merged_err_lt_5pct"),
+    )
+
+
+def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch audit: ``approx_top_k`` heavy hitters over
+    the exploded token stream, joined against the exact per-term counts
+    — per term: exact count + a flag that the sketch reported exactly
+    that count.  While distinct terms ≤ maxItemsTracked the sketch is
+    EXACT by construction, so the flags are deterministic and the
+    driver hash-checks the sketch path (same bounded-check contract as
+    the HLL queries).  At corpus scale the same plan reports the
+    sketch's error on the true heavy hitters — the token-distribution
+    profile a tokenizer-training run reads."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    sk = (
+        tok.agg(F.expr("approx_top_k(tok, 100)").alias("tk"))
+        .select(F.explode("tk").alias("s"))
+        .select(F.col("s.item").alias("tok"), F.col("s.count").alias("sk_cnt"))
+    )
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return exact.join(sk, "tok", "left").select(
+        "tok",
+        F.col("cnt").cast("long").alias("cnt"),
+        (F.col("sk_cnt") == F.col("cnt")).alias("sketch_count_exact"),
     )
 
 
@@ -4636,6 +4695,28 @@ ORACLES["events_stream_chained"] = """
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators.dedup.incremental_dedup_flags):
+    the deterministic hash split plays 'corpus' (buckets < 90, ~90%)
+    vs 'new batch' (buckets ≥ 90, ~10%); each batch doc is flagged
+    against the corpus and against earlier batch docs via MinHash-LSH
+    candidates + exact-Jaccard verification (k=16, bands=8,
+    threshold=0.02 — the same operating point as dedup_minhash_lsh).
+
+    This is the 100 TB shape the one-shot pair queries can't serve:
+    the corpus is never self-joined — it contributes its (precomputable)
+    band table to the candidate join and only candidate docs' shingles
+    to verification."""
+    from .operators.dedup import incremental_dedup_flags
+
+    docs = hash_split(_t(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("split") != "test").select("doc_id", "text")
+    batch = docs.filter(F.col("split") == "test").select("doc_id", "text")
+    return incremental_dedup_flags(
+        corpus, batch, k=16, bands=8, n=3, threshold=0.02
+    )
+
+
 def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 + S3 CSV option semantics under the driver's hash check.
 
@@ -4732,6 +4813,54 @@ ORACLES["tsv_roundtrip"] = """
 """
 
 
+ORACLES["dedup_incremental"] = f"""
+    WITH {_minhash_stacked_sql(16, 8)},
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_sql("CAST(doc_id AS VARCHAR)", seed="split")}
+                       % 100 >= 90
+                  THEN 'batch' ELSE 'corpus' END AS part
+      FROM documents),
+    st AS (SELECT s.doc_id, s.band, s.band_hash, lab.part
+           FROM stacked s JOIN lab USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT nw.doc_id AS new_id, old.doc_id AS old_id,
+             old.part AS src
+      FROM st nw JOIN st old
+        ON nw.band = old.band AND nw.band_hash = old.band_hash
+      WHERE nw.part = 'batch'
+        AND (old.part = 'corpus'
+             OR (old.part = 'batch' AND old.doc_id < nw.doc_id))),
+    sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.old_id, c.src, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.new_id
+      JOIN sh sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2, 3),
+    ver AS (
+      SELECT i.new_id, i.src
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.new_id
+      JOIN sizes nb ON nb.doc_id = i.old_id
+      WHERE ROUND(n_inter / (na.n_sh + nb.n_sh - n_inter)::DOUBLE, 6)
+            >= 0.02),
+    agg AS (
+      SELECT new_id,
+             SUM(CASE WHEN src = 'corpus' THEN 1 ELSE 0 END) AS n_dup_corpus,
+             SUM(CASE WHEN src = 'batch' THEN 1 ELSE 0 END) AS n_dup_batch
+      FROM ver GROUP BY 1)
+    SELECT l.doc_id,
+           CAST(COALESCE(a.n_dup_corpus, 0) AS BIGINT) AS n_dup_corpus,
+           CAST(COALESCE(a.n_dup_batch, 0) AS BIGINT) AS n_dup_batch,
+           COALESCE(a.n_dup_corpus, 0) + COALESCE(a.n_dup_batch, 0) = 0
+             AS is_new
+    FROM lab l LEFT JOIN agg a ON a.new_id = l.doc_id
+    WHERE l.part = 'batch'
+"""
+
+
 # Bounded-accuracy oracles for the sketch queries (round-4 verdict #6):
 # the raw HLL++/KLL estimates are engine-specific, but the 5% bound
 # flags are deterministic for a given dataset, so the oracle emits the
@@ -4744,6 +4873,20 @@ ORACLES["events_sketch_stats"] = """
            TRUE AS users_err_lt_5pct,
            TRUE AS p50_err_lt_5pct
     FROM events GROUP BY event_type
+"""
+
+ORACLES["events_hll_merge"] = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
+           TRUE AS merged_err_lt_5pct
+    FROM events GROUP BY event_type
+"""
+
+ORACLES["doc_heavy_hitters"] = f"""
+    SELECT tok, COUNT(*) AS cnt, TRUE AS sketch_count_exact
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY tok
 """
 
 ORACLES["events_approx_stats"] = """
@@ -4833,6 +4976,7 @@ QUERIES = {
     # -- (b) implementation/oracle changed in round 5 — re-verify under
     # the driver ahead of already-green entries --
     "tsv_roundtrip": q_tsv_roundtrip,
+    "dedup_incremental": q_dedup_incremental,
     "supplier_pareto": _qa.q_supplier_pareto,
     "events_ewma": _qa.q_events_ewma,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4840,6 +4984,8 @@ QUERIES = {
     "corpus_dedup_report": q_corpus_dedup_report,
     "events_sketch_stats": q_events_sketch_stats,
     "events_approx_stats": q_events_approx_stats,
+    "events_hll_merge": q_events_hll_merge,
+    "doc_heavy_hitters": q_doc_heavy_hitters,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,

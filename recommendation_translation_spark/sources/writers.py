@@ -21,6 +21,9 @@ __all__ = [
     "compact_parquet",
     "merge_upsert_parquet",
     "read_current_version",
+    "list_versions",
+    "read_version",
+    "vacuum_versions",
 ]
 
 
@@ -219,6 +222,33 @@ def read_version(spark, target_path: str, version: int) -> DataFrame:
             f"have {list_versions(target_path)}"
         )
     return spark.read.parquet(path)
+
+
+def vacuum_versions(target_path: str, keep_last: int = 2) -> list[int]:
+    """Retention for the :func:`merge_upsert_parquet` version store:
+    delete all but the newest ``keep_last`` snapshot directories and
+    return the version numbers removed.  The ``_CURRENT`` target is
+    never eligible (``keep_last`` is clamped to ≥ 1), and removal runs
+    oldest-first so a crash mid-vacuum leaves a contiguous suffix of
+    history — time travel keeps working over whatever survived.
+
+    At 100 TB the version store otherwise grows by one full snapshot
+    per merge; production table formats (Delta/Iceberg) expose exactly
+    this knob as VACUUM / expire_snapshots.  Time-travel reads of a
+    vacuumed version raise FileNotFoundError with the surviving
+    catalog, same as :func:`read_version` on a never-written version."""
+    import os
+    import shutil
+
+    keep_last = max(1, int(keep_last))
+    versions = list_versions(target_path)
+    with open(os.path.join(target_path, "_CURRENT")) as fh:
+        current = int(fh.read().strip().rsplit("_v", 1)[1])
+    # never remove the pointer target even if it isn't the max version
+    doomed = [v for v in versions[:-keep_last] if v != current]
+    for v in doomed:
+        shutil.rmtree(os.path.join(target_path, f"_v{v}"))
+    return doomed
 
 
 def write_xml(df: DataFrame, path: str, row_tag: str = "row",

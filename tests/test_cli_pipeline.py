@@ -429,3 +429,34 @@ def test_time_travel_reads_and_cdc_between_versions(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_version(spark, target, 9)
+
+
+def test_vacuum_versions_retention(spark, tmp_path):
+    import pytest as _pytest
+
+    from recommendation_translation_spark.sources.writers import (
+        list_versions,
+        merge_upsert_parquet,
+        read_current_version,
+        read_version,
+        vacuum_versions,
+    )
+
+    target = str(tmp_path / "vac")
+    for i in range(1, 5):  # versions 1..4
+        up = spark.createDataFrame([(i, float(i))], "k long, v double")
+        merge_upsert_parquet(spark, target, up, ["k"])
+    assert list_versions(target) == [1, 2, 3, 4]
+
+    removed = vacuum_versions(target, keep_last=2)
+    assert removed == [1, 2]
+    assert list_versions(target) == [3, 4]
+    # the current pointer still resolves; surviving history still reads
+    assert read_current_version(spark, target).count() == 4
+    assert read_version(spark, target, 3).count() == 3
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, target, 1)
+    # keep_last clamps to >= 1 and never deletes the current version
+    assert vacuum_versions(target, keep_last=0) == [3]
+    assert list_versions(target) == [4]
+    assert read_current_version(spark, target).count() == 4

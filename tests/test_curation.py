@@ -74,6 +74,43 @@ def test_approx_stats_error_bounds(spark):
                 assert r[c] is True, (q, r["event_type"], c)
 
 
+def test_incremental_dedup_flags_semantics(spark):
+    """Hand-built corpus/batch: a batch doc duplicating a corpus doc is
+    flagged n_dup_corpus>0; of two intra-batch duplicates only the
+    LOWER id stays is_new (min-id keep rule); unique docs stay new."""
+    from recommendation_translation_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content about distributed query planning"
+    corpus = spark.createDataFrame(
+        [(1, dup_text), (2, "an unrelated corpus document about parquet files")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, dup_text),  # dups corpus doc 1
+            (11, uniq),      # dups batch doc 12's twin — lower id, kept
+            (12, uniq),      # same text as 11 — higher id, dropped
+            (13, "a third thing entirely about watermarks and state stores"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in incremental_dedup_flags(
+            corpus, batch, k=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {10, 11, 12, 13}
+    assert got[10]["n_dup_corpus"] >= 1 and not got[10]["is_new"]
+    assert got[11]["n_dup_corpus"] == 0 and got[11]["n_dup_batch"] == 0
+    assert got[11]["is_new"]
+    assert got[12]["n_dup_batch"] == 1 and not got[12]["is_new"]
+    assert got[13]["is_new"]
+
+
 def test_doc_array_funcs_blank_and_empty_docs(spark, tmp_path):
     # round-2 ADVICE: DuckDB list_sum([]) is NULL vs Spark fold-to-0, and
     # string_split_regex('') yields [''] vs tokens() []; latent while the

@@ -753,6 +753,11 @@ _SCALAR_FOLD_OK = {
     # reach curve: the cumulative window runs over the per-DAY relation
     # — bounded by the calendar (≤36.5k rows/century), not the data
     "events_reach_curve",
+    # round 5: approx_top_k merges per-partition sketches into ONE
+    # final sketch row — map-side partials carry O(k) state, so the
+    # single-partition merge moves KBs regardless of corpus size (the
+    # whole point of the mergeable-sketch shape)
+    "doc_heavy_hitters",
 }
 
 
