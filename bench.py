@@ -67,19 +67,27 @@ def main() -> int:
     timings: dict[str, float] = {}
     reruns: list[str] = []
     # Quiet-host protocol (round-4 verdict #5): the committed
-    # BENCH_QUERIES.json still holds the PREVIOUS full-catalog map when
-    # this run starts — use it as the contention reference.  A query
-    # measuring >1.5x its prior time (plus a 0.2 s floor so sub-100 ms
-    # noise never triggers) is re-run once and the MIN is kept: a real
-    # regression reproduces, a co-tenant CPU burst doesn't.  New
-    # queries (no prior) also get best-of-2 so a contended first
-    # measurement can't poison the recorded baseline.
+    # BENCH_QUERIES.json still holds the PREVIOUS sidecar when this run
+    # starts — use its per-query ALL-TIME BEST map as the contention
+    # reference (falling back to the previous round's raw map for
+    # sidecars that predate the "best" key).  Comparing against the
+    # historical best rather than the previous round's numbers matters:
+    # one fully-contended round would otherwise poison the next round's
+    # trigger (every inflated prior makes the 1.5x test vacuous).  A
+    # query measuring >1.5x its best (plus a 0.2 s floor so sub-100 ms
+    # noise never triggers) is re-run once and the MIN of the two
+    # CURRENT measurements is recorded — a real regression reproduces
+    # and stays visible; a co-tenant CPU burst doesn't.  New queries
+    # (no prior) also get best-of-2 so a contended first measurement
+    # can't poison the recorded baseline.
     prior: dict[str, float] = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_QUERIES.json")) as fh:
+            side = json.load(fh)
             prior = {
-                k: v for k, v in json.load(fh).get("queries", {}).items()
+                k: v
+                for k, v in (side.get("best") or side.get("queries", {})).items()
                 if isinstance(v, (int, float)) and v > 0
             }
     except (OSError, ValueError):
@@ -144,10 +152,15 @@ def main() -> int:
     # audit trail.  Subset runs (bench.py q1 q2 ...) skip it — a
     # partial map must not clobber the committed full-catalog record.
     if not only:
+        best = {
+            k: round(min(v, prior.get(k, v)), 3)
+            for k, v in timings.items() if v > 0
+        }
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_QUERIES.json"), "w") as fh:
             json.dump({"total_wall_sec": total, "sf": sf,
-                       "queries": timings, "remeasured": sorted(reruns)},
+                       "queries": timings, "remeasured": sorted(reruns),
+                       "best": best},
                       fh, indent=1, sort_keys=True)
     # The stdout line now carries the FULL per-query map (round-4
     # verdict #7): ~160 entries is ~4 KB compact JSON, inside the
