@@ -30,6 +30,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
     "best_decoder",
+    "chunk_audio_windows",
     "decode_image_meta",
     "fake_decode_image",
     "real_decode_image",
@@ -181,3 +182,58 @@ def sample_video_frames(media: DataFrame, every_n: int = 64,
             yield pd.DataFrame({"sample_id": ids, "frame_idx": idxs, "frame_md5": digests})
 
     return media.select("sample_id", "content").mapInPandas(run, schema=FRAME_OUT_SCHEMA)
+
+
+AUDIO_OUT_SCHEMA = (
+    "sample_id long, window_idx int, start_ms long, end_ms long, "
+    "n_in_window long, window_md5 string"
+)
+
+
+def chunk_audio_windows(media: DataFrame, sample_rate: int = 16_000,
+                        window_ms: int = 400,
+                        bytes_per_sample: int = 1) -> DataFrame:
+    """Fixed-duration audio windowing over opaque PCM payloads: one row
+    per ``window_ms`` window with its sample span, millisecond bounds,
+    and a payload-slice digest — the front end of a feature-extraction
+    (fbank/wav2vec-style) pipeline, exercising the same one-row-in /
+    many-rows-out Arrow batch shape as the video frame sampler.
+
+    Bytes are treated as ``bytes_per_sample``-wide PCM (the default 1
+    is the deterministic stand-in; a real pipeline passes 2 for s16le
+    and a real resampler as a decoder stage before this).  Window
+    bounds are pure integer math on the payload length, so the
+    oracle-gated query (queries.q_mm_audio_windows) reproduces every
+    column except the digest in portable SQL; the digest path is
+    pytest-pinned (DuckDB cannot substring a BLOB).  An empty payload
+    yields ONE zero-sample window, mirroring the frame sampler's
+    at-least-one-row contract."""
+    spw = sample_rate * window_ms // 1000  # samples per window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "sample_id": [], "window_idx": [], "start_ms": [],
+                "end_ms": [], "n_in_window": [], "window_md5": [],
+            }
+            for sid, payload in zip(pdf["sample_id"], pdf["content"]):
+                data = bytes(payload)
+                n_samples = len(data) // bytes_per_sample
+                n_windows = max(-(-n_samples // spw), 1)
+                for i in range(n_windows):
+                    s0, s1 = i * spw, min(n_samples, (i + 1) * spw)
+                    cols["sample_id"].append(sid)
+                    cols["window_idx"].append(i)
+                    cols["start_ms"].append(s0 * 1000 // sample_rate)
+                    cols["end_ms"].append(s1 * 1000 // sample_rate)
+                    cols["n_in_window"].append(s1 - s0)
+                    cols["window_md5"].append(
+                        hashlib.md5(
+                            data[s0 * bytes_per_sample : s1 * bytes_per_sample]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(cols)
+
+    return media.select("sample_id", "content").mapInPandas(
+        run, schema=AUDIO_OUT_SCHEMA
+    )

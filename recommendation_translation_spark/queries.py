@@ -1535,6 +1535,94 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank over the part co-purchase graph
+    (operators.graph.pagerank_integer): edges = ordered part pairs
+    sharing an order (weight = co-occurrence count), 6 damped
+    iterations in 10¹² fixed-point.  Because every step is integer
+    arithmetic (associative sums, truncating division mirrored by
+    DuckDB's ``//`` on nonnegative operands), the iterative algorithm
+    is hash-checked against an oracle that UNROLLS the same six
+    iterations as chained CTEs — an exact cross-engine fixture for a
+    class of computation (iterative graph analytics) that floating
+    point would make unverifiable."""
+    from .operators.graph import pagerank_integer
+
+    # distinct first: a part appearing on several lines of one order
+    # must count that order once, and the pair self-join runs over the
+    # deduped (order, part) relation — smaller fan-out, same graph
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_integer(edges, n_iter=6, damping_pct=85)
+
+
+def _pagerank_sql(n_iter: int = 6, damping_pct: int = 85,
+                  scale: int = 10**12) -> str:
+    """DuckDB twin of q_part_pagerank: the same integer fixed-point
+    iterations unrolled as chained CTEs (aggregates are not allowed in
+    a recursive CTE's recursive term, so a fixed iteration count
+    unrolls instead — same shape as the minhash SQL builders)."""
+    tp = 100 - damping_pct
+    iters = []
+    for i in range(n_iter):
+        iters.append(f"""r{i + 1} AS (
+      SELECT n.node,
+             ({tp} * p.base) // 100 + ({damping_pct} * COALESCE(c.s, 0)) // 100
+               AS rank_int
+      FROM nodes n CROSS JOIN p
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r{i}.rank_int * e.w // o.w_out) AS s
+        FROM edges e
+        JOIN r{i} ON r{i}.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst) c ON c.node = n.node)""")
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    p AS (SELECT {scale} // COUNT(*) AS base FROM nodes),
+    outw AS (SELECT src, SUM(w) AS w_out FROM edges GROUP BY 1),
+    r0 AS (SELECT node, p.base AS rank_int FROM nodes CROSS JOIN p),
+    {",".join(iters)}
+    SELECT node, CAST(rank_int AS BIGINT) AS rank_int FROM r{n_iter}
+"""
+
+
+def q_mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-windowing plumbing (operators.multimodal.chunk_audio_windows):
+    each opaque PCM payload explodes into fixed 400 ms windows with
+    integer sample spans and millisecond bounds — the fbank-style
+    front end, stubbed deterministically (1 byte/sample, 16 kHz).  The
+    digest column is dropped here (DuckDB cannot slice BLOBs; the
+    digest path is pytest-pinned) so every remaining column is exact
+    integer math the oracle reproduces from octet_length alone."""
+    from .operators.multimodal import chunk_audio_windows
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    win = chunk_audio_windows(media, sample_rate=16_000, window_ms=400)
+    return win.select(
+        "sample_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        "start_ms",
+        "end_ms",
+        "n_in_window",
+    )
+
+
 def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based per-type profile: HyperLogLog++ distinct users and
     approximate median computed side-by-side with their exact twins,
@@ -4875,6 +4963,28 @@ ORACLES["events_sketch_stats"] = """
     FROM events GROUP BY event_type
 """
 
+ORACLES["part_pagerank"] = _pagerank_sql(n_iter=6, damping_pct=85)
+
+# chunk_audio_windows twin: 6400 samples / window (16 kHz × 400 ms ×
+# 1 byte/sample), ceil via negative-floor trick, ≥1 window per sample
+ORACLES["mm_audio_windows"] = """
+    WITH m AS (
+      SELECT doc_id AS sample_id,
+             octet_length(encode(text)) AS n_samples
+      FROM documents),
+    w AS (
+      SELECT sample_id, n_samples,
+             unnest(range(0, GREATEST(CAST(CEIL(n_samples / 6400.0) AS BIGINT),
+                                      1))) AS widx
+      FROM m)
+    SELECT sample_id,
+           CAST(widx AS BIGINT) AS window_idx,
+           widx * 6400 * 1000 // 16000 AS start_ms,
+           LEAST(n_samples, (widx + 1) * 6400) * 1000 // 16000 AS end_ms,
+           LEAST(n_samples, (widx + 1) * 6400) - widx * 6400 AS n_in_window
+    FROM w
+"""
+
 ORACLES["events_hll_merge"] = """
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
@@ -4986,6 +5096,8 @@ QUERIES = {
     "events_approx_stats": q_events_approx_stats,
     "events_hll_merge": q_events_hll_merge,
     "doc_heavy_hitters": q_doc_heavy_hitters,
+    "mm_audio_windows": q_mm_audio_windows,
+    "part_pagerank": q_part_pagerank,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,

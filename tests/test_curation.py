@@ -111,6 +111,66 @@ def test_incremental_dedup_flags_semantics(spark):
     assert got[13]["is_new"]
 
 
+def test_chunk_audio_windows_digest_and_edges(spark):
+    """The digest path (raw byte slices — not SQL-expressible, so not
+    oracle-gated) plus the edge contracts: empty payload → one
+    zero-sample window; digests match hand-computed slices; 2-byte
+    samples halve the sample count."""
+    import hashlib
+
+    from recommendation_translation_spark.operators.multimodal import (
+        chunk_audio_windows,
+    )
+
+    payload = bytes(range(256)) * 40  # 10240 bytes
+    media = spark.createDataFrame(
+        [(1, payload), (2, b"")], "sample_id long, content binary"
+    )
+    rows = {
+        (r.sample_id, r.window_idx): r
+        for r in chunk_audio_windows(
+            media, sample_rate=16_000, window_ms=400
+        ).collect()
+    }
+    # 10240 samples / 6400 per window = 2 windows
+    assert {k for k in rows} == {(1, 0), (1, 1), (2, 0)}
+    assert rows[(1, 0)].n_in_window == 6400 and rows[(1, 1)].n_in_window == 3840
+    assert rows[(1, 0)].start_ms == 0 and rows[(1, 0)].end_ms == 400
+    assert rows[(1, 1)].end_ms == 10240 * 1000 // 16000
+    assert rows[(1, 0)].window_md5 == hashlib.md5(payload[:6400]).hexdigest()
+    assert rows[(1, 1)].window_md5 == hashlib.md5(payload[6400:]).hexdigest()
+    assert rows[(2, 0)].n_in_window == 0 and rows[(2, 0)].end_ms == 0
+    # s16le: 2 bytes per sample → 5120 samples → one window
+    two = chunk_audio_windows(
+        media.filter("sample_id = 1"), bytes_per_sample=2
+    ).collect()
+    assert len(two) == 1 and two[0].n_in_window == 5120
+
+
+def test_pagerank_integer_invariants(spark):
+    """Symmetric 2-cycle → equal ranks; in a 3-node graph where node 2
+    has no inbound edges it keeps teleport mass only (strictly minimal)
+    — robust at ANY iteration count, unlike orderings along the 1↔3
+    cycle, which oscillate at amplitude 0.85^k; total rank mass stays
+    within integer-truncation slack of the scale."""
+    from recommendation_translation_spark.operators.graph import pagerank_integer
+
+    sym = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1)], "src long, dst long, w long"
+    )
+    r = {x.node: x.rank_int for x in pagerank_integer(sym, n_iter=4).collect()}
+    assert r[1] == r[2]
+    assert abs(sum(r.values()) - 10**12) < 1000  # truncation slack only
+
+    # everything points at 3; 3 cycles back to 1 (no dangling nodes)
+    hub = spark.createDataFrame(
+        [(1, 3, 1), (2, 3, 1), (3, 1, 1)], "src long, dst long, w long"
+    )
+    h = {x.node: x.rank_int for x in pagerank_integer(hub, n_iter=6).collect()}
+    assert h[1] > h[2] and h[3] > h[2]
+    assert h[2] == (15 * (10**12 // 3)) // 100  # teleport term exactly
+
+
 def test_doc_array_funcs_blank_and_empty_docs(spark, tmp_path):
     # round-2 ADVICE: DuckDB list_sum([]) is NULL vs Spark fold-to-0, and
     # string_split_regex('') yields [''] vs tokens() []; latent while the
