@@ -45,6 +45,7 @@ __all__ = [
     "minhash_bands",
     "minhash_lsh_pairs",
     "incremental_dedup_flags",
+    "fuzzy_pairs_ed1",
     "simhash",
     "simhash_pairs",
 ]
@@ -393,6 +394,61 @@ def incremental_dedup_flags(
                 == 0
             ).alias("is_new"),
         )
+    )
+
+
+def fuzzy_pairs_ed1(df: DataFrame, text_col: str = "name",
+                    id_col: str = "id") -> DataFrame:
+    """All pairs within Levenshtein distance ≤ 1, SymSpell-style: join
+    on the DELETION NEIGHBORHOOD D(s) = {s} ∪ {s minus position i}
+    instead of comparing all pairs.  Returns (a_id, b_id, dist) with
+    a_id < b_id — the entity-resolution primitive (near-identical
+    names/titles/SKUs).
+
+    Completeness (why the equi-join misses nothing at distance ≤ 1):
+    equal strings share s itself; a substitution at position i means
+    both sides' delete-i variants are equal; an insertion/deletion
+    means the longer string's deletion equals the shorter string
+    verbatim.  The neighborhood also collides some distance-2 pairs
+    (e.g. "ab"/"ba" share variant "a"), so candidates are verified
+    with exact ``levenshtein`` — verification is per-candidate, never
+    all-pairs.
+
+    Scale: variants multiply rows by (len+1) — bounded by string
+    length, not corpus size — and candidate generation is a plain
+    equi-join on the variant key, the same inverted-index shape as the
+    shingle joins.  A variant shared by k strings emits C(k,2)
+    candidates; for name-like columns k is the number of strings one
+    edit apart, which is alphabet-bounded — if a corpus has massive
+    exact-duplicate name groups, exact-dedup them first (dedup_exact)
+    exactly as you would before any pairwise operator."""
+    s = df.select(F.col(id_col).alias("fid"), F.col(text_col).alias("fname"))
+    variants = s.select(
+        "fid",
+        "fname",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(fname)), i -> IF(i = 0, fname,"
+                " concat(substring(fname, 1, i - 1), substring(fname, i + 1))))"
+            )
+        ).alias("v"),
+    ).distinct()  # repeated characters produce duplicate variants
+    a = variants.select(
+        F.col("fid").alias("a_id"), F.col("fname").alias("a_name"), "v"
+    )
+    b = variants.select(
+        F.col("fid").alias("b_id"), F.col("fname").alias("b_name"), "v"
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_name", "b_name")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("dist") <= 1)
+        .select("a_id", "b_id", F.col("dist").cast("long").alias("dist"))
     )
 
 

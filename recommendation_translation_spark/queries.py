@@ -1535,6 +1535,18 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join (operators.dedup.fuzzy_pairs_ed1):
+    all supplier-name pairs within Levenshtein distance 1, via the
+    SymSpell deletion-neighborhood equi-join — complete at distance ≤1
+    by the deletion-variant argument, candidates verified with exact
+    levenshtein on both engines, never an all-pairs scan."""
+    from .operators.dedup import fuzzy_pairs_ed1
+
+    sup = _t(spark, sf_dir, "supplier")
+    return fuzzy_pairs_ed1(sup, text_col="s_name", id_col="s_suppkey")
+
+
 def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer PageRank over the part co-purchase graph
     (operators.graph.pagerank_integer): edges = ordered part pairs
@@ -4965,6 +4977,21 @@ ORACLES["events_sketch_stats"] = """
 
 ORACLES["part_pagerank"] = _pagerank_sql(n_iter=6, damping_pct=85)
 
+ORACLES["supplier_fuzzy_pairs"] = """
+    WITH s AS (SELECT s_suppkey AS fid, s_name AS fname FROM supplier),
+    var AS (
+      SELECT DISTINCT fid, fname,
+             CASE WHEN i = 0 THEN fname
+                  ELSE substr(fname, 1, i - 1) || substr(fname, i + 1) END AS v
+      FROM s, LATERAL (SELECT unnest(range(0, length(fname) + 1)) AS i) t),
+    cand AS (
+      SELECT DISTINCT a.fid AS a_id, b.fid AS b_id,
+             a.fname AS a_name, b.fname AS b_name
+      FROM var a JOIN var b ON a.v = b.v AND a.fid < b.fid)
+    SELECT a_id, b_id, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(a_name, b_name) <= 1
+"""
+
 # chunk_audio_windows twin: 6400 samples / window (16 kHz × 400 ms ×
 # 1 byte/sample), ceil via negative-floor trick, ≥1 window per sample
 ORACLES["mm_audio_windows"] = """
@@ -5098,6 +5125,7 @@ QUERIES = {
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "mm_audio_windows": q_mm_audio_windows,
     "part_pagerank": q_part_pagerank,
+    "supplier_fuzzy_pairs": q_supplier_fuzzy_pairs,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,

@@ -197,6 +197,40 @@ def test_ngram_jaccard_capped_pairs_subset_of_uncapped(spark, texts, cap):
     assert capped <= uncapped
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SETTINGS
+@given(
+    names=st.lists(st.text(alphabet="ab", min_size=0, max_size=6),
+                   min_size=2, max_size=8, unique=True),
+)
+def test_fuzzy_pairs_ed1_equals_brute_force(spark, names):
+    # the SymSpell deletion-neighborhood join must be COMPLETE at
+    # distance <= 1: exactly the brute-force all-pairs result, including
+    # the dist values, for any strings (empty, repeats, prefixes)
+    from recommendation_translation_spark.operators.dedup import fuzzy_pairs_ed1
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    got = {(r.a_id, r.b_id): r.dist for r in fuzzy_pairs_ed1(df).collect()}
+    want = {
+        (i, j): _lev(a, b)
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and _lev(a, b) <= 1
+    }
+    assert got == want
+
+
 @SETTINGS
 @given(
     rows=st.lists(
