@@ -155,10 +155,21 @@ def resample_interpolate(events: DataFrame, width: str = "1 hour") -> DataFrame:
     Same scale shape as the ffill form (one observed aggregation, an
     executor-side dense grid, per-type windows — no global ordering);
     the neighbour lookups are two ignorenulls windows (last-preceding,
-    first-following) over the already-aggregated grid.  The ratio is
-    exact integer epoch arithmetic; the single rounding happens at the
-    end, so an oracle spelling the same expression matches
-    bit-for-bit."""
+    first-following) over the already-aggregated grid.
+
+    The gap value is computed in EXACT integer arithmetic (1e-4 value
+    units × epoch seconds) with an explicit integer HALF-UP at the
+    end.  A float formulation is a latent cross-engine tie-breaker
+    bug: interpolating 4-dp inputs at rational grid fractions (e.g.
+    7/8 of a gap span) lands on exact decimal halves like 10.63375,
+    where Spark's ``round`` (HALF_UP on the shortest decimal string
+    via BigDecimal) yields 10.6338 while engines that round the
+    binary double (DuckDB, value is a hair below the half) yield
+    10.6337 — found by the round-5 sf0.001 sweep.  Integer num/den
+    with ``(2·num + den) div (2·den)`` is identical everywhere.
+    Bounds: |num| ≤ 1e9·(seconds span) — safe to spans of ~10⁹ s.
+    Values are assumed non-negative (sums of event values); the
+    truncating ``div`` and flooring ``//`` agree only then."""
     hourly = (
         events.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
         .agg(F.round(F.sum("value"), 4).alias("sum_value"))
@@ -186,21 +197,39 @@ def resample_interpolate(events: DataFrame, width: str = "1 hour") -> DataFrame:
         .rowsBetween(0, Window.unboundedFollowing)
     )
     observed = F.col("sum_value").isNotNull()
-    prev_v = F.last("sum_value", ignorenulls=True).over(wprev)
-    next_v = F.first("sum_value", ignorenulls=True).over(wnext)
-    prev_e = F.last(F.when(observed, F.col("ue")), ignorenulls=True).over(wprev)
-    next_e = F.first(F.when(observed, F.col("ue")), ignorenulls=True).over(wnext)
+    # exact 1e-4 fixed-point: inputs are 4-dp, so ×10000 is integral;
+    # epoch seconds (not micros) keep num within int64 headroom
+    joined = (
+        joined.withColumn(
+            "prev_v", F.last("sum_value", ignorenulls=True).over(wprev)
+        )
+        .withColumn("next_v", F.first("sum_value", ignorenulls=True).over(wnext))
+        .withColumn(
+            "pes",
+            F.expr(
+                "last(CASE WHEN sum_value IS NOT NULL THEN ue div 1000000 END, true)"
+            ).over(wprev),
+        )
+        .withColumn(
+            "nes",
+            F.expr(
+                "first(CASE WHEN sum_value IS NOT NULL THEN ue div 1000000 END, true)"
+            ).over(wnext),
+        )
+        .withColumn("prev_i", F.round(F.col("prev_v") * 10000).cast("long"))
+        .withColumn("next_i", F.round(F.col("next_v") * 10000).cast("long"))
+    )
+    prev_v, next_v = F.col("prev_v"), F.col("next_v")
+    # integer HALF-UP of num/den (operands non-negative): (2n + d) div 2d
+    half_up = F.expr(
+        "(2 * (prev_i * (nes - pes) + (next_i - prev_i) * (ue div 1000000 - pes))"
+        " + (nes - pes)) div (2 * (nes - pes))"
+    )
     interp = (
         F.when(observed, F.col("sum_value"))
         .when(prev_v.isNull(), next_v)   # head gap: backfill
         .when(next_v.isNull(), prev_v)   # tail gap: carry forward
-        .otherwise(
-            F.round(
-                prev_v
-                + (next_v - prev_v) * (F.col("ue") - prev_e) / (next_e - prev_e),
-                4,
-            )
-        )
+        .otherwise(half_up / F.lit(10000.0))
     )
     return joined.select(
         "event_type",

@@ -1033,28 +1033,44 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of recording rows-only (round-4 verdict #6).
     tests/test_curation.py additionally bounds the raw errors."""
     ev = _t(spark, sf_dir, "events")
+    # exact interpolated quantiles at p and p∓0.02: the flag is
+    # "within 5% of the interpolated value OR inside the exact
+    # [p−0.02, p+0.02] window".  The window term matters: the sketch
+    # returns an ACTUAL data value (rank-exact for n < accuracy), and
+    # in a sparse tail the nearest order statistic can sit >5% in
+    # VALUE from the interpolated quantile while being rank-identical
+    # — the pure value bound flipped p99 at sf0.001 (round-5 sweep).
+    ps = [0.48, 0.50, 0.52, 0.93, 0.95, 0.97, 0.97, 0.99, 1.00]
     prof = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10_000)).alias("apcts"),
-        F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("epcts"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10_000)
+        ).alias("apcts"),
+        F.percentile("value", F.array(*[F.lit(p) for p in ps])).alias("epcts"),
         F.count("*").alias("n"),
     )
 
-    def bound(a, e):
-        return (F.abs(a - e) / F.abs(e) < 0.05)
+    def bound(a, lo, mid, hi):
+        return (F.abs(a - mid) / F.abs(mid) < 0.05) | a.between(lo, hi)
 
+    e = F.col("epcts")
+    a = F.col("apcts")
     return prof.select(
         "event_type",
         "exact_users",
-        F.round(F.col("epcts")[0], 2).alias("p50"),
-        F.round(F.col("epcts")[1], 2).alias("p95"),
-        F.round(F.col("epcts")[2], 2).alias("p99"),
+        F.round(e[1], 2).alias("p50"),
+        F.round(e[4], 2).alias("p95"),
+        F.round(e[7], 2).alias("p99"),
         "n",
-        bound(F.col("approx_users"), F.col("exact_users")).alias("users_err_lt_5pct"),
-        bound(F.col("apcts")[0], F.col("epcts")[0]).alias("p50_err_lt_5pct"),
-        bound(F.col("apcts")[1], F.col("epcts")[1]).alias("p95_err_lt_5pct"),
-        bound(F.col("apcts")[2], F.col("epcts")[2]).alias("p99_err_lt_5pct"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < 0.05
+        ).alias("users_err_lt_5pct"),
+        bound(a[0], e[0], e[1], e[2]).alias("p50_err_lt_5pct"),
+        bound(a[1], e[3], e[4], e[5]).alias("p95_err_lt_5pct"),
+        bound(a[2], e[6], e[7], e[8]).alias("p99_err_lt_5pct"),
     )
 
 
@@ -1652,20 +1668,29 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("hll_users"),
         F.count_distinct("user_id").alias("exact_users"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("td_p50"),
-        F.percentile("value", F.lit(0.5)).alias("raw_p50"),
+        F.percentile(
+            "value", F.array(F.lit(0.48), F.lit(0.5), F.lit(0.52))
+        ).alias("epcts"),
     )
+    # value-5% OR exact [p−0.02, p+0.02] window — see q_events_approx_stats
+    # for why the window term is required (sketches return order
+    # statistics, not interpolations)
     return prof.select(
         "event_type",
         "exact_users",
-        F.round("raw_p50", 4).alias("exact_p50"),
+        F.round(F.col("epcts")[1], 4).alias("exact_p50"),
         (
             F.abs(F.col("hll_users") - F.col("exact_users"))
             / F.col("exact_users")
             < 0.05
         ).alias("users_err_lt_5pct"),
         (
-            F.abs(F.col("td_p50") - F.col("raw_p50")) / F.abs(F.col("raw_p50"))
-            < 0.05
+            (
+                F.abs(F.col("td_p50") - F.col("epcts")[1])
+                / F.abs(F.col("epcts")[1])
+                < 0.05
+            )
+            | F.col("td_p50").between(F.col("epcts")[0], F.col("epcts")[2])
         ).alias("p50_err_lt_5pct"),
     )
 
@@ -3598,14 +3623,25 @@ ORACLES["events_resample_interp"] = """
              first_value(sum_value IGNORE NULLS)
                OVER (PARTITION BY event_type ORDER BY bucket
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
-             last_value(CASE WHEN sum_value IS NOT NULL THEN ue END IGNORE NULLS)
+             last_value(CASE WHEN sum_value IS NOT NULL
+                             THEN ue // 1000000 END IGNORE NULLS)
                OVER (PARTITION BY event_type ORDER BY bucket
-                     ROWS UNBOUNDED PRECEDING) AS prev_e,
-             first_value(CASE WHEN sum_value IS NOT NULL THEN ue END IGNORE NULLS)
+                     ROWS UNBOUNDED PRECEDING) AS pes,
+             first_value(CASE WHEN sum_value IS NOT NULL
+                              THEN ue // 1000000 END IGNORE NULLS)
                OVER (PARTITION BY event_type ORDER BY bucket
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_e
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nes
       FROM j
+    ), fx AS (
+      SELECT *,
+             CAST(ROUND(prev_v * 10000) AS BIGINT) AS prev_i,
+             CAST(ROUND(next_v * 10000) AS BIGINT) AS next_i
+      FROM n
     )
+    -- gap values in EXACT 1e-4 fixed-point with integer HALF-UP:
+    -- float interpolation of 4-dp inputs at rational grid fractions
+    -- lands on exact decimal halves where Spark's string-HALF_UP round
+    -- and a binary-double ROUND disagree (see resample_interpolate)
     SELECT event_type,
            CAST(ue // 1000000 AS BIGINT) AS bucket_epoch,
            CAST(CASE WHEN sum_value IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
@@ -3613,10 +3649,11 @@ ORACLES["events_resample_interp"] = """
            CASE WHEN sum_value IS NOT NULL THEN sum_value
                 WHEN prev_v IS NULL THEN next_v
                 WHEN next_v IS NULL THEN prev_v
-                ELSE ROUND(prev_v + (next_v - prev_v) * (ue - prev_e)
-                           / (next_e - prev_e), 4)
+                ELSE ((2 * (prev_i * (nes - pes)
+                            + (next_i - prev_i) * (ue // 1000000 - pes))
+                       + (nes - pes)) // (2 * (nes - pes))) / 10000.0
            END AS sum_value_interp
-    FROM n
+    FROM fx
 """
 
 ORACLES["events_stream_join"] = """
