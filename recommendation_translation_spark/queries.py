@@ -5112,6 +5112,263 @@ ORACLES["dedup_lsh_recall_report"] = f"""
                  / (SELECT COUNT(*) FROM cand)::DOUBLE, 6) AS cand_precision
 """.format(shingles=_SHINGLES_SQL)
 
+
+# ---------------------------------------------------------------------------
+# Round-5 late additions: duplicate-span corpus measurement, incremental
+# aggregate maintenance, and hash-checked driver rows for the two physical
+# layout claims (Z-order clustering, bucketed exchange-free joins).
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram span fraction per document (the Lee et al. 2021
+    'Deduplicating Training Data' / RefinedWeb-style filter): for every
+    doc, the fraction of its distinct 8-gram spans that also appear in
+    at least one OTHER document, plus a removal flag at 30%.
+
+    Plan: one gram pass (operators.curation.doc_ngrams — codegen
+    ``transform``/``slice`` grams pre-hashed to 60-bit longs, distinct
+    per doc), materialized once with a lazy localCheckpoint because it
+    feeds both sides; corpus document frequency is a groupBy on the
+    8-byte gram key; the join back to per-doc rows is an equi-join on
+    that same key (AQE decides the strategy — the df relation is
+    SF-scaled, never force-broadcast).  The duplicated fraction is
+    exact integer ppm (``n_dup*1_000_000 div n_grams``) and the flag
+    compares cross-multiplied integers (``10*n_dup >= 3*n_grams``), so
+    no double ever touches a decision boundary on either engine.
+    At 100 TB this is two shuffles over 8-byte longs — the same
+    posture as the contamination scan (ngram_contamination_split)."""
+    from .operators.curation import doc_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = doc_ngrams(docs, n=8).localCheckpoint(eager=False)
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df_"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df_") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("CAST(n_dup_grams * 1000000 DIV n_grams AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+            (F.col("n_dup_grams") * 10 >= F.col("n_grams") * 3).alias(
+                "flag_dup"
+            ),
+        )
+    )
+
+
+ORACLES["doc_dup_span_fraction"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+      WHERE len(w) >= 8),
+    dfreq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+    per AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams
+      FROM grams g JOIN dfreq d ON g.gram = d.gram
+      GROUP BY g.doc_id)
+    SELECT doc_id, n_grams, n_dup_grams,
+           CAST(n_dup_grams * 1000000 // n_grams AS BIGINT) AS dup_ppm,
+           n_dup_grams * 10 >= n_grams * 3 AS flag_dup
+    FROM per
+"""
+
+
+def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the 100 TB pattern where a
+    daily rollup is kept current by merging ONLY the new partition's
+    partials into the stored ones instead of rescanning the corpus.
+    Here both legs are computed (base = days before 2024-01-24, delta
+    = days from it) and merged by re-aggregating the mergeable
+    partials: count→sum, sum→sum, min→min, max→max.  Every measure is
+    integer fixed-point (value×10⁴ — the generator emits ≤4-decimal
+    values, so the cast is lossless), making the merge algebra EXACTLY
+    associative: the two-leg result is bit-identical to the oracle's
+    single full GROUP BY, which is the property that lets a real
+    deployment trust incremental maintenance.  Derived mean uses
+    integer ``div`` — no float in any output column.  Per leg this is
+    one map-side-combined shuffle on (day, type); the merge union
+    re-aggregates ~|days×types| rows, not raw events."""
+    # day rides as an ISO string (the catalog's date idiom — DATE
+    # columns stringify differently across engines); ISO sorts/compares
+    # lexicographically, so the cutoff filter stays a string compare
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v_fp"),
+    )
+
+    def partials(leg: DataFrame) -> DataFrame:
+        return leg.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("v_fp").alias("sum_fp"),
+            F.min("v_fp").alias("min_fp"),
+            F.max("v_fp").alias("max_fp"),
+        )
+
+    cutoff = "2024-01-24"
+    merged = (
+        partials(ev.filter(F.col("day") < cutoff))
+        .unionByName(partials(ev.filter(F.col("day") >= cutoff)))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_fp").alias("sum_fp"),
+            F.min("min_fp").alias("min_fp"),
+            F.max("max_fp").alias("max_fp"),
+        )
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        "sum_fp",
+        "min_fp",
+        "max_fp",
+        F.expr("CAST(sum_fp DIV n AS BIGINT)").alias("mean_fp"),
+    )
+
+
+ORACLES["events_incremental_agg"] = """
+    SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_fp,
+           MIN(CAST(ROUND(value * 10000) AS BIGINT)) AS min_fp,
+           MAX(CAST(ROUND(value * 10000) AS BIGINT)) AS max_fp,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS mean_fp
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_lineitem_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout under the driver's hash check: lineitem is
+    rewritten Z-ordered on (l_quantity, l_extendedprice) into 32 files
+    (operators.layout.write_zordered — Morton key, range partition,
+    sort within), then a two-dimensional corner rectangle (~2% of
+    rows) is scanned back.  Because the Morton curve keeps BOTH
+    dimensions compact per file, all matching rows land in a handful
+    of files; ``clustered`` asserts at least a 2× reduction
+    (files-with-matches ≤ 16 of 32 — actual is ~1-3; an unclustered
+    layout scatters matches across all 32 w.h.p.).  The same file
+    min/max statistics drive parquet row-group pruning on a real
+    lake, so this is the multi-dimensional scan-reduction claim of
+    SCALE.md measured inside a query.  Revenue folds as per-row
+    integer cents (exact, associative).  The rewrite is the one-off
+    layout cost bucketing/Z-ordering always pays; the measured scan
+    is what repeats at 100 TB."""
+    import tempfile
+
+    from .operators.layout import write_zordered
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="zorder_scan_") + "/lineitem_z"
+    write_zordered(li, path, ["l_quantity", "l_extendedprice"], n_files=32)
+    back = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("l_quantity") <= 5.0) & (F.col("l_extendedprice") <= 20000.0)
+        )
+        # input_file_name() is non-deterministic to the analyzer, so it
+        # must be projected BEFORE the aggregate, not inside it
+        .withColumn("_file", F.input_file_name())
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+        F.count_distinct("_file").alias("_files_hit"),
+    ).select(
+        "n_rows",
+        "price_cents",
+        (F.col("_files_hit") * 2 <= F.lit(32)).alias("clustered"),
+    )
+
+
+ORACLES["lineitem_zorder_pruning"] = """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           TRUE AS clustered
+    FROM lineitem
+    WHERE l_quantity <= 5.0 AND l_extendedprice <= 20000.0
+"""
+
+
+def q_orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed fact-to-fact join under the driver's hash check: orders
+    and lineitem are written as 8-bucket tables hashed and sorted on
+    the order key (sources.writers.write_bucketed_table), then joined
+    bucket-to-bucket.  Bucketing pays the shuffle ONCE at write time —
+    the join itself plans with ZERO Exchange on either side (pinned by
+    tests/test_plan_quality.py), which at 100 TB is the difference
+    between an hours-long shuffle and a co-located scan for joins too
+    big to broadcast.  Revenue is exact integer 10⁻⁴-dollar units
+    (cents × integer discount-% complement) so the post-join rollup is
+    associative and engine-portable.  Tables are external (temp-dir
+    path) and ``mode=overwrite`` keeps repeat runs idempotent; the
+    bucket count is a stand-in for the 100 TB choice (buckets sized so
+    one bucket ≈ one task's memory)."""
+    import tempfile
+
+    from .sources.writers import write_bucketed_table
+
+    d = tempfile.mkdtemp(prefix="bucketed_join_")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+    )
+    write_bucketed_table(
+        orders, "tmp_bkt_orders", ["o_orderkey"], n_buckets=8,
+        sort_cols=["o_orderkey"], path=f"{d}/orders", mode="overwrite",
+    )
+    write_bucketed_table(
+        li, "tmp_bkt_lineitem", ["l_orderkey"], n_buckets=8,
+        sort_cols=["l_orderkey"], path=f"{d}/lineitem", mode="overwrite",
+    )
+    o = spark.table("tmp_bkt_orders")
+    l = spark.table("tmp_bkt_lineitem")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_pct")))
+            .alias("rev_fp4"),
+        )
+    )
+
+
+ORACLES["orders_bucketed_join"] = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS rev_fp4
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+"""
+
+
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
 # round-by-round (round-2 verdict #3).  Round-5 front: (a) the 17
@@ -5163,6 +5420,10 @@ QUERIES = {
     "mm_audio_windows": q_mm_audio_windows,
     "part_pagerank": q_part_pagerank,
     "supplier_fuzzy_pairs": q_supplier_fuzzy_pairs,
+    "doc_dup_span_fraction": q_doc_dup_span_fraction,
+    "events_incremental_agg": q_events_incremental_agg,
+    "lineitem_zorder_pruning": q_lineitem_zorder_pruning,
+    "orders_bucketed_join": q_orders_bucketed_join,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,

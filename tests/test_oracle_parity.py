@@ -51,6 +51,9 @@ CROSS_SF_SENSITIVE = [
     "events_ewma",
     "part_pagerank",
     "customer_rfm",
+    # round-5 late additions whose flags depend on the physical layout
+    # (files-hit clustering bound) — exercised at both distributions
+    "lineitem_zorder_pruning",
 ]
 
 from .conftest import SF_SMALL  # noqa: E402
