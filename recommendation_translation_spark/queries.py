@@ -5369,6 +5369,83 @@ ORACLES["orders_bucketed_join"] = """
 """
 
 
+_IVF_AUDIT_NPROBES = (1, 2, 4)
+
+
+def q_emb_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit of the IVF ANN index against exact
+    brute-force ground truth — the similarity-search twin of
+    dedup_lsh_recall_report: recall@5 of the IVF path at nprobe ∈
+    {1, 2, 4}, one row per setting (truth pairs, IVF pairs, hits,
+    recall).  A recall CURVE, not a single number, is what justifies
+    the nprobe/list-count trade before trusting it at corpus scale —
+    at 100 TB the audit runs on a query SAMPLE while production
+    serves IVF only.  Both legs are existing oracle-green operators
+    (cosine_topk's bounded query-matrix broadcast, ivf_topk's
+    zero-shuffle literal-centroid assignment); the truth relation is
+    localCheckpoint'd once so the brute-force leg is not re-evaluated
+    per probe setting."""
+    truth_emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_frame(truth_emb)
+    truth = (
+        cosine_topk(truth_emb, q, k=5)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
+    s_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    legs = []
+    for nprobe in _IVF_AUDIT_NPROBES:
+        approx = ivf_topk(truth_emb, q, k=5, nprobe=nprobe).select(
+            "query_id", "cand_id"
+        )
+        hit = truth.join(approx, ["query_id", "cand_id"], "left_semi")
+        s_a = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+        s_h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+        legs.append(
+            s_t.crossJoin(F.broadcast(s_a))
+            .crossJoin(F.broadcast(s_h))
+            .select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                "n_truth",
+                "n_approx",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_truth"), 6).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _ivf_recall_leg_sql(nprobe: int) -> str:
+    return f"""
+    SELECT CAST({nprobe} AS BIGINT) AS nprobe,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM ap{nprobe}) AS n_approx,
+           (SELECT COUNT(*) FROM truth t JOIN ap{nprobe} a
+             ON t.query_id = a.query_id AND t.cand_id = a.cand_id) AS n_hit,
+           ROUND((SELECT COUNT(*) FROM truth t JOIN ap{nprobe} a
+                   ON t.query_id = a.query_id AND t.cand_id = a.cand_id)
+                 / (SELECT COUNT(*) FROM truth)::DOUBLE, 6) AS recall_at_5
+    """
+
+
+ORACLES["emb_ivf_recall_report"] = (
+    "WITH truth AS (SELECT query_id, cand_id FROM ("
+    + _cosine_topk_sql()
+    + ") t),\n"
+    + ",\n".join(
+        f"ap{n} AS (SELECT query_id, cand_id FROM ({_ivf_topk_sql(nprobe=n)}) a{n})"
+        for n in _IVF_AUDIT_NPROBES
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(_ivf_recall_leg_sql(n) for n in _IVF_AUDIT_NPROBES)
+)
+
+
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
 # round-by-round (round-2 verdict #3).  Round-5 front: (a) the 17
@@ -5424,6 +5501,7 @@ QUERIES = {
     "events_incremental_agg": q_events_incremental_agg,
     "lineitem_zorder_pruning": q_lineitem_zorder_pruning,
     "orders_bucketed_join": q_orders_bucketed_join,
+    "emb_ivf_recall_report": q_emb_ivf_recall_report,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,

@@ -767,6 +767,9 @@ _SCALAR_FOLD_OK = {
     # to ONE stats row (n_rows, cents, files-hit) — the global agg's
     # partials are 3 values per task
     "lineitem_zorder_pruning",
+    # IVF recall audit folds three 1-row count scalars (same shape as
+    # dedup_lsh_recall_report)
+    "emb_ivf_recall_report",
 }
 
 
