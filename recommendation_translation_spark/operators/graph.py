@@ -54,6 +54,13 @@ def pagerank_integer(
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    # Materialize the edge list FIRST: everything below (node-set
+    # distinct + count, out-weight agg, the pre-partitioned join input)
+    # derives from it, and each is an independent action — without this
+    # checkpoint an expensive edge-construction lineage (e.g. the part
+    # co-purchase self-join) re-executes three times before the first
+    # iteration even starts.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
