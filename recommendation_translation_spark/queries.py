@@ -5433,6 +5433,97 @@ def _ivf_recall_leg_sql(nprobe: int) -> str:
     """
 
 
+def q_orders_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (``WITH RECURSIVE``) on a genuinely
+    non-window-expressible fold: a per-customer running balance CLAMPED
+    at a credit cap after every order (``LEAST(cap, bal + price)``) —
+    the clamp makes the fold non-associative, so no window aggregate or
+    two-pass partial-sum trick can express it; sequential recursion is
+    the honest shape (credit limits, capacity-clamped inventory).
+    All math is integer cents, so the chain is bit-exact cross-engine
+    and the DuckDB oracle runs the same recursion with ``list_reduce``.
+
+    Depth control — the thing that makes recursion viable on Spark:
+    each recursion level is a separate job (≈1 s of scheduling at
+    local[32] regardless of row count), so the chain is batched into
+    CHUNKS of 8 orders and each level folds its chunk sequentially
+    in-row with the higher-order ``aggregate`` lambda.  Depth becomes
+    ceil(max_chain/8) = 3 levels at sf0.1 instead of 24, output is the
+    balance checkpoint after every chunk, and the per-order clamp
+    semantics are exactly preserved inside the fold.  Each level is
+    ONE equi-join of the live frontier on (custkey, chunk); rows in
+    flight shrink as chains end.  The numbered-chunk relation is
+    materialized once up front — the recursive execution re-evaluates
+    every referenced relation per level, so an un-materialized input
+    would re-run the scan + window at every depth.  For unbounded
+    chains prefer a grouped applyInPandas fold; recursion is the right
+    tool when depth is bounded and the step is relational."""
+    chunks = spark.sql(
+        f"""
+        WITH ord AS (
+          SELECT o_custkey AS custkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM parquet.`{sf_dir}/orders.parquet`
+        )
+        SELECT custkey, CAST((rn - 1) DIV 8 AS BIGINT) AS chunk,
+               transform(array_sort(collect_list(struct(rn, cents))),
+                         x -> x.cents) AS cents_arr
+        FROM ord GROUP BY custkey, (rn - 1) DIV 8
+        """
+    ).repartition("custkey").localCheckpoint(eager=True)
+    chunks.createOrReplaceTempView("capped_balance_chunks")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(custkey, chunk, bal_cents) AS (
+          SELECT custkey, chunk,
+                 aggregate(cents_arr, CAST(0 AS BIGINT),
+                           (acc, x) -> LEAST(CAST(50000000 AS BIGINT),
+                                             acc + x))
+          FROM capped_balance_chunks WHERE chunk = 0
+          UNION ALL
+          SELECT c.custkey, c.chunk,
+                 aggregate(c.cents_arr, w.bal_cents,
+                           (acc, x) -> LEAST(CAST(50000000 AS BIGINT),
+                                             acc + x))
+          FROM walk w JOIN capped_balance_chunks c
+            ON c.custkey = w.custkey AND c.chunk = w.chunk + 1
+        )
+        SELECT custkey, chunk, bal_cents FROM walk
+        """
+    )
+
+
+ORACLES["orders_capped_balance"] = """
+    WITH RECURSIVE ord AS (
+      SELECT o_custkey AS custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    chunks AS (
+      SELECT custkey, CAST((rn - 1) // 8 AS BIGINT) AS chunk,
+             list(cents ORDER BY rn) AS cents_arr
+      FROM ord GROUP BY custkey, (rn - 1) // 8
+    ),
+    walk(custkey, chunk, bal_cents) AS (
+      SELECT custkey, chunk,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), cents_arr),
+                         (acc, x) -> LEAST(CAST(50000000 AS BIGINT), acc + x))
+      FROM chunks WHERE chunk = 0
+      UNION ALL
+      SELECT c.custkey, c.chunk,
+             list_reduce(list_prepend(w.bal_cents, c.cents_arr),
+                         (acc, x) -> LEAST(CAST(50000000 AS BIGINT), acc + x))
+      FROM walk w JOIN chunks c
+        ON c.custkey = w.custkey AND c.chunk = w.chunk + 1
+    )
+    SELECT custkey, chunk, bal_cents FROM walk
+"""
+
+
 ORACLES["emb_ivf_recall_report"] = (
     "WITH truth AS (SELECT query_id, cand_id FROM ("
     + _cosine_topk_sql()
@@ -5502,6 +5593,7 @@ QUERIES = {
     "lineitem_zorder_pruning": q_lineitem_zorder_pruning,
     "orders_bucketed_join": q_orders_bucketed_join,
     "emb_ivf_recall_report": q_emb_ivf_recall_report,
+    "orders_capped_balance": q_orders_capped_balance,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,
