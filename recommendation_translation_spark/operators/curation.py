@@ -577,6 +577,48 @@ def ngram_contamination(train: DataFrame, test: DataFrame, n: int = 8,
     )
 
 
+def duplicate_span_stats(docs: DataFrame, n: int = 8,
+                         flag_num: int = 3, flag_den: int = 10,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Duplicate n-gram span fraction per document (Lee et al. 2021
+    'Deduplicating Training Data' / RefinedWeb removal filter):
+    (doc_id, n_grams, n_dup_grams, dup_ppm, flag_dup) where a gram is
+    'duplicated' iff it occurs in ≥ 2 documents and ``flag_dup`` fires
+    at ``n_dup/n_grams ≥ flag_num/flag_den`` (default 30%).
+
+    One hashed-gram pass (doc_ngrams — 60-bit longs, distinct per
+    doc), checkpointed because it feeds both the corpus document
+    frequency and the per-doc rollup; two long-keyed shuffles total.
+    Decision math is exact integer ppm / cross-multiplication — no
+    double near a threshold on any engine."""
+    grams = doc_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    grams = grams.localCheckpoint(eager=False)
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df_"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df_") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            F.expr("CAST(n_dup_grams * 1000000 DIV n_grams AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+            (
+                F.col("n_dup_grams") * flag_den
+                >= F.col("n_grams") * flag_num
+            ).alias("flag_dup"),
+        )
+    )
+
+
 def ngram_contamination_split(docs_with_split: DataFrame, n: int = 8,
                               split_col: str = "split",
                               train_value: str = "train",

@@ -5138,32 +5138,9 @@ def q_doc_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     no double ever touches a decision boundary on either engine.
     At 100 TB this is two shuffles over 8-byte longs — the same
     posture as the contamination scan (ngram_contamination_split)."""
-    from .operators.curation import doc_ngrams
+    from .operators.curation import duplicate_span_stats
 
-    docs = _t(spark, sf_dir, "documents")
-    grams = doc_ngrams(docs, n=8).localCheckpoint(eager=False)
-    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df_"))
-    return (
-        grams.join(dfreq, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("df_") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_grams"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_dup_grams",
-            F.expr("CAST(n_dup_grams * 1000000 DIV n_grams AS BIGINT)").alias(
-                "dup_ppm"
-            ),
-            (F.col("n_dup_grams") * 10 >= F.col("n_grams") * 3).alias(
-                "flag_dup"
-            ),
-        )
-    )
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), n=8)
 
 
 ORACLES["doc_dup_span_fraction"] = f"""
@@ -5458,35 +5435,50 @@ def q_orders_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-run the scan + window at every depth.  For unbounded
     chains prefer a grouped applyInPandas fold; recursion is the right
     tool when depth is bounded and the step is relational."""
-    chunks = spark.sql(
+    ord_df = spark.sql(
         f"""
-        WITH ord AS (
-          SELECT o_custkey AS custkey,
-                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-                 ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey) AS rn
-          FROM parquet.`{sf_dir}/orders.parquet`
+        SELECT o_custkey AS custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM parquet.`{sf_dir}/orders.parquet`
+        """
+    )
+    return capped_balance_walk(spark, ord_df, cap=50000000, chunk_size=8)
+
+
+def capped_balance_walk(spark: SparkSession, ord_df: DataFrame,
+                        cap: int, chunk_size: int = 8) -> DataFrame:
+    """The chunked recursive clamp fold behind q_orders_capped_balance,
+    factored so property tests can drive it with generated chains.
+    ``ord_df`` is (custkey, cents, rn) with rn 1-based per custkey;
+    returns (custkey, chunk, bal_cents) — the clamped balance
+    checkpoint after each ``chunk_size``-order chunk."""
+    chunks = (
+        ord_df.withColumn(
+            "chunk", F.expr(f"CAST((rn - 1) DIV {chunk_size} AS BIGINT)")
         )
-        SELECT custkey, CAST((rn - 1) DIV 8 AS BIGINT) AS chunk,
-               transform(array_sort(collect_list(struct(rn, cents))),
-                         x -> x.cents) AS cents_arr
-        FROM ord GROUP BY custkey, (rn - 1) DIV 8
-        """
-    ).repartition("custkey").localCheckpoint(eager=True)
+        .groupBy("custkey", "chunk")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, cents))),"
+                " x -> x.cents)"
+            ).alias("cents_arr")
+        )
+        .repartition("custkey")
+        .localCheckpoint(eager=True)
+    )
     chunks.createOrReplaceTempView("capped_balance_chunks")
+    clamp = f"(acc, x) -> LEAST(CAST({cap} AS BIGINT), acc + x)"
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE walk(custkey, chunk, bal_cents) AS (
           SELECT custkey, chunk,
-                 aggregate(cents_arr, CAST(0 AS BIGINT),
-                           (acc, x) -> LEAST(CAST(50000000 AS BIGINT),
-                                             acc + x))
+                 aggregate(cents_arr, CAST(0 AS BIGINT), {clamp})
           FROM capped_balance_chunks WHERE chunk = 0
           UNION ALL
           SELECT c.custkey, c.chunk,
-                 aggregate(c.cents_arr, w.bal_cents,
-                           (acc, x) -> LEAST(CAST(50000000 AS BIGINT),
-                                             acc + x))
+                 aggregate(c.cents_arr, w.bal_cents, {clamp})
           FROM walk w JOIN capped_balance_chunks c
             ON c.custkey = w.custkey AND c.chunk = w.chunk + 1
         )

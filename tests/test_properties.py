@@ -649,3 +649,69 @@ def test_range_partitioned_running_max_equals_global_window(spark, rows):
             ).collect()
         }
         assert got == want, f"inclusive={inclusive}"
+
+
+# chains: per key, a short list of order amounts (cents).  Small cap
+# forces the clamp to actually bite; chunk_size=3 forces multi-chunk
+# recursion with a ragged final chunk.
+capped_chains = st.lists(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=10),
+    min_size=1,
+    max_size=5,
+)
+
+
+@SETTINGS
+@given(chains=capped_chains, cap=st.integers(min_value=1, max_value=80))
+def test_capped_balance_walk_equals_sequential_fold(spark, chains, cap):
+    # the chunked recursion + in-chunk aggregate() lambda must equal the
+    # naive per-element clamp fold — the chunking is a depth
+    # optimization, never a semantics change
+    from recommendation_translation_spark.queries import capped_balance_walk
+
+    rows = [
+        (k, int(c), i + 1)
+        for k, chain in enumerate(chains)
+        for i, c in enumerate(chain)
+    ]
+    df = spark.createDataFrame(rows, "custkey long, cents long, rn long")
+    got = {
+        (r.custkey, r.chunk): r.bal_cents
+        for r in capped_balance_walk(spark, df, cap=cap, chunk_size=3).collect()
+    }
+    want = {}
+    for k, chain in enumerate(chains):
+        bal = 0
+        for i, c in enumerate(chain):
+            bal = min(cap, bal + c)
+            if (i + 1) % 3 == 0 or i + 1 == len(chain):
+                want[(k, i // 3)] = bal
+    assert got == want
+
+
+def test_duplicate_span_stats_hand_built(spark):
+    # A and B share exactly one 8-gram; C is unique; D is too short to
+    # gram at all (must be absent from the output)
+    from recommendation_translation_spark.operators.curation import (
+        duplicate_span_stats,
+    )
+
+    common = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{common} xa1 xa2"),  # 10 toks → 3 grams, 1 shared
+            (2, f"{common} xb1"),      # 9 toks → 2 grams, 1 shared
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8"),  # 1 gram, unique
+            (4, "too short"),          # < 8 tokens → no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_ppm, r.flag_dup)
+        for r in duplicate_span_stats(docs, n=8).collect()
+    }
+    assert got == {
+        1: (3, 1, 333333, True),    # 1/3 ≥ 30%
+        2: (2, 1, 500000, True),    # 1/2 ≥ 30%
+        3: (1, 0, 0, False),
+    }
