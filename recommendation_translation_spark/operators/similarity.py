@@ -35,6 +35,9 @@ __all__ = [
     "ann_lsh_topk",
     "embedding_cosine_pairs",
     "ivf_topk",
+    "centroid_literal_array",
+    "assign_lists",
+    "semdedup_keep",
     "centroids_by_label",
     "sq8_quantize",
     "sq8_topk",
@@ -277,6 +280,137 @@ def embedding_cosine_pairs(
     )
 
 
+def centroid_literal_array(emb: DataFrame, label_col: str = "label",
+                           vec_col: str = "embedding") -> Column:
+    """Per-label mean centroids inlined as ONE literal array column of
+    (l, cv, cn) structs — the zero-shuffle assignment input shared by
+    ivf_topk and semdedup_keep.  Lists × dim doubles: always
+    driver-safe; centroid norms fold left-to-right driver-side,
+    bit-identical to an in-plan fold."""
+    import math
+
+    cent_long = centroids_by_label(emb, label_col=label_col, vec_col=vec_col)
+    rows = cent_long.orderBy("label", "pos").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), []).append(float(r["centroid"]))
+    cents = []
+    for lbl, vec in sorted(by_label.items()):
+        s = 0.0
+        for x in vec:
+            s += x * x
+        cents.append((lbl, vec, math.sqrt(s)))
+    return F.array(*[
+        F.struct(
+            F.lit(lbl).alias("l"),
+            F.array(*[F.lit(c) for c in vec]).alias("cv"),
+            F.lit(nrm).alias("cn"),
+        )
+        for lbl, vec, nrm in cents
+    ])
+
+
+def assign_lists(df: DataFrame, cent_arr: Column, out_id: str,
+                 vec_out: str, keep_n: int) -> DataFrame:
+    """Tag every row of ``df`` (must carry ``out_id``, ``vec_out`` as
+    array<double>, and ``nrm``) with its ``keep_n`` nearest centroid
+    lists by coarse cosine (6dp round, label tie-break) — a pure
+    projection over the centroid literal, zero shuffle, no join."""
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(
+                dot(F.col(vec_out), c["cv"]) / (F.col("nrm") * c["cn"]), 6
+            ).alias("ccos"),
+            c["l"].alias("l"),
+        ),
+    )
+    top = F.slice(
+        F.array_sort(
+            scored,
+            lambda x, y: F.when(x["ccos"] > y["ccos"], F.lit(-1))
+            .when(x["ccos"] < y["ccos"], F.lit(1))
+            .otherwise(x["l"] - y["l"])
+            .cast("int"),
+        ),
+        1,
+        keep_n,
+    )
+    return df.withColumn("_lists", top).select(
+        out_id,
+        vec_out,
+        "nrm",
+        F.explode(F.col("_lists").getField("l")).alias("list_label"),
+    )
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_salts: int = 8,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings,
+    compute pairwise cosine WITHIN each cluster only, and keep one
+    representative per semantic near-dup group — (vec_id, list_label,
+    keep) where keep is false iff a same-cluster vector with a smaller
+    id has cosine ≥ threshold (the same dominated-pair keep rule as
+    corpus_keep_best).
+
+    Scale posture: assignment to the nearest centroid is a zero-shuffle
+    literal projection (centroid_literal_array — at web scale the
+    centroids come from a k-means pass, same machinery); the |N|² pair
+    work collapses to within-cluster self-joins, and the cluster-key
+    join is salted exactly like embedding_cosine_pairs (side a salted,
+    side b replicated per salt) so ~n_lists join keys still spread
+    over n_lists·n_salts tasks.  Tightening clusters (more centroids)
+    is the knob that bounds per-task pair work — identical to IVF's
+    list-count trade."""
+    cent_arr = centroid_literal_array(emb, label_col=label_col, vec_col=vec_col)
+    v = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec"))
+    v = v.withColumn("nrm", l2_norm(F.col("vec")))
+    assigned = assign_lists(v, cent_arr, "vid", "vec", 1)
+    a = assigned.select(
+        F.col("vid").alias("a_id"), F.col("vec").alias("avec"),
+        F.col("nrm").alias("anrm"), "list_label",
+    ).withColumn("salt", F.pmod(F.xxhash64(F.col("a_id")), F.lit(n_salts)))
+    b = assigned.select(
+        F.col("vid").alias("b_id"), F.col("vec").alias("bvec"),
+        F.col("nrm").alias("bnrm"), "list_label",
+    ).withColumn(
+        "salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
+        ),
+    )
+    removed = (
+        a.join(b, ["list_label", "salt"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("avec"), F.col("bvec"))
+                / (F.col("anrm") * F.col("bnrm")),
+                8,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("b_id").alias("rm_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(removed, assigned["vid"] == removed["rm_id"], "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "list_label",
+            F.col("rm_id").isNull().alias("keep"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -303,61 +437,13 @@ def ivf_topk(
     recall for cost.
     Output: (query_id, cand_id, cosine, rk) like the other ANN ops.
     """
-    import math
-
-    cent_long = centroids_by_label(emb, label_col=label_col, vec_col=vec_col)
-    # lists × dim doubles — always driver-safe; deterministic rounding
-    rows = cent_long.orderBy("label", "pos").collect()
-    by_label: dict = {}
-    for r in rows:
-        by_label.setdefault(int(r["label"]), []).append(float(r["centroid"]))
-    cents = []
-    for lbl, vec in sorted(by_label.items()):
-        s = 0.0
-        for x in vec:
-            s += x * x
-        cents.append((lbl, vec, math.sqrt(s)))
-    cent_arr = F.array(*[
-        F.struct(
-            F.lit(lbl).alias("l"),
-            F.array(*[F.lit(c) for c in vec]).alias("cv"),
-            F.lit(nrm).alias("cn"),
-        )
-        for lbl, vec, nrm in cents
-    ])
-
-    def assign(df: DataFrame, out_id: str, vec_out: str, keep_n: int) -> DataFrame:
-        scored = F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                F.round(dot(F.col(vec_out), c["cv"]) / (F.col("nrm") * c["cn"]), 6).alias("ccos"),
-                c["l"].alias("l"),
-            ),
-        )
-        top = F.slice(
-            F.array_sort(
-                scored,
-                lambda x, y: F.when(x["ccos"] > y["ccos"], F.lit(-1))
-                .when(x["ccos"] < y["ccos"], F.lit(1))
-                .otherwise(x["l"] - y["l"])
-                .cast("int"),
-            ),
-            1,
-            keep_n,
-        )
-        return df.withColumn("_lists", top).select(
-            out_id,
-            vec_out,
-            "nrm",
-            F.explode(F.col("_lists").getField("l")).alias("list_label"),
-        )
-
+    cent_arr = centroid_literal_array(emb, label_col=label_col, vec_col=vec_col)
     cand = emb.select(F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec2"))
     cand = cand.withColumn("nrm", l2_norm(F.col("cvec2")))
-    cand_lists = assign(cand, "cand_id", "cvec2", 1).withColumnRenamed("nrm", "cnrm")
+    cand_lists = assign_lists(cand, cent_arr, "cand_id", "cvec2", 1).withColumnRenamed("nrm", "cnrm")
     q = queries.select(F.col("query_id"), F.col("query_vec").cast("array<double>").alias("qvec"))
     q = q.withColumn("nrm", l2_norm(F.col("qvec")))
-    q_lists = assign(q, "query_id", "qvec", nprobe).withColumnRenamed("nrm", "qnrm")
+    q_lists = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).withColumnRenamed("nrm", "qnrm")
 
     scored = (
         cand_lists.join(F.broadcast(q_lists), "list_label")

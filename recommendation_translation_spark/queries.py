@@ -5410,6 +5410,70 @@ def _ivf_recall_leg_sql(nprobe: int) -> str:
     """
 
 
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (operators.similarity.semdedup_keep): cluster-bucketed semantic
+    near-dup removal — assign each vector to its nearest per-label-mean
+    centroid (zero-shuffle literal projection), pair within clusters
+    only (salted self-join), keep one representative per near-dup
+    group via the dominated-pair rule.  Complements dedup_emb_cosine:
+    hyperplane-LSH buckets by random projection; SemDeDup buckets by
+    learned cluster structure, which is the published recipe for
+    web-scale pretraining-data pruning."""
+    from .operators.similarity import semdedup_keep
+
+    return semdedup_keep(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+_SEMDEDUP_CDOT = (
+    "list_sum(list_transform(list_zip(CAST({v} AS DOUBLE[]), {c}),"
+    " t -> t[1] * t[2]))"
+)
+
+ORACLES["dedup_semdedup"] = f"""
+    WITH cent AS (
+      SELECT list_label, list(c ORDER BY pos) AS cvec
+      FROM (
+        SELECT CAST(label AS INT) AS list_label, i AS pos,
+               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 8) AS c
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY 1, 2
+      ) GROUP BY list_label
+    ),
+    centn AS (
+      SELECT list_label, cvec,
+             sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm2
+      FROM cent
+    ),
+    v AS (
+      SELECT vec_id AS vid, embedding, {_norm_sql('embedding')} AS nrm
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vid, embedding, nrm, list_label FROM (
+        SELECT v.vid, v.embedding, v.nrm, n.list_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vid
+                 ORDER BY ROUND({_SEMDEDUP_CDOT.format(v='v.embedding', c='n.cvec')}
+                                / (v.nrm * n.cnorm2), 6) DESC,
+                          n.list_label
+               ) AS crn
+        FROM v CROSS JOIN centn n
+      ) WHERE crn = 1
+    ),
+    removed AS (
+      SELECT DISTINCT b.vid AS rm_id
+      FROM assigned a JOIN assigned b
+        ON a.list_label = b.list_label AND a.vid < b.vid
+      WHERE ROUND({_dot_sql('a.embedding', 'b.embedding')}
+                  / (a.nrm * b.nrm), 8) >= 0.3
+    )
+    SELECT a.vid AS vec_id, CAST(a.list_label AS INT) AS list_label,
+           r.rm_id IS NULL AS keep
+    FROM assigned a LEFT JOIN removed r ON a.vid = r.rm_id
+"""
+
+
 def q_orders_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 recursive CTE (``WITH RECURSIVE``) on a genuinely
     non-window-expressible fold: a per-customer running balance CLAMPED
@@ -5586,6 +5650,7 @@ QUERIES = {
     "orders_bucketed_join": q_orders_bucketed_join,
     "emb_ivf_recall_report": q_emb_ivf_recall_report,
     "orders_capped_balance": q_orders_capped_balance,
+    "dedup_semdedup": q_dedup_semdedup,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,
