@@ -51,9 +51,14 @@ CROSS_SF_SENSITIVE = [
     "events_ewma",
     "part_pagerank",
     "customer_rfm",
-    # round-5 late additions whose flags depend on the physical layout
-    # (files-hit clustering bound) — exercised at both distributions
+    # round-5 late additions whose values depend on the data
+    # distribution (files-hit clustering bound, recall curve, gram
+    # overlap, chain lengths, cluster geometry) — both distributions
     "lineitem_zorder_pruning",
+    "emb_ivf_recall_report",
+    "doc_dup_span_fraction",
+    "orders_capped_balance",
+    "dedup_semdedup",
 ]
 
 from .conftest import SF_SMALL  # noqa: E402
