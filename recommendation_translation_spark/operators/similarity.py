@@ -35,6 +35,7 @@ __all__ = [
     "ann_lsh_topk",
     "embedding_cosine_pairs",
     "ivf_topk",
+    "ivf_topk_multi",
     "centroid_literal_array",
     "assign_lists",
     "semdedup_keep",
@@ -311,11 +312,15 @@ def centroid_literal_array(emb: DataFrame, label_col: str = "label",
 
 
 def assign_lists(df: DataFrame, cent_arr: Column, out_id: str,
-                 vec_out: str, keep_n: int) -> DataFrame:
+                 vec_out: str, keep_n: int,
+                 with_rank: bool = False) -> DataFrame:
     """Tag every row of ``df`` (must carry ``out_id``, ``vec_out`` as
     array<double>, and ``nrm``) with its ``keep_n`` nearest centroid
     lists by coarse cosine (6dp round, label tie-break) — a pure
-    projection over the centroid literal, zero shuffle, no join."""
+    projection over the centroid literal, zero shuffle, no join.
+    ``with_rank`` adds the 1-based ``probe_rank`` of each list, so ONE
+    keep_n=max assignment can serve every smaller nprobe by filtering
+    (``probe_rank <= n`` ≡ assigning with keep_n=n)."""
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(
@@ -336,12 +341,82 @@ def assign_lists(df: DataFrame, cent_arr: Column, out_id: str,
         1,
         keep_n,
     )
-    return df.withColumn("_lists", top).select(
+    base = df.withColumn("_lists", top)
+    if with_rank:
+        return base.select(
+            out_id,
+            vec_out,
+            "nrm",
+            F.posexplode(F.col("_lists").getField("l")).alias(
+                "_pos", "list_label"
+            ),
+        ).select(
+            out_id, vec_out, "nrm", "list_label",
+            (F.col("_pos") + 1).alias("probe_rank"),
+        )
+    return base.select(
         out_id,
         vec_out,
         "nrm",
         F.explode(F.col("_lists").getField("l")).alias("list_label"),
     )
+
+
+def ivf_topk_multi(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """``ivf_topk`` evaluated at SEVERAL nprobe settings for the cost
+    of ONE: the expensive work — centroid assignment of the corpus and
+    the list-bucketed candidate⋈query scoring — runs once at
+    keep_n=max(nprobes) with a probe rank, is checkpointed, and each
+    setting is then a filter (``probe_rank <= n``) plus its own top-k
+    window over the already-scored candidates.  Per-slice output is
+    EXACTLY ivf_topk(nprobe=n) (pinned by a parity test); rows carry a
+    leading ``nprobe`` column.  This is the audit-sweep pattern: a
+    parameter curve must not cost |settings| corpus passes."""
+    cent_arr = centroid_literal_array(emb, label_col=label_col, vec_col=vec_col)
+    cand = emb.select(F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec2"))
+    cand = cand.withColumn("nrm", l2_norm(F.col("cvec2")))
+    cand_lists = assign_lists(cand, cent_arr, "cand_id", "cvec2", 1).withColumnRenamed("nrm", "cnrm")
+    q = queries.select(F.col("query_id"), F.col("query_vec").cast("array<double>").alias("qvec"))
+    q = q.withColumn("nrm", l2_norm(F.col("qvec")))
+    q_lists = assign_lists(
+        q, cent_arr, "query_id", "qvec", max(nprobes), with_rank=True
+    ).withColumnRenamed("nrm", "qnrm")
+    scored = (
+        cand_lists.join(F.broadcast(q_lists), "list_label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("qvec"), F.col("cvec2")) / (F.col("qnrm") * F.col("cnrm")), 8),
+        )
+        .select("query_id", "cand_id", "cosine", "probe_rank")
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    legs = []
+    for n in nprobes:
+        legs.append(
+            scored.filter(F.col("probe_rank") <= n)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(
+                F.lit(n).cast("long").alias("nprobe"),
+                "query_id", "cand_id", "cosine", F.col("rk").alias("rk"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def semdedup_keep(

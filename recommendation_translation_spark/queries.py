@@ -5357,11 +5357,12 @@ def q_emb_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall).  A recall CURVE, not a single number, is what justifies
     the nprobe/list-count trade before trusting it at corpus scale —
     at 100 TB the audit runs on a query SAMPLE while production
-    serves IVF only.  Both legs are existing oracle-green operators
-    (cosine_topk's bounded query-matrix broadcast, ivf_topk's
-    zero-shuffle literal-centroid assignment); the truth relation is
-    localCheckpoint'd once so the brute-force leg is not re-evaluated
-    per probe setting."""
+    serves IVF only.  Both legs are existing oracle-green operators;
+    the truth relation is localCheckpoint'd once, and all probe
+    settings come from ONE assignment/scoring pass (ivf_topk_multi —
+    the parameter sweep must not cost |settings| corpus passes)."""
+    from .operators.similarity import ivf_topk_multi
+
     truth_emb = _t(spark, sf_dir, "embeddings")
     q = _queries_frame(truth_emb)
     truth = (
@@ -5370,9 +5371,12 @@ def q_emb_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     s_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    multi = ivf_topk_multi(
+        truth_emb, q, k=5, nprobes=_IVF_AUDIT_NPROBES
+    ).localCheckpoint(eager=False)
     legs = []
     for nprobe in _IVF_AUDIT_NPROBES:
-        approx = ivf_topk(truth_emb, q, k=5, nprobe=nprobe).select(
+        approx = multi.filter(F.col("nprobe") == nprobe).select(
             "query_id", "cand_id"
         )
         hit = truth.join(approx, ["query_id", "cand_id"], "left_semi")

@@ -715,3 +715,27 @@ def test_duplicate_span_stats_hand_built(spark):
         2: (2, 1, 500000, True),    # 1/2 ≥ 30%
         3: (1, 0, 0, False),
     }
+
+
+def test_ivf_topk_multi_slices_equal_single_nprobe(spark):
+    # one keep_n=max assignment + probe-rank filter must reproduce
+    # ivf_topk(nprobe=n) exactly for every n in the sweep
+    from recommendation_translation_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_multi,
+    )
+    from recommendation_translation_spark.queries import _queries_frame
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = _queries_frame(emb)
+    multi = ivf_topk_multi(emb, q, k=5, nprobes=(1, 2, 4))
+    for n in (1, 2, 4):
+        got = {
+            (r.query_id, r.cand_id, r.cosine, r.rk)
+            for r in multi.filter(F.col("nprobe") == n).collect()
+        }
+        want = {
+            (r.query_id, r.cand_id, r.cosine, r.rk)
+            for r in ivf_topk(emb, q, k=5, nprobe=n).collect()
+        }
+        assert got == want, f"nprobe={n}"
