@@ -5478,6 +5478,53 @@ ORACLES["dedup_semdedup"] = f"""
 """
 
 
+def q_docs_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches under the driver's hash
+    check — the lake-ingestion reality that later batches carry new
+    columns: batch 1 writes (doc_id, lang), batch 2 adds n_chars, and
+    the unified read uses ``mergeSchema`` so batch-1 rows surface the
+    new column as NULL.  The rollup counts rows with/without the
+    evolved column per language — any deviation in merge semantics
+    (column order, NULL fill, type widening) breaks the hash.  At
+    100 TB mergeSchema costs a footer read per FILE, so production
+    pins the evolved schema in a catalog/metastore instead; the READ
+    semantics verified here are identical.  Batch routing is
+    doc_id % 2 — deterministic, no data dependency."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="schema_evo_")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+        f"{d}/batch=1"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.parquet(f"{d}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("n_chars").alias("n_evolved"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_legacy"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+    )
+
+
+ORACLES["docs_schema_evolution"] = """
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_evolved,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy,
+           CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+                AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+"""
+
+
 def q_orders_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 recursive CTE (``WITH RECURSIVE``) on a genuinely
     non-window-expressible fold: a per-customer running balance CLAMPED
@@ -5655,6 +5702,7 @@ QUERIES = {
     "emb_ivf_recall_report": q_emb_ivf_recall_report,
     "orders_capped_balance": q_orders_capped_balance,
     "dedup_semdedup": q_dedup_semdedup,
+    "docs_schema_evolution": q_docs_schema_evolution,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,
