@@ -5525,6 +5525,45 @@ ORACLES["docs_schema_evolution"] = """
 """
 
 
+def q_docs_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources.writers.compact_parquet — the
+    OPTIMIZE-style maintenance pass) under the driver's hash check: the
+    documents projection is deliberately fragmented into 48 files (the
+    streaming-sink pathology), compacted to byte-sized targets via the
+    staged-rename swap, and read back — the per-language rollup proves
+    the rewrite lost nothing and ``compacted`` pins the file-count
+    reduction.  At 100 TB this is the scheduled job that keeps scan
+    listing/footer cost flat; coalesce-based, so the rewrite itself
+    never shuffles."""
+    import tempfile
+
+    from .sources.writers import compact_parquet
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = tempfile.mkdtemp(prefix="compaction_") + "/docs"
+    docs.repartition(48).write.parquet(d)
+    stats = compact_parquet(spark, d, target_file_mb=128)
+    return (
+        spark.read.parquet(d)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn(
+            "compacted", F.lit(stats["files_after"] < stats["files_before"])
+        )
+    )
+
+
+ORACLES["docs_compaction"] = """
+    SELECT lang, COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS compacted
+    FROM documents GROUP BY lang
+"""
+
+
 def q_orders_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 recursive CTE (``WITH RECURSIVE``) on a genuinely
     non-window-expressible fold: a per-customer running balance CLAMPED
@@ -5703,6 +5742,7 @@ QUERIES = {
     "orders_capped_balance": q_orders_capped_balance,
     "dedup_semdedup": q_dedup_semdedup,
     "docs_schema_evolution": q_docs_schema_evolution,
+    "docs_compaction": q_docs_compaction,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,
