@@ -5525,6 +5525,56 @@ ORACLES["docs_schema_evolution"] = """
 """
 
 
+def q_corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the mC4 / XLM-R
+    multilingual sampling recipe, Conneau et al. 2020): head languages
+    are downsampled toward p_l^α proportions so low-resource languages
+    keep presence in the mix.  α = 0.5 deliberately — the weight is
+    then ``sqrt(n_l)``, and IEEE sqrt (and the following divide) are
+    correctly-rounded on every engine, so the per-language keep rate
+    in exact ppm (``floor(10⁶·sqrt(n_l)/max_l sqrt(n_l))``) is
+    bit-identical cross-engine where a pow(x, 0.7) could diverge in
+    the last ulp and flip a sampling boundary.  Keep decision is the
+    deterministic corpus hash mod 10⁶ against that rate — stable under
+    corpus growth like every sampler here.  The |langs|-row rate table
+    is domain-bounded → broadcast; the corpus is never shuffled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    smax = counts.agg(F.max(F.sqrt("n_l")).alias("smax"))
+    rates = (
+        counts.crossJoin(F.broadcast(smax))
+        .select(
+            "lang",
+            "n_l",
+            F.floor(F.lit(1000000.0) * F.sqrt("n_l") / F.col("smax"))
+            .cast("long")
+            .alias("keep_ppm"),
+        )
+    )
+    from .operators.text import cross_engine_hash
+
+    h = cross_engine_hash(F.col("doc_id").cast("string"), seed="temp")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(F.pmod(h, F.lit(1000000)) < F.col("keep_ppm"))
+        .select("doc_id", "lang", "n_l", "keep_ppm")
+    )
+
+
+ORACLES["corpus_temperature_sample"] = f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    m AS (SELECT MAX(sqrt(n_l)) AS smax FROM c),
+    r AS (
+      SELECT lang, n_l,
+             CAST(FLOOR(1000000.0 * sqrt(n_l) / smax) AS BIGINT) AS keep_ppm
+      FROM c, m)
+    SELECT d.doc_id, d.lang, r.n_l, r.keep_ppm
+    FROM documents d JOIN r USING (lang)
+    WHERE {_hash_sql("CAST(doc_id AS VARCHAR)", seed="temp")} % 1000000
+          < r.keep_ppm
+"""
+
+
 def q_docs_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (sources.writers.compact_parquet — the
     OPTIMIZE-style maintenance pass) under the driver's hash check: the
@@ -5743,6 +5793,7 @@ QUERIES = {
     "dedup_semdedup": q_dedup_semdedup,
     "docs_schema_evolution": q_docs_schema_evolution,
     "docs_compaction": q_docs_compaction,
+    "corpus_temperature_sample": q_corpus_temperature_sample,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,

@@ -770,6 +770,9 @@ _SCALAR_FOLD_OK = {
     # IVF recall audit folds three 1-row count scalars (same shape as
     # dedup_lsh_recall_report)
     "emb_ivf_recall_report",
+    # temperature sampler folds the 1-row max-sqrt scalar into the
+    # |langs|-row rate table
+    "corpus_temperature_sample",
 }
 
 
