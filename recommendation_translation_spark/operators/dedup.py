@@ -457,36 +457,53 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
     """SimHash over whitespace tokens: (id, simhash long).
 
     Each token votes ±1 per bit of its hash; bit b of the result is
-    set iff the summed vote is positive.  Computed as ``bits`` sum
-    aggregates over the exploded tokens — one shuffle (plus the
-    pre-explode spread repartition, see word_shingles: the ``bits``
-    partial aggregates over |tokens|× rows must not run in one task
-    when the corpus arrives in few input splits).
+    set iff the summed vote is positive — equivalently iff
+    ``2·ones_b > n_tokens``, which is how it's computed here: the
+    token array is hashed ONCE per row with a higher-order
+    ``transform`` (md5 evaluated once per token — the hashed arrays
+    are materialized as projection columns, and Catalyst's
+    CollapseProject keeps multi-referenced non-trivial expressions
+    un-inlined), then each bit's ones-count is a row-local
+    ``filter``+``size`` over the hashed longs.  The signature pass is
+    therefore EMBARRASSINGLY PARALLEL — zero shuffle, where the
+    previous explode + 32-aggregate groupBy shuffled |tokens|× rows
+    and paid a heavy first-run codegen/JIT cost (the 20 s cold
+    `dedup_clusters` bench artifact).  Results are bit-identical to
+    the vote formulation (pinned by oracle parity: the DuckDB twin
+    still computes ±1 votes).
 
     ``bits`` ∈ {32, 64}.  The 64-bit form (the 100 TB path — wider
     band keys keep LSH buckets sparse, see simhash_pairs) draws bits
     32..63 from hex chars 9-16 of the SAME md5 digest
     (text.cross_engine_hash_hi), so it stays bit-exact cross-engine;
     bit 63 lands on the long's sign bit, so its weight is the signed
-    value −2⁶³ on both engines."""
+    value −2⁶³ on both engines.  Documents with zero tokens emit no
+    row (matching the explode formulation, where they never reached
+    the aggregate)."""
     if bits not in (32, 64):
         raise ValueError(f"bits must be 32 or 64, got {bits}")
     par = df.sparkSession.sparkContext.defaultParallelism
-    tok = df.repartition(par).select(
-        F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("tok")
-    )
-    h_lo = cross_engine_hash(F.col("tok"), seed="sh")
-    h_hi = cross_engine_hash_hi(F.col("tok"), seed="sh")
+    toks = tokens(normalize_text(text_col))
+    hashed_lo = F.transform(toks, lambda t: cross_engine_hash(t, seed="sh"))
+    cols = [F.col(id_col), F.size(toks).alias("_n"), hashed_lo.alias("_hl")]
+    if bits == 64:
+        hashed_hi = F.transform(
+            toks, lambda t: cross_engine_hash_hi(t, seed="sh")
+        )
+        cols.append(hashed_hi.alias("_hh"))
+    # spread rows before the per-row hashing work (few input splits
+    # must not serialize the md5 pass into few tasks — same rationale
+    # as word_shingles, minus the shuffle that used to follow)
+    base = df.repartition(par).filter(F.size(toks) > 0).select(*cols)
 
-    def _bit(b: int) -> F.Column:
-        src = h_lo if b < 32 else h_hi
-        return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
-
-    aggs = [
-        F.sum(F.when(_bit(b) == 1, 1).otherwise(-1)).alias(f"v_{b}")
-        for b in range(bits)
-    ]
-    votes = tok.groupBy(id_col).agg(*aggs)
+    def _ones(b: int) -> F.Column:
+        src = F.col("_hl") if b < 32 else F.col("_hh")
+        return F.size(
+            F.filter(
+                src,
+                lambda h: F.shiftright(h, b % 32).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
 
     def _weight(b: int) -> F.Column:
         # bit 63 is the two's-complement sign bit: 2**63 overflows a
@@ -494,10 +511,13 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
         return F.lit(-(2**63) if b == 63 else 2**b).cast("long")
 
     sim = sum(
-        (F.when(F.col(f"v_{b}") > 0, _weight(b)).otherwise(F.lit(0).cast("long")))
+        (
+            F.when(_ones(b) * 2 > F.col("_n"), _weight(b))
+            .otherwise(F.lit(0).cast("long"))
+        )
         for b in range(bits)
     )
-    return votes.select(F.col(id_col), sim.alias("simhash"))
+    return base.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,

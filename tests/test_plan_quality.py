@@ -776,6 +776,21 @@ _SCALAR_FOLD_OK = {
 }
 
 
+def test_simhash_signature_pass_has_no_aggregate(spark):
+    # round 5: the vote computation is row-local (hashed-array
+    # filter+size), so the ONLY exchange is the deliberate input-spread
+    # repartition — no explode, no groupBy, no aggregate at all
+    from recommendation_translation_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for bits in (32, 64):
+        df = simhash(docs, bits=bits)
+        assert count_exchanges(df) == 1
+        plan = physical_plan(df, mode="simple")
+        assert "HashAggregate" not in plan, plan
+        assert "Generate" not in plan, plan  # no explode
+
+
 def test_bucketed_join_is_exchange_free(spark):
     # both sides are 8-bucket tables hashed+sorted on the order key:
     # the fact-to-fact join must plan with ZERO Exchange — bucketing
