@@ -619,6 +619,73 @@ def duplicate_span_stats(docs: DataFrame, n: int = 8,
     )
 
 
+def duplicate_span_removal(docs: DataFrame, n: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Remove corpus-duplicated n-gram SPANS from every document (the
+    removal stage after duplicate_span_stats measures): a token is
+    dropped iff it sits inside any n-gram that occurs in ≥ 2 documents
+    (span-coverage removal — deterministic and order-free; unlike
+    Lee et al.'s keep-first-occurrence, BOTH copies go, which is the
+    variant that needs no global document ordering at 100 TB).
+    Returns (doc_id, n_tokens, n_kept, clean_md5) where clean_md5
+    fingerprints the space-joined surviving tokens — the reconstructed
+    text is hash-checked, not just counted.
+
+    Plan: the duplicated-gram set comes from the same hashed-gram
+    relation as the stats op (distinct per doc → df ≥ 2); positional
+    grams join it on the 8-byte key; covered START positions fold to
+    one small array per doc (≤ n_grams longs), and the token filter is
+    then a row-local indexed-lambda scan — document text never joins
+    against anything, only (doc_id, start) pairs shuffle."""
+    toks = tokens(F.lower(F.col(text_col)))
+    gram_str = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par).select(id_col, text_col)
+    posgrams = base.filter(F.size(toks) >= n).select(
+        F.col(id_col),
+        F.posexplode(gram_str).alias("pos0", "gram_s"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("start"),
+        F.conv(F.substring(F.md5("gram_s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gram"),
+    )
+    dup = (
+        posgrams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") >= 2)
+        .select("gram")
+    )
+    starts = (
+        posgrams.join(dup, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("start").alias("starts"))
+    )
+    joined = base.join(starts, id_col, "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        toks,
+        lambda t, j: ~F.exists(
+            F.col("starts"),
+            lambda s: (j + 1 >= s) & (j + 1 <= s + (n - 1)),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+    )
+
+
 def ngram_contamination_split(docs_with_split: DataFrame, n: int = 8,
                               split_col: str = "split",
                               train_value: str = "train",

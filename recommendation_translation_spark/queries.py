@@ -5478,6 +5478,54 @@ ORACLES["dedup_semdedup"] = f"""
 """
 
 
+def q_doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal stage after doc_dup_span_fraction measures
+    (operators.curation.duplicate_span_removal): every token inside a
+    corpus-duplicated 8-gram is dropped and the SURVIVING TEXT ITSELF
+    is hash-checked (clean_md5 of the space-joined kept tokens), so
+    the oracle verifies the reconstruction byte-for-byte, not just the
+    counts.  Span-coverage removal (both copies go) — the
+    order-free variant that needs no global document precedence at
+    100 TB; document text never shuffles, only (doc_id, start)
+    pairs."""
+    from .operators.curation import duplicate_span_removal
+
+    return duplicate_span_removal(_t(spark, sf_dir, "documents"), n=8)
+
+
+ORACLES["doc_dup_span_removal"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    posgrams AS (
+      SELECT doc_id, i AS start,
+             ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+      WHERE len(w) >= 8),
+    dup AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM posgrams)
+      GROUP BY gram HAVING COUNT(*) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, start FROM posgrams JOIN dup USING (gram)),
+    positions AS (
+      SELECT doc_id, j, w[j] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS j) t),
+    kept AS (
+      SELECT p.doc_id, p.j, p.tok
+      FROM positions p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c
+        WHERE c.doc_id = p.doc_id AND p.j BETWEEN c.start AND c.start + 7)),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY j) AS txt
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(a.txt, '')) AS clean_md5
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_docs_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet batches under the driver's hash
     check — the lake-ingestion reality that later batches carry new
@@ -5794,6 +5842,7 @@ QUERIES = {
     "docs_schema_evolution": q_docs_schema_evolution,
     "docs_compaction": q_docs_compaction,
     "corpus_temperature_sample": q_corpus_temperature_sample,
+    "doc_dup_span_removal": q_doc_dup_span_removal,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,

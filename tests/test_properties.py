@@ -739,3 +739,36 @@ def test_ivf_topk_multi_slices_equal_single_nprobe(spark):
             for r in ivf_topk(emb, q, k=5, nprobe=n).collect()
         }
         assert got == want, f"nprobe={n}"
+
+
+def test_duplicate_span_removal_hand_built(spark):
+    # A and B share the 8-gram "a..h": those 8 tokens vanish from BOTH
+    # (span-coverage removal), the unique tails survive verbatim; C and
+    # the too-short D are untouched
+    import hashlib
+
+    from recommendation_translation_spark.operators.curation import (
+        duplicate_span_removal,
+    )
+
+    common = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{common} xa1 xa2"),
+            (2, f"{common} xb1"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_md5)
+        for r in duplicate_span_removal(docs, n=8).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got == {
+        1: (10, 2, md5("xa1 xa2")),
+        2: (9, 1, md5("xb1")),
+        3: (8, 8, md5("z1 z2 z3 z4 z5 z6 z7 z8")),
+        4: (2, 2, md5("too short")),
+    }
