@@ -5791,10 +5791,11 @@ ORACLES["emb_ivf_recall_report"] = (
 # whose implementation or oracle changed this round (integer-cents
 # Pareto running sum, NULL-filtered EWMA, default n-gram DF cap folded
 # into three oracles, sketch queries promoted to bounded hash checks)
-# plus the new tsv_roundtrip, then (c) the stalest earlier-round
-# entries.  Everything driver-green in round 4 sits at the back.  The
-# full set is always verified locally by tests/test_oracle_parity.py
-# regardless of position.
+# plus every round-5 addition (tsv_roundtrip through
+# doc_dup_span_removal — all first driver rows), then (c) the stalest
+# earlier-round entries.  Everything driver-green in round 4 sits at
+# the back.  The full set is always verified locally by
+# tests/test_oracle_parity.py regardless of position.
 QUERIES = {
     # -- (a) never driver-checked (r4 verdict #1): 17 round-4 additions
     # + dedup_clusters with its new exact transitive-closure oracle --
