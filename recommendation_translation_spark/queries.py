@@ -5526,6 +5526,84 @@ ORACLES["doc_dup_span_removal"] = f"""
 """
 
 
+def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().cogroup().applyInPandas`` — the 'two streams per
+    entity' custom-logic shape (events and orders co-partitioned per
+    user, each key's two Arrow batches handed to ONE pandas function).
+    Per user: counts on both sides plus each side's median in EXACT
+    integer form — medians are doubled so the even-count midpoint stays
+    integral (fp4 event values, order cents are integers; numpy's
+    midpoint and DuckDB's quantile_cont(0.5) interpolate identically
+    on exact-integer doubles < 2⁵³, and ×2 removes the only fractional
+    case).  Keys present on one side only keep the other side's stats
+    NULL/0 — cogroup's full-outer semantics, mirrored by the oracle's
+    FULL JOIN of the two group-bys.  Scale: one hash shuffle per side
+    on the key, Arrow-batched per-key pandas — state never exceeds one
+    entity's rows, the canonical shape when per-entity logic outgrows
+    SQL."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 10000).cast("long").alias("v_fp")
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def per_user(key, ev_pdf, od_pdf):
+        import numpy as np
+        import pandas as pd
+
+        med2e = (
+            int(round(float(np.median(ev_pdf["v_fp"])) * 2))
+            if len(ev_pdf)
+            else None
+        )
+        med2o = (
+            int(round(float(np.median(od_pdf["cents"])) * 2))
+            if len(od_pdf)
+            else None
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(od_pdf)],
+                "med2_event_fp4": [med2e],
+                "med2_order_cents": [med2o],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            per_user,
+            "user_id long, n_events long, n_orders long, "
+            "med2_event_fp4 long, med2_order_cents long",
+        )
+    )
+
+
+ORACLES["events_orders_cogroup"] = """
+    WITH e AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(2 * quantile_cont(CAST(ROUND(value * 10000) AS BIGINT), 0.5)
+                  AS BIGINT) AS med2_event_fp4
+      FROM events GROUP BY user_id),
+    o AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+             CAST(2 * quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                    0.5) AS BIGINT) AS med2_order_cents
+      FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           e.med2_event_fp4,
+           o.med2_order_cents
+    FROM e FULL JOIN o ON e.user_id = o.user_id
+"""
+
+
 def q_docs_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet batches under the driver's hash
     check — the lake-ingestion reality that later batches carry new
@@ -5844,6 +5922,7 @@ QUERIES = {
     "docs_compaction": q_docs_compaction,
     "corpus_temperature_sample": q_corpus_temperature_sample,
     "doc_dup_span_removal": q_doc_dup_span_removal,
+    "events_orders_cogroup": q_events_orders_cogroup,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,
