@@ -59,6 +59,9 @@ CROSS_SF_SENSITIVE = [
     "doc_dup_span_fraction",
     "orders_capped_balance",
     "dedup_semdedup",
+    # the one-sided-key NULL structure (users with no events) differs
+    # sharply between distributions
+    "events_orders_cogroup",
 ]
 
 from .conftest import SF_SMALL  # noqa: E402
