@@ -313,6 +313,15 @@ def incremental_dedup_flags(
     - exact-Jaccard verification fetches shingles for the batch plus
       ONLY the corpus docs that appear as candidates (left-semi
       pushdown), so the big side's text is never re-shuffled.
+
+    PRECONDITION: ``corpus`` and ``batch`` ids must be DISJOINT (an
+    append-only ingest assigns new ids past the corpus high-water
+    mark).  The Jaccard verification unions both sides' shingle sets
+    keyed on ``id_col`` alone; a shared id would silently merge two
+    different documents' shingles and double-count sizes and
+    intersections.  The catalog caller satisfies this structurally
+    (``hash_split`` partitions are disjoint); external callers must
+    re-key one side first.
     """
     stacked_c = minhash_bands(corpus, k=k, bands=bands, n=n,
                               text_col=text_col, id_col=id_col)

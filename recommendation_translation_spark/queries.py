@@ -1732,17 +1732,20 @@ def q_events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch audit: ``approx_top_k`` heavy hitters over
     the exploded token stream, joined against the exact per-term counts
-    — per term: exact count + a flag that the sketch reported exactly
-    that count.  While distinct terms ≤ maxItemsTracked the sketch is
-    EXACT by construction, so the flags are deterministic and the
-    driver hash-checks the sketch path (same bounded-check contract as
-    the HLL queries).  At corpus scale the same plan reports the
-    sketch's error on the true heavy hitters — the token-distribution
-    profile a tokenizer-training run reads."""
+    — per term: exact count + a flag that the sketch, IF it reported
+    the term, reported exactly the true count.  Tokens outside the
+    sketch's k-row output coalesce to TRUE (vacuous — the sketch makes
+    no claim about them), so the relation is deterministic at ANY
+    vocabulary size, not just ≤ k: while distinct terms ≤
+    maxItemsTracked (pinned to 10000 here) every tracked count is
+    exact by construction, and which ties straddle the k-boundary no
+    longer matters (round-5 ADVICE).  At corpus scale the same plan
+    reports the sketch's error on the true heavy hitters — the
+    token-distribution profile a tokenizer-training run reads."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
     sk = (
-        tok.agg(F.expr("approx_top_k(tok, 100)").alias("tk"))
+        tok.agg(F.expr("approx_top_k(tok, 100, 10000)").alias("tk"))
         .select(F.explode("tk").alias("s"))
         .select(F.col("s.item").alias("tok"), F.col("s.count").alias("sk_cnt"))
     )
@@ -1750,7 +1753,9 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(sk, "tok", "left").select(
         "tok",
         F.col("cnt").cast("long").alias("cnt"),
-        (F.col("sk_cnt") == F.col("cnt")).alias("sketch_count_exact"),
+        F.coalesce(F.col("sk_cnt") == F.col("cnt"), F.lit(True)).alias(
+            "sketch_count_exact"
+        ),
     )
 
 
@@ -5569,8 +5574,12 @@ def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             g = pdf.groupby("user_id")[val_col]
             out = g.agg(n="size", med="median").reset_index()
             # exact-integer medians: double the midpoint (values are
-            # integers < 2^53, so the .5 cases become exact integers)
-            out[med_name] = (out["med"] * 2).round().astype("int64")
+            # integers < 2^53, so the .5 cases become exact integers).
+            # Nullable Int64: a user whose values are all NULL medians
+            # to NaN (size still counts the rows, matching the
+            # oracle's COUNT(*) vs quantile_cont NULL split) and must
+            # surface as SQL NULL, not crash the int cast.
+            out[med_name] = (out["med"] * 2).round().astype("Int64")
             return out.rename(columns={"n": n_name})[
                 ["user_id", n_name, med_name]
             ]

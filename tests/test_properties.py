@@ -772,3 +772,62 @@ def test_duplicate_span_removal_hand_built(spark):
         3: (8, 8, md5("z1 z2 z3 z4 z5 z6 z7 z8")),
         4: (2, 2, md5("too short")),
     }
+
+
+def test_heavy_hitters_flag_total_at_wide_vocab(spark, tmp_path):
+    # round-5 ADVICE: with >k distinct tokens the sketch reports only
+    # its top-k, and tokens outside it must coalesce to TRUE — the
+    # relation (and its TRUE-literal oracle) stays deterministic at any
+    # vocabulary size while distinct terms <= maxItemsTracked.
+    from recommendation_translation_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j}" for j in range(3)), "en", "s", 1)
+         for i in range(80)],  # 240 distinct tokens > k=100
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "wide")
+    docs.write.parquet(f"{d}/documents.parquet")
+    # satisfy the reader contract for the other tables the query ignores
+    out = QUERIES["doc_heavy_hitters"](spark, d).collect()
+    assert len(out) == 240
+    assert all(r.sketch_count_exact for r in out)
+    assert all(r.cnt == 1 for r in out)
+
+
+def test_cogroup_all_null_value_group_yields_null_median(spark, tmp_path):
+    # round-5 ADVICE: a user whose event values are ALL NULL must
+    # produce a NULL median (nullable Int64 path), not crash the int64
+    # cast; row counts still count the NULL rows, matching the
+    # oracle's COUNT(*) vs NULL-skipping quantile_cont split.
+    import datetime as dt
+
+    from recommendation_translation_spark.queries import QUERIES
+
+    d = str(tmp_path / "nulls")
+    ts = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, ts, 1, "click", None, "{}"),
+            (2, ts, 1, "click", None, "{}"),
+            (3, ts, 2, "click", 4.0, "{}"),
+            (4, ts, 2, "click", None, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [(1, 3, "O", 10.0, ts, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    got = {
+        r.user_id: (r.n_events, r.n_orders, r.med2_event_fp4,
+                    r.med2_order_cents)
+        for r in QUERIES["events_orders_cogroup"](spark, d).collect()
+    }
+    assert got == {
+        1: (2, 0, None, None),      # all-NULL values: NULL median, not a crash
+        2: (2, 0, 80000, None),     # NULL-skipping median over the one value
+        3: (0, 1, None, 2000),      # order-only user
+    }
