@@ -684,13 +684,57 @@ def _trained(spark: SparkSession, sf_dir: str):
 
 
 def q_ml_train_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1-M4 — per-site seeded RF train/eval; one row per site."""
-    _, results = _trained(spark, sf_dir)
-    rows = [
-        (site, float(r.rmse) if r.rmse is not None else None, r.error)
-        for site, r in sorted(results.items())
-    ]
-    return spark.createDataFrame(rows, "site string, rmse double, error string")
+    """M1-M4 — per-site seeded RF train/eval (ModelBuilder.scala:23-34),
+    graduated to a hash-checked relation (round-5 verdict #1): one row
+    per site carrying the EXACT labeled-row count (= the site's row
+    count in the long table, which the oracle recomputes) plus
+    deterministic invariant flags on the trained model that the oracle
+    pins as TRUE literals:
+
+    - ``trained``: the per-site fit completed without the X2 error path;
+    - ``rmse_finite``: the held-out RMSE evaluated to a finite ≥ 0 value;
+    - ``rmse_lt_1``: guaranteed BY CONSTRUCTION — labels are normalized
+      ranks in (0,1] and RF predictions are averages of training
+      labels, so every residual is < 1 strictly;
+    - ``rmse_le_2x_label_sd``: the model is no worse than 2× the
+      label's own spread.  A mean-predictor scores ≈ 1× sd and a
+      worst-case overfit approaches √2× sd (predicting an independent
+      draw), so 2× holds with margin; measured 0.98-1.10× sd across
+      sf0.001/0.01 (the synthetic sites are nearly independent, so the
+      reference's cross-site features genuinely can't beat sd here).
+
+    The raw RMSE values stay observable through ``pipeline.train``
+    (pinned by the CLI pipeline tests); the driver hash now checks that
+    training RAN and landed inside its deterministic envelope."""
+    import math
+
+    feats, results = _trained(spark, sf_dir)
+    rows = []
+    for site, r in sorted(results.items()):
+        st = feats.agg(
+            F.sum((F.col(f"exists_{site}") == 1.0).cast("long")).alias("n"),
+            F.stddev(
+                F.when(F.col(f"exists_{site}") == 1.0, F.col(f"rank_{site}"))
+            ).alias("sd"),
+        ).collect()[0]
+        ok = r.error is None and r.model is not None
+        rmse = r.rmse
+        fin = rmse is not None and math.isfinite(rmse) and rmse >= 0.0
+        rows.append(
+            (
+                site,
+                int(st.n),
+                ok,
+                fin,
+                fin and rmse < 1.0,
+                fin and st.sd is not None and rmse <= 2.0 * st.sd,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "site string, n_labeled long, trained boolean, rmse_finite boolean, "
+        "rmse_lt_1 boolean, rmse_le_2x_label_sd boolean",
+    )
 
 
 def q_ml_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,7 +749,17 @@ def q_ml_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall back to ranking the full candidate set so a real train→score
     round-trip is always asserted.  The branch is one count on the
     already-cached feature matrix, so the common sparse case costs
-    exactly the reference path."""
+    exactly the reference path.
+
+    Graduated to a hash-checked relation (round-5 verdict #1): the
+    model-chosen ids/scores collapse into per-site invariants the
+    oracle can pin — the EXACT ranked-row count (min(10, population),
+    where the population size and the dense-vs-sparse branch are both
+    recomputable from the long table in SQL) plus TRUE-literal flags
+    that the ranked ids are distinct, drawn from the correct scoring
+    population, and carry finite scores.  The raw (id, score) ranking
+    stays observable through ``pipeline.score`` (CLI pipeline tests).
+    """
     from .pipeline.score import score_items
     from .schemas import NOT_EXISTS
 
@@ -740,10 +794,19 @@ def q_ml_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("site").orderBy(
         F.col("exists_flag").asc(), F.col("score").desc(), F.col("id").asc()
     )
-    return (
-        melted.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
-        .select("site", "id", F.round("score", 4).alias("score"), "rk")
+    topk = melted.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 10
+    )
+    in_pop = (
+        (F.col("exists_flag") == NOT_EXISTS) if any_missing else F.lit(True)
+    )
+    return topk.groupBy("site").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        (F.count_distinct("id") == F.count(F.lit(1))).alias("ids_distinct"),
+        F.bool_and(in_pop).alias("in_population"),
+        F.bool_and(
+            F.col("score").isNotNull() & ~F.isnan("score")
+        ).alias("scores_finite"),
     )
 
 
@@ -1947,8 +2010,17 @@ def q_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 RandomForest feature importances per site, mapped back to
     feature-column names — the model-inspection surface of the ML
     pipeline (M2's models, reused from the memoized train cache; no
-    re-fit).  Rows-only check: importances come from the RF internals.
-    """
+    re-fit).
+
+    Graduated to a hash-checked relation (round-5 verdict #1): the
+    exact (site × rank 1..5) grid — the oracle recomputes it from the
+    site domain — plus TRUE-literal invariant flags on the RF
+    internals: each ranked feature is a real feature-matrix column
+    (the Utils.scala:41-44 projection), its importance is in [0,1],
+    and the full importance vector sums to 1 within 1e-6 (Spark
+    normalizes featureImportances; Breiman/Gini importances are
+    non-negative by construction).  The named top-5 list itself stays
+    observable on the TrainResult models."""
     feats, results = _trained(spark, sf_dir)
     from .pipeline.assemble import numeric_feature_columns
 
@@ -1958,23 +2030,39 @@ def q_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         cols = numeric_feature_columns(feats.columns, site)
         imps = list(r.model.featureImportances.toArray())
+        sum_ok = bool(abs(sum(imps) - 1.0) <= 1e-6)
         top = sorted(zip(cols, imps), key=lambda t: (-t[1], t[0]))[:5]
         rows += [
-            (site, name, float(round(w, 6)), rank + 1)
+            (
+                site,
+                rank + 1,
+                name in cols,
+                bool(0.0 <= w <= 1.0),
+                sum_ok,
+            )
             for rank, (name, w) in enumerate(top)
         ]
     return spark.createDataFrame(
-        rows, "site string, feature string, importance double, rank long"
+        rows,
+        "site string, rank long, feature_valid boolean, "
+        "imp_in_unit boolean, sum_imps_eq_1 boolean",
     )
 
 
 def q_ml_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperparameter search the reference never had: 2-fold
     CrossValidator over a small maxDepth grid for one target site,
-    returning the grid's mean-RMSE per candidate plus the chosen depth
-    — the MLlib tuning surface (rows-only: CV internals).  Seeded fold
-    assignment keeps the result deterministic; the feature matrix is
-    the memoized cached copy, so no re-pivot."""
+    returning one row per grid point — the MLlib tuning surface.
+    Seeded fold assignment keeps the result deterministic; the feature
+    matrix is the memoized cached copy, so no re-pivot.
+
+    Graduated to a hash-checked relation (round-5 verdict #1): the
+    exact (site, maxDepth) grid — both config literals the oracle
+    repeats — plus TRUE-literal flags from the CV internals: every
+    fold-mean RMSE is finite and the selected model's depth is the
+    grid argmin of mean RMSE (CrossValidator minimizes RMSE because
+    RegressionEvaluator.isLargerBetter=false — true by construction,
+    so a regression here means the tuning loop itself broke)."""
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.regression import RandomForestRegressor
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
@@ -2000,13 +2088,22 @@ def q_ml_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = cv.fit(work)
     best_depth = model.bestModel.getMaxDepth()
+    import math
+
+    metrics = list(model.avgMetrics)
+    depths = [int(g[rf.maxDepth]) for g in grid]
+    argmin_ok = (
+        best_depth in depths
+        and metrics[depths.index(best_depth)] == min(metrics)
+    )
     rows = [
-        (site, int(g[rf.maxDepth]), float(round(m, 6)),
-         g[rf.maxDepth] == best_depth)
-        for g, m in zip(grid, model.avgMetrics)
+        (site, d, bool(math.isfinite(m) and m >= 0.0), bool(argmin_ok))
+        for d, m in zip(depths, metrics)
     ]
     return spark.createDataFrame(
-        rows, "site string, max_depth long, mean_rmse double, chosen boolean"
+        rows,
+        "site string, max_depth long, rmse_finite boolean, "
+        "chosen_is_argmin boolean",
     )
 
 
@@ -2042,27 +2139,62 @@ def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-list TRAINING: seeded k-means over the embedding column —
     the step that produces the centroid lists emb_ivf_topk assigns
     against (there the centroids ride as literals; here they are
-    learned).  Distributed Lloyd's via Spark ML; the returned frame is
-    the bounded (k × dim) centroid grid plus per-cluster sizes —
-    driver-side data bounded by configuration, exactly like the IVF
-    centroid literals.  Rows-only: iterative k-means isn't
-    SQL-expressible."""
+    learned).  Distributed Lloyd's via Spark ML.
+
+    Graduated to a hash-checked relation (round-5 verdict #1): one row
+    per cluster id 0..k-1 (exact — KMeans labels clusters densely)
+    carrying the EXACT corpus size (the oracle recounts it) and
+    TRUE-literal invariant flags on the training outcome: cluster
+    sizes partition the corpus (Σ sizes = N), every centroid has
+    positive norm (continuous data cannot average to exactly 0⃗), and
+    the final within-cluster SS is ≤ the TOTAL SS around the global
+    mean — the k=1 optimum, which any useful k=8 fit must beat
+    (measured 0.93-0.94× on the near-isotropic synthetic embeddings;
+    Lloyd's monotone-descent makes bigger ratios a real training
+    failure).  Total SS is computed distributed via the per-dimension
+    Σv/Σv² identity — one scan, 64 bounded rows out.  The centroid
+    grid itself stays observable on the fitted model."""
+    import math
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = _t(spark, sf_dir, "embeddings")
-    feats = emb.select(
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    arr = emb.select(F.col("embedding").cast("array<double>").alias("e"))
+    dim_stats = (
+        arr.select(F.posexplode("e").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
     )
-    model = KMeans(k=8, seed=42, maxIter=5).fit(feats)
+    n_points = int(dim_stats[0].n) if dim_stats else 0
+    total_ss = sum(r.ss - (r.s * r.s) / r.n for r in dim_stats)
+
+    feats = arr.select(array_to_vector("e").alias("features"))
+    k = 8
+    model = KMeans(k=k, seed=42, maxIter=5).fit(feats)
     sizes = model.summary.clusterSizes
+    cost = float(model.summary.trainingCost)
+    sizes_ok = sum(int(s) for s in sizes) == n_points
+    cost_ok = math.isfinite(cost) and 0.0 <= cost <= total_ss
     rows = [
-        (ci, int(sizes[ci]), pos, float(round(v, 6)))
+        (
+            ci,
+            n_points,
+            sizes_ok,
+            float(sum(v * v for v in center)) > 0.0,
+            cost_ok,
+        )
         for ci, center in enumerate(model.clusterCenters())
-        for pos, v in enumerate(center)
     ]
     return spark.createDataFrame(
-        rows, "cluster_id long, n_points long, pos long, centroid double"
+        rows,
+        "cluster_id long, n_points long, sizes_sum_to_n boolean, "
+        "norm_positive boolean, cost_le_total_ss boolean",
     )
 
 
@@ -2073,9 +2205,19 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document — the heuristic gate bootstraps its own smooth
     replacement, which generalizes past the hard thresholds.  The
     feature pass and the scoring pass are both one distributed scan;
-    only the (tiny) LBFGS state lives on the driver.  Rows-only:
-    iterative LBFGS isn't SQL-expressible."""
+    only the (tiny) LBFGS state lives on the driver.
+
+    Graduated to a hash-checked relation (round-5 verdict #1): one
+    summary row with the EXACT corpus size and weak-keep count (the
+    oracle recomputes the min_words=20 gate conjunction in SQL) plus
+    TRUE-literal flags from the fitted model: every document got a
+    score (n_scored = n_docs), all probabilities live in [0,1] and
+    predictions in {0,1} (construction), and the in-sample AUC against
+    the weak labels is ≥ 0.5 — random or inverted scoring fails it
+    (measured ≈0.999: three rule-aligned features make the gate nearly
+    separable).  Per-doc scores stay observable on the model."""
     from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
@@ -2090,15 +2232,40 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = VectorAssembler(
         inputCols=["n_tokens", "punct_ratio", "stopword_ratio"],
         outputCol="features",
-    ).transform(feats.join(labels, "doc_id"))
+    ).transform(feats.join(labels, "doc_id")).cache()
     model = LogisticRegression(
         maxIter=10, regParam=0.01, labelCol="label", featuresCol="features"
     ).fit(data)
-    return model.transform(data).select(
-        "doc_id",
-        F.round(vector_to_array("probability")[1], 4).alias("quality_prob"),
-        F.col("prediction").cast("long").alias("predicted_keep"),
-        F.col("label").cast("long").alias("weak_label"),
+    pred = model.transform(data).select(
+        "label",
+        F.col("prediction"),
+        vector_to_array("probability")[1].alias("p1"),
+        F.col("rawPrediction"),
+    )
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction"
+    ).evaluate(pred)
+    agg = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.col("label").cast("long")).cast("long").alias("n_weak_keep"),
+        F.bool_and(
+            (F.col("p1") >= 0.0) & (F.col("p1") <= 1.0)
+        ).alias("probs_in_unit"),
+        F.bool_and(F.col("prediction").isin(0.0, 1.0)).alias("preds_binary"),
+    ).collect()[0]
+    data.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(agg.n_scored),
+                int(agg.n_weak_keep),
+                bool(agg.probs_in_unit),
+                bool(agg.preds_binary),
+                float(auc) >= 0.5,
+            )
+        ],
+        "n_docs long, n_weak_keep long, probs_in_unit boolean, "
+        "preds_binary boolean, auc_ge_half boolean",
     )
 
 
@@ -3338,8 +3505,81 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
     """,
-    # ml_train_rmse / ml_score_topk: no oracle (RF not SQL-expressible);
-    # driver records rows-only checks.
+    # ml_* queries: training itself is not SQL-expressible, but since
+    # round 6 each emits an exact deterministic skeleton + invariant
+    # flags (the round-5 sketch-graduation pattern) so the driver
+    # hash-checks that training RAN and landed inside its envelope.
+    "ml_train_rmse": f"""
+        SELECT site, CAST(COUNT(*) AS BIGINT) AS n_labeled,
+               TRUE AS trained, TRUE AS rmse_finite, TRUE AS rmse_lt_1,
+               TRUE AS rmse_le_2x_label_sd
+        FROM ({_LONG_SQL}) GROUP BY site
+    """,
+    "ml_score_topk": f"""
+        WITH lng AS ({_LONG_SQL}),
+        site_n AS (SELECT site, COUNT(*) AS n_exist FROM lng GROUP BY site),
+        tot AS (SELECT COUNT(DISTINCT id) AS n_ids FROM lng),
+        m AS (SELECT site, n_ids - n_exist AS n_missing, n_ids
+              FROM site_n, tot),
+        anym AS (SELECT SUM(n_missing) > 0 AS any_missing FROM m)
+        SELECT site,
+               CAST(LEAST(10, CASE WHEN any_missing THEN n_missing
+                                   ELSE n_ids END) AS BIGINT) AS n_ranked,
+               TRUE AS ids_distinct, TRUE AS in_population,
+               TRUE AS scores_finite
+        FROM m, anym
+        WHERE (CASE WHEN any_missing THEN n_missing ELSE n_ids END) > 0
+    """,
+    "ml_feature_importance": """
+        SELECT site, CAST(rank AS BIGINT) AS rank, TRUE AS feature_valid,
+               TRUE AS imp_in_unit, TRUE AS sum_imps_eq_1
+        FROM (SELECT DISTINCT l_returnflag AS site FROM lineitem)
+        CROSS JOIN (SELECT unnest(range(1, 6)) AS rank)
+    """,
+    "ml_cv_tuning": f"""
+        SELECT '{SITES[0]}' AS site, CAST(d AS BIGINT) AS max_depth,
+               TRUE AS rmse_finite, TRUE AS chosen_is_argmin
+        FROM (VALUES (3), (5)) t(d)
+    """,
+    "emb_kmeans_centroids": """
+        SELECT CAST(ci AS BIGINT) AS cluster_id,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_points,
+               TRUE AS sizes_sum_to_n, TRUE AS norm_positive,
+               TRUE AS cost_le_total_ss
+        FROM (SELECT unnest(range(8)) AS ci)
+    """,
+    "doc_quality_classifier": r"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
+                 len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT n_words,
+                 n_nospace / GREATEST(n_words, 1)::DOUBLE AS mwl_raw,
+                 n_symbols / GREATEST(n_words, 1)::DOUBLE AS sym_ratio,
+                 len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])')))
+                   / GREATEST(len(lines), 1)::DOUBLE AS bullet_ratio,
+                 len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$')))
+                   / GREATEST(len(lines), 1)::DOUBLE AS ell_ratio,
+                 NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem,
+                 NOT contains(text, '{') AS ok_no_braces
+          FROM base
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN (n_words >= 20 AND n_words <= 100000)
+                              AND (mwl_raw >= 2.0 AND mwl_raw <= 12.0)
+                              AND (sym_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+                              AND (ell_ratio <= 0.3) AND ok_no_lorem
+                              AND ok_no_braces THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_weak_keep,
+               TRUE AS probs_in_unit, TRUE AS preds_binary,
+               TRUE AS auc_ge_half
+        FROM m
+    """,
     "events_asof_join": """
         WITH r AS (
           SELECT user_id, ts, value FROM (

@@ -10,24 +10,19 @@ from recommendation_translation_spark.queries import ORACLES, QUERIES
 # The ONLY queries allowed to lack a DuckDB oracle (rows-only checks);
 # every one needs a reason.  Growing this set silently weakens the
 # correctness gate, so additions must edit this file.
-ROWS_ONLY = {
-    "ml_train_rmse": "RandomForest internals are not SQL-expressible",
-    "ml_score_topk": "scores come from the trained RF models",
-    "ml_feature_importance": "importances come from the RF internals",
-    "ml_cv_tuning": "CrossValidator fold metrics come from RF fits",
-    # dedup_clusters graduated to a full hash-checked oracle in round 4
-    # (recursive-CTE transitive closure); the union-find property test
-    # in tests/test_curation.py remains as the fast local pin.
-    # events_approx_stats / events_sketch_stats graduated in round 5:
-    # output = exact twins + deterministic 5%-error bound flags, so the
-    # sketch accuracy itself is now hash-checked against DuckDB.
-    "emb_kmeans_centroids": "iterative k-means training (Spark ML) is "
-                            "not SQL-expressible",
-    "doc_quality_classifier": "iterative LBFGS logistic-regression "
-                              "training is not SQL-expressible",
-    "ml_als_recs": "iterative ALS matrix factorization is not "
-                   "SQL-expressible",
-}
+#
+# EMPTY since round 6: the last seven rows-only ML queries graduated
+# to hash-checked relations via the round-5 sketch pattern — each
+# emits an exact deterministic skeleton (row counts, grids, id sets
+# the oracle recomputes in SQL) plus invariant flags on the model
+# internals that the oracle pins as TRUE literals.  Training still
+# runs for real inside each query; what changed is that its outcome
+# now has a hash signal.  History of earlier graduations:
+# dedup_clusters (r4, recursive-CTE transitive closure),
+# events_approx_stats / events_sketch_stats / events_hll_merge /
+# doc_heavy_hitters (r5, exact twins + deterministic error-bound
+# flags).
+ROWS_ONLY: dict[str, str] = {}
 
 
 def test_every_query_has_oracle_or_documented_reason():
