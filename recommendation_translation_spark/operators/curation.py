@@ -40,6 +40,8 @@ __all__ = [
     "interleave_sources",
     "keep_best_per_pair",
     "doc_ngrams",
+    "maximal_dup_spans",
+    "duplicate_span_removal_maximal",
     "ngram_contamination",
     "blocklist_filter",
     "pack_sequences",
@@ -682,6 +684,145 @@ def duplicate_span_removal(docs: DataFrame, n: int = 8,
         id_col,
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+    )
+
+
+def maximal_dup_spans(docs: DataFrame, n: int = 8, min_tokens: int = 50,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """MAXIMAL duplicated substrings per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    maximal duplicated substrings ≥ 50 tokens, arXiv:2107.06499 §4.1),
+    as a distributed approximation: corpus-duplicated n-grams (df ≥ 2
+    across documents) are chained into maximal spans by a
+    gaps-and-islands merge over their [start, start+n-1] coverage
+    intervals — two overlapping or ABUTTING intervals always fuse, so
+    no two returned spans can be extended or merged further — then
+    spans shorter than ``min_tokens`` are dropped (the paper's 50-token
+    floor).  Returns (doc_id, span_start, span_end, span_len), token
+    positions 1-based inclusive.
+
+    Approximation contract vs the paper's suffix-array construction: a
+    duplicated substring is found iff it is ≥ n tokens long (every
+    length-≥n dup contains a dup n-gram, and chained n-gram coverage
+    reproduces its full extent); dups shorter than n are invisible, and
+    two distinct dup substrings closer than one token merge.  With
+    n=8 ≪ min_tokens=50 both effects sit far below the removal floor.
+
+    Scale shape: only (doc_id, start) longs shuffle (hashed grams, as
+    duplicate_span_removal); the islands merge is a PER-DOCUMENT
+    window — parallel across docs, O(spans·log) within one — and the
+    output is bounded by n_tokens/min_tokens spans per doc."""
+    toks = tokens(F.lower(F.col(text_col)))
+    gram_str = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par).select(id_col, text_col)
+    posgrams = base.filter(F.size(toks) >= n).select(
+        F.col(id_col),
+        F.posexplode(gram_str).alias("pos0", "gram_s"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("start"),
+        F.conv(F.substring(F.md5("gram_s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gram"),
+    )
+    dup = (
+        posgrams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") >= 2)
+        .select("gram")
+    )
+    iv = (
+        posgrams.join(dup, "gram")
+        .select(id_col, "start", (F.col("start") + (n - 1)).alias("end"))
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        (prev_max_end.isNull() | (F.col("start") > prev_max_end + 1))
+        .cast("int"),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .withColumn(
+            "span_len", F.col("span_end") - F.col("span_start") + 1
+        )
+        .filter(F.col("span_len") >= min_tokens)
+        .select(
+            id_col,
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            F.col("span_len").cast("long"),
+        )
+    )
+
+
+def duplicate_span_removal_maximal(docs: DataFrame, n: int = 8,
+                                   min_tokens: int = 50,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id") -> DataFrame:
+    """Lee et al. 2022 exact-substring removal over
+    :func:`maximal_dup_spans`: every token inside a maximal duplicated
+    span ≥ ``min_tokens`` is dropped and the surviving text is
+    fingerprinted — (doc_id, n_tokens, n_spans, n_removed, clean_md5)
+    with byte-exact reconstruction parity (``clean_md5`` hashes the
+    space-joined kept tokens).  Spans below the floor stay in the
+    document, exactly the paper's semantics — unlike
+    :func:`duplicate_span_removal`, which removes EVERY covered token
+    regardless of extent.
+
+    The span list re-enters as one bounded array per doc (≤
+    n_tokens/min_tokens entries), so the token filter is a row-local
+    indexed-lambda scan — document text never joins against anything
+    SF-scaled."""
+    spans = maximal_dup_spans(docs, n=n, min_tokens=min_tokens,
+                              text_col=text_col, id_col=id_col)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = tokens(F.lower(F.col(text_col)))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par).select(id_col, text_col)
+    joined = base.join(sp, id_col, "left").withColumn(
+        "spans",
+        F.coalesce(
+            "spans",
+            F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        ),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, j: ~F.exists(
+            F.col("spans"),
+            lambda s: (j + 1 >= s["span_start"]) & (j + 1 <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size("spans").cast("long").alias("n_spans"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
     )
 

@@ -5771,6 +5771,172 @@ ORACLES["doc_dup_span_removal"] = f"""
 """
 
 
+def q_doc_dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 exact-substring dedup
+    (operators.curation.duplicate_span_removal_maximal): duplicate
+    8-grams chained into MAXIMAL spans by a per-document
+    gaps-and-islands merge, spans ≥ 50 tokens removed, the surviving
+    text byte-exactly fingerprinted.  The published removal standard
+    next to doc_dup_span_removal's coverage variant: sub-floor
+    duplication stays in the document.  Span lengths in the synthetic
+    corpus straddle the 50-token floor (11-93 tokens at sf0.01), so
+    both the keep and the remove branches are hash-checked."""
+    from .operators.curation import duplicate_span_removal_maximal
+
+    return duplicate_span_removal_maximal(
+        _t(spark, sf_dir, "documents"), n=8, min_tokens=50
+    )
+
+
+ORACLES["doc_dup_span_maximal"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    posgrams AS (
+      SELECT doc_id, i AS start,
+             ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+      WHERE len(w) >= 8),
+    dup AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM posgrams)
+      GROUP BY gram HAVING COUNT(*) >= 2),
+    iv AS (
+      SELECT DISTINCT doc_id, start, start + 7 AS e
+      FROM posgrams JOIN dup USING (gram)),
+    marked AS (
+      SELECT doc_id, start, e,
+             CASE WHEN start > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1000000) + 1 THEN 1 ELSE 0 END AS ni
+      FROM iv),
+    isl AS (
+      SELECT doc_id, start, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
+      FROM marked),
+    spans AS (
+      SELECT doc_id, MIN(start) AS s, MAX(e) AS e2
+      FROM isl GROUP BY doc_id, island
+      HAVING MAX(e) - MIN(start) + 1 >= 50),
+    positions AS (
+      SELECT doc_id, j, w[j] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS j) t),
+    kept AS (
+      SELECT p.doc_id, p.j, p.tok
+      FROM positions p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans c
+        WHERE c.doc_id = p.doc_id AND p.j BETWEEN c.s AND c.e2)),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY j) AS txt
+      FROM kept GROUP BY doc_id),
+    nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(a.txt, '')) AS clean_md5
+    FROM toks t
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN nsp s USING (doc_id)
+"""
+
+
+def q_pipeline_e2e_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE four-stage pipeline as one driver row
+    (JobRunner.scala:37-73): parse-raw-data (S2 TSV) → extract-features
+    (EP2 rank+pivot) → build-models (M1-M4, per-site RF) → score-items
+    (EP3 + the S10 coalesce(1) bzip2 CSV sink), chained through
+    ``cli.run``'s stage gating and artifact directories — then the
+    predictions CSV is read BACK and hashed.
+
+    The raw TSV derives from the long table with a deterministic
+    missingness rule — (site, id) pairs where ``id % 11`` equals the
+    site's index are withheld — so the reference's score-the-missing
+    semantics (ScorePredictor.scala:22-34, exists=False) produce a
+    non-empty prediction set at EVERY scale factor, unlike the natural
+    TPC-H mapping whose sf0.01 exists-matrix is dense (round-2 verdict
+    #7 lesson).  Hash-checked skeleton: the scored id set and each
+    id's missing-site count are exactly the withheld pairs, which the
+    oracle recomputes from lineitem; the RF score values themselves
+    ride under a finiteness flag.  This is the one catalog entry that
+    exercises stage gating, the run-dir artifact layout, model
+    save/load paths and the CSV sink TOGETHER, not as pieces."""
+    import tempfile
+
+    from .cli import Params, run as cli_run
+
+    d = tempfile.mkdtemp(prefix="pipeline_e2e_")
+    lt = long_table(spark, sf_dir)
+    site_idx = (
+        F.when(F.col("site") == SITES[0], 0)
+        .when(F.col("site") == SITES[1], 1)
+        .otherwise(2)
+    )
+    raw = lt.filter(
+        F.pmod(F.col("id").cast("long"), F.lit(11)) != site_idx
+    ).select(
+        "id",
+        "site",
+        F.concat(F.lit("t"), "id").alias("title"),
+        "pageviews",
+    )
+    raw_path = f"{d}/raw"
+    raw.write.option("sep", "\t").option("header", True).csv(raw_path)
+    artifacts = cli_run(
+        spark,
+        Params(
+            parse_raw_data=True,
+            extract_features=True,
+            build_models=True,
+            score_items=True,
+            raw_data=raw_path,
+            output_dir=f"{d}/out",
+            seed=42,
+        ),
+    )
+    preds = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(artifacts["predictions"])
+    )
+    score_cols = [c for c in preds.columns if c != "id"]
+    from functools import reduce as _reduce
+
+    n_scored = _reduce(
+        lambda a, b: a + b,
+        [F.col(c).isNotNull().cast("int") for c in score_cols],
+    )
+    finite = _reduce(
+        lambda a, b: a & b,
+        [F.col(c).isNull() | ~F.isnan(F.col(c)) for c in score_cols],
+    )
+    return preds.select(
+        F.col("id").cast("long").alias("id"),
+        n_scored.cast("long").alias("n_sites_scored"),
+        finite.alias("scores_finite"),
+    )
+
+
+ORACLES["pipeline_e2e_score"] = f"""
+    WITH lng AS ({_LONG_SQL}),
+    kept AS (
+      SELECT site, CAST(id AS BIGINT) AS idn FROM lng
+      WHERE CAST(id AS BIGINT) % 11 !=
+            CASE site WHEN '{SITES[0]}' THEN 0
+                      WHEN '{SITES[1]}' THEN 1 ELSE 2 END),
+    ids AS (SELECT DISTINCT idn FROM kept),
+    sites AS (SELECT DISTINCT site FROM kept),
+    missing AS (
+      SELECT s.site, i.idn
+      FROM ids i CROSS JOIN sites s
+      WHERE NOT EXISTS (SELECT 1 FROM kept k
+                        WHERE k.site = s.site AND k.idn = i.idn))
+    SELECT idn AS id, CAST(COUNT(*) AS BIGINT) AS n_sites_scored,
+           TRUE AS scores_finite
+    FROM missing GROUP BY idn
+"""
+
+
 def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``groupBy().cogroup().applyInPandas`` — the 'two streams per
     entity' custom-logic shape (events and orders co-partitioned per
@@ -6183,6 +6349,8 @@ QUERIES = {
     "docs_compaction": q_docs_compaction,
     "corpus_temperature_sample": q_corpus_temperature_sample,
     "doc_dup_span_removal": q_doc_dup_span_removal,
+    "doc_dup_span_maximal": q_doc_dup_span_maximal,
+    "pipeline_e2e_score": q_pipeline_e2e_score,
     "events_orders_cogroup": q_events_orders_cogroup,
     # -- (c) stalest earlier-round entries: last driver row r1-r3;
     # positions up to ~50 get a fresh row this round --

@@ -725,6 +725,10 @@ _BUILD_HEAVY = {
     # MLlib's own blocked user×item factor cross product — bounded by
     # (|subset| × rank), deliberate blocked-BLAS scoring, not a scan join
     "ml_als_recs",
+    # the four-stage CLI chain trains + writes artifacts at build time;
+    # the returned frame is a CSV-scan projection.  Its component
+    # plans are pinned by the per-stage tests (cli/train/score).
+    "pipeline_e2e_score",
     "events_stream_tumbling", "events_stream_hopping", "events_stream_static",
     "events_stream_sessionize", "events_stream_join",
     "events_stream_stateful", "events_stream_dedup", "pysource_stream",

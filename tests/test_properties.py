@@ -831,3 +831,63 @@ def test_cogroup_all_null_value_group_yields_null_median(spark, tmp_path):
         2: (2, 0, 80000, None),     # NULL-skipping median over the one value
         3: (0, 1, None, 2000),      # order-only user
     }
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_maximal_dup_spans_equals_brute_force_and_is_maximal(spark, docs):
+    # round-5 verdict #5: spans are the MAXIMAL islands of duplicated
+    # n-gram coverage — equal to a brute-force merge, and no two output
+    # spans overlap or abut (abutting islands would have fused).
+    from recommendation_translation_spark.operators.curation import (
+        maximal_dup_spans,
+    )
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in maximal_dup_spans(df, n=n, min_tokens=1).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for v in got.values():
+        v.sort()
+
+    # brute force: dup grams by document frequency, covered positions,
+    # maximal runs
+    grams_by_doc = [
+        {(i, tuple(toks[i - 1:i - 1 + n])) for i in range(1, len(toks) - n + 2)}
+        for toks in docs
+    ]
+    from collections import Counter
+
+    dfreq = Counter()
+    for g in grams_by_doc:
+        for _, gram in set((None, gram) for _, gram in g):
+            dfreq[gram] += 1
+    want = {}
+    for di, toks in enumerate(docs):
+        covered = set()
+        for i in range(1, len(toks) - n + 2):
+            if dfreq[tuple(toks[i - 1:i - 1 + n])] >= 2:
+                covered.update(range(i, i + n))
+        spans = []
+        for p in sorted(covered):
+            if spans and p == spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        if spans:
+            want[di] = spans
+    assert got == want
+    # maximality: strictly separated by at least one uncovered token
+    for spans in got.values():
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1
