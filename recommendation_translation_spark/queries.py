@@ -6288,26 +6288,83 @@ ORACLES["emb_ivf_recall_report"] = (
 
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
-# round-by-round (round-2 verdict #3).  Round-5 front: (a) the 17
-# round-4 additions that never had a driver row plus dedup_clusters,
-# whose exact recursive-CTE oracle has never produced a hash-checked
-# driver row (round-4 verdict #1) — a green r5 window closes
-# cumulative driver coverage at the full catalog — then (b) queries
-# whose implementation or oracle changed this round (integer-cents
-# Pareto running sum, NULL-filtered EWMA, default n-gram DF cap folded
-# into three oracles, sketch queries promoted to bounded hash checks)
-# plus every round-5 addition (tsv_roundtrip through
-# doc_dup_span_removal — all first driver rows), then (c) the stalest
-# earlier-round entries.  Everything driver-green in round 4 sits at
-# the back.  The full set is always verified locally by
-# tests/test_oracle_parity.py regardless of position.
+# round-by-round (round-2 verdict #3).  Round-6 front (see the
+# per-section comments below): the seven ML graduations (first hash
+# rows ever — a green window makes the whole catalog hash-checked
+# with zero no_oracle entries), the two round-6 additions, the two
+# ADVICE-touched queries, then the 44 stale r2-era rows
+# refactored-first (round-5 verdict #2) — five trivial ones spill to
+# round 7 because the window holds 50.  The full set is always
+# verified locally by tests/test_oracle_parity.py regardless of
+# position.
 QUERIES = {
-    # -- (a) never driver-checked (r4 verdict #1): 17 round-4 additions
-    # + dedup_clusters with its new exact transitive-closure oracle --
+    # -- (a) round-6 ML graduations: first hash-checked driver rows for
+    # the seven former rows-only queries (round-5 verdict #1) --
+    "ml_train_rmse": q_ml_train_rmse,
+    "ml_score_topk": q_ml_score_topk,
+    "ml_feature_importance": q_ml_feature_importance,
+    "ml_cv_tuning": q_ml_cv_tuning,
+    "emb_kmeans_centroids": q_emb_kmeans_centroids,
+    "doc_quality_classifier": q_doc_quality_classifier,
+    "ml_als_recs": _qa.q_ml_als_recs,
+    # -- (b) round-6 additions: first driver rows --
+    "doc_dup_span_maximal": q_doc_dup_span_maximal,
+    "pipeline_e2e_score": q_pipeline_e2e_score,
+    # -- (c) implementation changed in round 6 (round-5 ADVICE fixes):
+    # re-verify under the driver ahead of already-green entries --
+    "doc_heavy_hitters": q_doc_heavy_hitters,
+    "events_orders_cogroup": q_events_orders_cogroup,
+    # -- (d) stalest rows (r2) whose implementations were refactored in
+    # r4-r5 (similarity/dedup rewrites) — hard signal predates the
+    # code (round-5 verdict #2) --
+    "dedup_simhash": q_dedup_simhash,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_cosine_topk_np": q_emb_cosine_topk_np,
+    "dedup_emb_cosine": q_dedup_emb_cosine,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    # -- (e) remaining r2-era rows, refreshed this round.  Five trivial
+    # single-operator r2 queries (count_by_site, distinct_sites,
+    # exists_filter, suffix_filter_rewrite, feature_unpivot) did
+    # not fit the 50-slot window and rotate forward in round 7;
+    # all five are continuously pinned by test_oracle_parity --
+    "corpus_hash_split": q_corpus_hash_split,
+    "customer_balance_merge": q_customer_balance_merge,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_quality": q_doc_quality,
+    "doc_quality_flags": q_doc_quality_flags,
+    "doc_repetition": q_doc_repetition,
+    "doc_token_stats": q_doc_token_stats,
+    "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_centroids": q_emb_centroids,
+    "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
+    "events_resample_ffill": q_events_resample_ffill,
+    "events_sessionize": q_events_sessionize,
+    "events_sliding": q_events_sliding,
+    "events_stream_join": q_events_stream_join,
+    "events_stream_sessionize": q_events_stream_sessionize,
+    "events_stream_stateful": q_events_stream_stateful,
+    "events_stream_tumbling": q_events_stream_tumbling,
+    "events_tumbling": q_events_tumbling,
+    "feature_pivot": q_feature_pivot,
+    "median_crossing": q_median_crossing,
+    "mm_decode_meta": q_mm_decode_meta,
+    "mm_media_meta": q_mm_media_meta,
+    "predictions_fold": q_predictions_fold,
+    "pricing_summary": q_pricing_summary,
+    "pricing_summary_sql": q_pricing_summary_sql,
+    "rank_normalized": q_rank_normalized,
+    "topk_per_group": q_topk_per_group,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_regional": q_tpch_q5_regional,
+    # -- (f) driver-green in rounds 3-5 (freshest rows; rotate forward
+    # in later rounds as needed) --
     "corpus_weighted_sample": _qa.q_corpus_weighted_sample,
     "dedup_lsh_recall_report": _qa.q_dedup_lsh_recall_report,
-    "doc_quality_classifier": q_doc_quality_classifier,
-    "emb_kmeans_centroids": q_emb_kmeans_centroids,
     "events_anomaly_mad": _qa.q_events_anomaly_mad,
     "events_first_last_touch": _qa.q_events_first_last_touch,
     "events_median_arrow": _qa.q_events_median_arrow,
@@ -6316,14 +6373,11 @@ QUERIES = {
     "events_stream_chained": q_events_stream_chained,
     "events_stream_rocksdb": _qa.q_events_stream_rocksdb,
     "lineitem_equidepth_histogram": _qa.q_lineitem_equidepth_histogram,
-    "ml_als_recs": _qa.q_ml_als_recs,
     "orders_month_spine": _qa.q_orders_month_spine,
     "orders_pipe_sql": _qa.q_orders_pipe_sql,
     "orders_pivot_unpivot_sql": _qa.q_orders_pivot_unpivot_sql,
     "part_skyline": _qa.q_part_skyline,
     "dedup_clusters": q_dedup_clusters,
-    # -- (b) implementation/oracle changed in round 5 — re-verify under
-    # the driver ahead of already-green entries --
     "tsv_roundtrip": q_tsv_roundtrip,
     "dedup_incremental": q_dedup_incremental,
     "supplier_pareto": _qa.q_supplier_pareto,
@@ -6334,7 +6388,6 @@ QUERIES = {
     "events_sketch_stats": q_events_sketch_stats,
     "events_approx_stats": q_events_approx_stats,
     "events_hll_merge": q_events_hll_merge,
-    "doc_heavy_hitters": q_doc_heavy_hitters,
     "mm_audio_windows": q_mm_audio_windows,
     "part_pagerank": q_part_pagerank,
     "supplier_fuzzy_pairs": q_supplier_fuzzy_pairs,
@@ -6349,11 +6402,6 @@ QUERIES = {
     "docs_compaction": q_docs_compaction,
     "corpus_temperature_sample": q_corpus_temperature_sample,
     "doc_dup_span_removal": q_doc_dup_span_removal,
-    "doc_dup_span_maximal": q_doc_dup_span_maximal,
-    "pipeline_e2e_score": q_pipeline_e2e_score,
-    "events_orders_cogroup": q_events_orders_cogroup,
-    # -- (c) stalest earlier-round entries: last driver row r1-r3;
-    # positions up to ~50 get a fresh row this round --
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_source_quota": q_corpus_source_quota,
     "corpus_profile": q_corpus_profile,
@@ -6367,15 +6415,11 @@ QUERIES = {
     "pysource_stream": q_pysource_stream,
     "events_transitions": q_events_transitions,
     "basket_part_pairs": q_basket_part_pairs,
-    "ml_feature_importance": q_ml_feature_importance,
-    "ml_cv_tuning": q_ml_cv_tuning,
     "events_resample_interp": q_events_resample_interp,
     "lineitem_skew_profile": q_lineitem_skew_profile,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_interleave": q_corpus_interleave,
-    "ml_train_rmse": q_ml_train_rmse,
-    "ml_score_topk": q_ml_score_topk,
     "doc_array_funcs": q_doc_array_funcs,
     "corpus_contamination": q_corpus_contamination,
     "pricing_rollup": q_pricing_rollup,
@@ -6398,52 +6442,11 @@ QUERIES = {
     "tpch_q7_volume": q_tpch_q7_volume,
     "tpch_q8_share": q_tpch_q8_share,
     "tpch_q9_profit": q_tpch_q9_profit,
-    "rank_normalized": q_rank_normalized,
-    "feature_pivot": q_feature_pivot,
     "feature_unpivot": q_feature_unpivot,
-    "customer_balance_merge": q_customer_balance_merge,
     "exists_filter": q_exists_filter,
-    "predictions_fold": q_predictions_fold,
-    "pricing_summary": q_pricing_summary,
-    "pricing_summary_sql": q_pricing_summary_sql,
     "count_by_site": q_count_by_site,
     "distinct_sites": q_distinct_sites,
     "suffix_filter_rewrite": q_suffix_filter_rewrite,
-    "topk_per_group": q_topk_per_group,
-    "median_crossing": q_median_crossing,
-    "events_tumbling": q_events_tumbling,
-    "events_sliding": q_events_sliding,
-    "events_sessionize": q_events_sessionize,
-    "events_stream_tumbling": q_events_stream_tumbling,
-    "events_resample_ffill": q_events_resample_ffill,
-    "events_stream_join": q_events_stream_join,
-    "doc_token_stats": q_doc_token_stats,
-    "doc_lang_id": q_doc_lang_id,
-    "doc_quality": q_doc_quality,
-    "doc_fingerprint": q_doc_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "emb_cosine_topk": q_emb_cosine_topk,
-    "emb_cosine_topk_np": q_emb_cosine_topk_np,
-    "emb_ann_lsh": q_emb_ann_lsh,
-    "emb_ivf_topk": q_emb_ivf_topk,
-    "dedup_emb_cosine": q_dedup_emb_cosine,
-    "events_stream_sessionize": q_events_stream_sessionize,
-    "events_stream_stateful": q_events_stream_stateful,
-    "emb_centroids": q_emb_centroids,
-    "mm_media_meta": q_mm_media_meta,
-    "mm_decode_meta": q_mm_decode_meta,
-    "events_asof_join": q_events_asof_join,
-    "events_range_join": q_events_range_join,
-    "tpch_q3_shipping": q_tpch_q3_shipping,
-    "tpch_q5_regional": q_tpch_q5_regional,
-    "doc_quality_flags": q_doc_quality_flags,
-    "doc_repetition": q_doc_repetition,
-    "doc_pii_redact": q_doc_pii_redact,
-    "corpus_hash_split": q_corpus_hash_split,
-    # -- (d) driver-green in round 4 (freshest rows; rotate forward
-    # in later rounds as needed) --
     "tpch_q11_important": q_tpch_q11_important,
     "tpch_q12_priority": q_tpch_q12_priority,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
