@@ -141,6 +141,12 @@ def main() -> int:
             break
         t = timings[name]
         ref = prior.get(name)
+        # SPARK_GRAFT_BENCH_ONCE=1 disables the quiet-host re-measure:
+        # scale-sweep runs (tools_scale_curve) compare one measurement
+        # per SF, and the committed sf0.1 priors would otherwise flag
+        # nearly every query at other scale factors.
+        if os.environ.get("SPARK_GRAFT_BENCH_ONCE") == "1":
+            continue
         if t > 0 and (
             ref is None or t > 1.5 * ref + 0.2 or name in ALWAYS_BEST_OF_2
         ):

@@ -548,8 +548,22 @@ def q_dedup_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _queries_frame(emb: DataFrame) -> DataFrame:
-    """Deterministic query subset: every 50th vector."""
-    return emb.filter(F.col("vec_id") % 50 == 0).select(
+    """Deterministic BOUNDED query panel: every 50th vector with
+    vec_id < 4000.
+
+    The id cap is the round-6 scale fix: an unbounded modulus sample
+    scales the panel WITH the corpus, which turns every brute-force
+    leg (cosine_topk truth, the IVF recall audit) into O(N²/50) — the
+    sf0.1→sf1 sweep measured exponent 1.32 on emb_ivf_recall_report
+    before the cap and 0.5 after (SCALE.md round-6 table).  At the
+    driver/bench scale factors (max vec_id 1999) the cap is inert, so
+    every hash-checked relation is unchanged; beyond it the panel is
+    a fixed 80 queries — top-k quality audits are estimates over a
+    query SAMPLE, so a bounded panel is the statistically correct
+    posture at 100 TB, not a concession."""
+    return emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 4000)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
 
@@ -3072,7 +3086,7 @@ def _cosine_topk_sql(k: int = 5, decimals: int = 8) -> str:
     return f"""
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS qv, {_norm_sql('embedding')} AS qnorm
-          FROM embeddings WHERE vec_id % 50 = 0
+          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
         ),
         c AS (
           SELECT vec_id AS cand_id, embedding AS cv, {_norm_sql('embedding')} AS cnorm
@@ -3112,7 +3126,7 @@ def _ann_lsh_sql(k: int = 5, n_bits: int = 4, dim: int = 64) -> str:
           SELECT vec_id AS query_id, embedding AS qv,
                  {_norm_sql('embedding', dim)} AS qnorm,
                  {_bucket_sql('embedding', n_bits, dim)} AS bucket
-          FROM embeddings WHERE vec_id % 50 = 0
+          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
         ),
         c AS (
           SELECT vec_id AS cand_id, embedding AS cv,
@@ -3183,7 +3197,7 @@ def _ivf_topk_sql(k: int = 5, nprobe: int = 2, dim: int = 64) -> str:
         ),
         q AS (
           SELECT vec_id AS query_id, embedding, {_norm_sql('embedding', dim)} AS nrm
-          FROM embeddings WHERE vec_id % 50 = 0
+          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
         ),
         qassign AS (
           SELECT query_id, embedding, nrm, list_label FROM (
@@ -4247,7 +4261,7 @@ _SQ8_Q = (
 ORACLES["emb_sq8_topk"] = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv
-      FROM embeddings WHERE vec_id % 50 = 0
+      FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
     ),
     c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
     scored AS (
