@@ -3,9 +3,10 @@
 ``entry(spark)`` runs the flagship normalized-rank query at sf0.001;
 ``queries()`` maps every implemented operator (SURVEY.md §2 + the
 extension surface) to a (spark, sf_dir) → DataFrame builder; and
-``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-SQL-expressible query (ml_* are rows-only by design — RandomForest
-training isn't SQL).  Implementation lives in
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY query —
+since round 6 the catalog has zero rows-only entries: the ML queries
+emit exact deterministic skeletons + invariant flags (training itself
+still runs; its outcome is hash-checked).  Implementation lives in
 ``recommendation_translation_spark.queries``.
 """
 

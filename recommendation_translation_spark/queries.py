@@ -2229,9 +2229,19 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictions in {0,1} (construction), and the in-sample AUC against
     the weak labels is ≥ 0.5 — random or inverted scoring fails it
     (measured ≈0.999: three rule-aligned features make the gate nearly
-    separable).  Per-doc scores stay observable on the model."""
+    separable).  Per-doc scores stay observable on the model.
+
+    AUC is computed directly as the Mann-Whitney U over
+    6dp-BUCKETED probabilities (per-bucket pos/neg counts, one
+    running-sum window over ≤10⁶+1 buckets — a bounded-domain fold,
+    same class as lineitem_price_histogram) rather than through
+    ``BinaryClassificationEvaluator``: the MLlib evaluator's closure
+    drags the SparkSession into task serialization and dies whenever
+    the session's ObservationManager holds a registered Observation
+    (any prior ``df.observe`` in the session — a real shared-session
+    hazard, found by the round-6 full-suite run), and bucketing bounds
+    the fold where raw scores would be corpus-cardinality."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
@@ -2254,11 +2264,30 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("prediction"),
         vector_to_array("probability")[1].alias("p1"),
-        F.col("rawPrediction"),
+    ).cache()
+    buckets = pred.groupBy(F.round("p1", 6).alias("b")).agg(
+        F.sum("label").alias("np_"),
+        F.sum(F.lit(1.0) - F.col("label")).alias("nn_"),
     )
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", rawPredictionCol="rawPrediction"
-    ).evaluate(pred)
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    u_row = buckets.select(
+        (
+            F.col("np_")
+            * (F.coalesce(F.sum("nn_").over(wb), F.lit(0.0))
+               + 0.5 * F.col("nn_"))
+        ).alias("u"),
+        "np_",
+        "nn_",
+    ).agg(
+        F.sum("u").alias("u"),
+        F.sum("np_").alias("n_pos"),
+        F.sum("nn_").alias("n_neg"),
+    ).collect()[0]
+    auc = (
+        u_row.u / (u_row.n_pos * u_row.n_neg)
+        if u_row.n_pos and u_row.n_neg
+        else 1.0  # degenerate single-class corpus: nothing to mis-rank
+    )
     agg = pred.agg(
         F.count(F.lit(1)).cast("long").alias("n_scored"),
         F.sum(F.col("label").cast("long")).cast("long").alias("n_weak_keep"),
@@ -2268,6 +2297,7 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("prediction").isin(0.0, 1.0)).alias("preds_binary"),
     ).collect()[0]
     data.unpersist()
+    pred.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -5951,7 +5981,9 @@ ORACLES["pipeline_e2e_score"] = f"""
 """
 
 
-def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_orders_cogroup(
+    spark: SparkSession, sf_dir: str, _n_shards: int = 64
+) -> DataFrame:
     """``groupBy().cogroup().applyInPandas`` — the 'two streams per
     entity' custom-logic shape (events and orders co-partitioned per
     user, each key's two Arrow batches handed to ONE pandas function).
@@ -5971,7 +6003,10 @@ def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each — measured 21 s for 15k users at sf0.1); sharding invokes it
     64× and computes ALL of a shard's per-user stats with one
     vectorized pandas groupby inside (~1.6 s, 13×).  Output and oracle
-    are identical — the shard is purely an execution key."""
+    are identical — the shard is purely an execution key
+    (``_n_shards`` is exposed ONLY so the property test can pin that
+    claim: shard count ∈ {1, 7, 64} must produce the identical
+    relation)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.round(F.col("value") * 10000).cast("long").alias("v_fp")
     )
@@ -5979,7 +6014,7 @@ def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("user_id"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    n_shards = 64
+    n_shards = _n_shards
     ev = ev.withColumn("shard", F.pmod("user_id", F.lit(n_shards)))
     od = od.withColumn("shard", F.pmod("user_id", F.lit(n_shards)))
 

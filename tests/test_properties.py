@@ -891,3 +891,29 @@ def test_maximal_dup_spans_equals_brute_force_and_is_maximal(spark, docs):
     for spans in got.values():
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1 + 1
+
+
+def test_cogroup_shard_count_is_pure_execution_key(spark):
+    # round-5 verdict #8: the sharded-cogroup claim ("the shard is
+    # purely an execution key", queries.q_events_orders_cogroup) pinned
+    # against future edits — shard count 1, 7 and 64 must produce the
+    # IDENTICAL relation at sf0.001.
+    from recommendation_translation_spark.queries import (
+        q_events_orders_cogroup,
+    )
+
+    from .conftest import SF_SMALL
+
+    def snapshot(n):
+        return sorted(
+            (r.user_id, r.n_events, r.n_orders, r.med2_event_fp4,
+             r.med2_order_cents)
+            for r in q_events_orders_cogroup(
+                spark, SF_SMALL, _n_shards=n
+            ).collect()
+        )
+
+    base = snapshot(64)
+    assert len(base) > 0
+    assert snapshot(1) == base
+    assert snapshot(7) == base
