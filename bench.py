@@ -142,9 +142,11 @@ def main() -> int:
         t = timings[name]
         ref = prior.get(name)
         # SPARK_GRAFT_BENCH_ONCE=1 disables the quiet-host re-measure:
-        # scale-sweep runs (tools_scale_curve) compare one measurement
-        # per SF, and the committed sf0.1 priors would otherwise flag
-        # nearly every query at other scale factors.
+        # scale-sweep runs (tools_gen_scale_data.py tiles the tables,
+        # then per-SF subset bench invocations produce the SCALE.md
+        # table) compare one measurement per SF, and the committed
+        # sf0.1 priors would otherwise flag nearly every query at
+        # other scale factors.
         if os.environ.get("SPARK_GRAFT_BENCH_ONCE") == "1":
             continue
         if t > 0 and (
@@ -173,8 +175,12 @@ def main() -> int:
 
     # BENCH_QUERIES.json sidecar keeps the full map + the re-measure
     # audit trail.  Subset runs (bench.py q1 q2 ...) skip it — a
-    # partial map must not clobber the committed full-catalog record.
-    if not only:
+    # partial map must not clobber the committed full-catalog record —
+    # and so do BENCH_ONCE scale-sweep runs: a full-catalog sweep at
+    # another SF would otherwise overwrite the sf0.1 record AND
+    # min-merge cross-SF timings into the quiet-host best map, which
+    # min() could then never repair.
+    if not only and os.environ.get("SPARK_GRAFT_BENCH_ONCE") != "1":
         best = {
             k: round(min(v, prior.get(k, v)), 3)
             for k, v in timings.items() if v > 0

@@ -621,25 +621,17 @@ def duplicate_span_stats(docs: DataFrame, n: int = 8,
     )
 
 
-def duplicate_span_removal(docs: DataFrame, n: int = 8,
-                           text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
-    """Remove corpus-duplicated n-gram SPANS from every document (the
-    removal stage after duplicate_span_stats measures): a token is
-    dropped iff it sits inside any n-gram that occurs in ≥ 2 documents
-    (span-coverage removal — deterministic and order-free; unlike
-    Lee et al.'s keep-first-occurrence, BOTH copies go, which is the
-    variant that needs no global document ordering at 100 TB).
-    Returns (doc_id, n_tokens, n_kept, clean_md5) where clean_md5
-    fingerprints the space-joined surviving tokens — the reconstructed
-    text is hash-checked, not just counted.
-
-    Plan: the duplicated-gram set comes from the same hashed-gram
-    relation as the stats op (distinct per doc → df ≥ 2); positional
-    grams join it on the 8-byte key; covered START positions fold to
-    one small array per doc (≤ n_grams longs), and the token filter is
-    then a row-local indexed-lambda scan — document text never joins
-    against anything, only (doc_id, start) pairs shuffle."""
+def _positional_dup_grams(docs: DataFrame, n: int, text_col: str,
+                          id_col: str):
+    """Shared candidate pass for the span-removal family: lowercase
+    tokens, positional n-gram 60-bit hashes, and the corpus-duplicated
+    gram set (df ≥ 2 across documents).  Both
+    :func:`duplicate_span_removal` and :func:`maximal_dup_spans` build
+    on this ONE definition so the gram hashing / tokenization can
+    never desynchronize between them (they share oracle SQL too).
+    Returns ``(base, toks, posgrams, dup)``: the repartitioned
+    (id, text) relation, the token-array Column, the (id, start,
+    gram) relation (1-based starts), and the duplicated-gram keys."""
     toks = tokens(F.lower(F.col(text_col)))
     gram_str = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -664,6 +656,31 @@ def duplicate_span_removal(docs: DataFrame, n: int = 8,
         .agg(F.count("*").alias("df_"))
         .filter(F.col("df_") >= 2)
         .select("gram")
+    )
+    return base, toks, posgrams, dup
+
+
+def duplicate_span_removal(docs: DataFrame, n: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Remove corpus-duplicated n-gram SPANS from every document (the
+    removal stage after duplicate_span_stats measures): a token is
+    dropped iff it sits inside any n-gram that occurs in ≥ 2 documents
+    (span-coverage removal — deterministic and order-free; unlike
+    Lee et al.'s keep-first-occurrence, BOTH copies go, which is the
+    variant that needs no global document ordering at 100 TB).
+    Returns (doc_id, n_tokens, n_kept, clean_md5) where clean_md5
+    fingerprints the space-joined surviving tokens — the reconstructed
+    text is hash-checked, not just counted.
+
+    Plan: the duplicated-gram set comes from the same hashed-gram
+    relation as the stats op (distinct per doc → df ≥ 2); positional
+    grams join it on the 8-byte key; covered START positions fold to
+    one small array per doc (≤ n_grams longs), and the token filter is
+    then a row-local indexed-lambda scan — document text never joins
+    against anything, only (doc_id, start) pairs shuffle."""
+    base, toks, posgrams, dup = _positional_dup_grams(
+        docs, n, text_col, id_col
     )
     starts = (
         posgrams.join(dup, "gram")
@@ -714,30 +731,8 @@ def maximal_dup_spans(docs: DataFrame, n: int = 8, min_tokens: int = 50,
     duplicate_span_removal); the islands merge is a PER-DOCUMENT
     window — parallel across docs, O(spans·log) within one — and the
     output is bounded by n_tokens/min_tokens spans per doc."""
-    toks = tokens(F.lower(F.col(text_col)))
-    gram_str = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.repartition(par).select(id_col, text_col)
-    posgrams = base.filter(F.size(toks) >= n).select(
-        F.col(id_col),
-        F.posexplode(gram_str).alias("pos0", "gram_s"),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).alias("start"),
-        F.conv(F.substring(F.md5("gram_s"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("gram"),
-    )
-    dup = (
-        posgrams.select(id_col, "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") >= 2)
-        .select("gram")
+    _, _, posgrams, dup = _positional_dup_grams(
+        docs, n, text_col, id_col
     )
     iv = (
         posgrams.join(dup, "gram")

@@ -555,7 +555,7 @@ def _queries_frame(emb: DataFrame) -> DataFrame:
     scales the panel WITH the corpus, which turns every brute-force
     leg (cosine_topk truth, the IVF recall audit) into O(N²/50) — the
     sf0.1→sf1 sweep measured exponent 1.32 on emb_ivf_recall_report
-    before the cap and 0.5 after (SCALE.md round-6 table).  At the
+    before the cap and 0.71 after (SCALE.md round-6 table).  At the
     driver/bench scale factors (max vec_id 1999) the cap is inert, so
     every hash-checked relation is unchanged; beyond it the panel is
     a fixed 80 queries — top-k quality audits are estimates over a
@@ -723,25 +723,37 @@ def q_ml_train_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     feats, results = _trained(spark, sf_dir)
-    rows = []
-    for site, r in sorted(results.items()):
-        st = feats.agg(
-            F.sum((F.col(f"exists_{site}") == 1.0).cast("long")).alias("n"),
+    sites = sorted(results)
+    # One agg over the cached feature matrix returns every site's
+    # (n, sd) pair in a single job — a per-site agg+collect loop costs
+    # one scheduler round-trip per site for a frame already in memory.
+    st = feats.agg(
+        *[
+            F.sum((F.col(f"exists_{s}") == 1.0).cast("long")).alias(f"n_{s}")
+            for s in sites
+        ],
+        *[
             F.stddev(
-                F.when(F.col(f"exists_{site}") == 1.0, F.col(f"rank_{site}"))
-            ).alias("sd"),
-        ).collect()[0]
+                F.when(F.col(f"exists_{s}") == 1.0, F.col(f"rank_{s}"))
+            ).alias(f"sd_{s}")
+            for s in sites
+        ],
+    ).collect()[0]
+    rows = []
+    for site in sites:
+        r = results[site]
+        n, sd = st[f"n_{site}"], st[f"sd_{site}"]
         ok = r.error is None and r.model is not None
         rmse = r.rmse
         fin = rmse is not None and math.isfinite(rmse) and rmse >= 0.0
         rows.append(
             (
                 site,
-                int(st.n),
+                int(n),
                 ok,
                 fin,
                 fin and rmse < 1.0,
-                fin and st.sd is not None and rmse <= 2.0 * st.sd,
+                fin and sd is not None and rmse <= 2.0 * sd,
             )
         )
     return spark.createDataFrame(
@@ -2045,12 +2057,17 @@ def q_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = numeric_feature_columns(feats.columns, site)
         imps = list(r.model.featureImportances.toArray())
         sum_ok = bool(abs(sum(imps) - 1.0) <= 1e-6)
+        # feature_valid pins name↔importance ALIGNMENT, so it must
+        # compare vector length to column count — `name in cols` over
+        # a zip of cols is vacuously true even when zip truncates a
+        # mismatched assembler.
+        aligned = len(imps) == len(cols)
         top = sorted(zip(cols, imps), key=lambda t: (-t[1], t[0]))[:5]
         rows += [
             (
                 site,
                 rank + 1,
-                name in cols,
+                aligned,
                 bool(0.0 <= w <= 1.0),
                 sum_ok,
             )
@@ -2231,19 +2248,23 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured ≈0.999: three rule-aligned features make the gate nearly
     separable).  Per-doc scores stay observable on the model.
 
-    AUC is computed directly as the Mann-Whitney U over
-    6dp-BUCKETED probabilities (per-bucket pos/neg counts, one
-    running-sum window over ≤10⁶+1 buckets — a bounded-domain fold,
-    same class as lineitem_price_histogram) rather than through
-    ``BinaryClassificationEvaluator``: the MLlib evaluator's closure
-    drags the SparkSession into task serialization and dies whenever
-    the session's ObservationManager holds a registered Observation
-    (any prior ``df.observe`` in the session — a real shared-session
-    hazard, found by the round-6 full-suite run), and bucketing bounds
-    the fold where raw scores would be corpus-cardinality."""
+    Scoring is a NATIVE sigmoid projection from the fitted
+    coefficients (margin = Σ wᵢ·featureᵢ + b, all whole-stage
+    codegen), not ``model.transform``: the MLlib transform wraps the
+    model in a ScalaUDF, the LogisticRegressionModel carries its
+    ``trainingSummary``, and the summary holds the SparkSession —
+    whose ObservationManager is not serializable once any prior
+    ``df.observe`` in the session registered an Observation, so task
+    serialization of the transform closure dies (a real
+    shared-session hazard, found by the round-6 full-suite run; the
+    same chain kills ``BinaryClassificationEvaluator``).  AUC is
+    computed directly as the Mann-Whitney U over 6dp-BUCKETED
+    probabilities (per-bucket pos/neg counts, one running-sum window
+    over ≤10⁶+1 buckets — a bounded-domain fold, same class as
+    lineitem_price_histogram); bucketing bounds the fold where raw
+    scores would be corpus-cardinality."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
 
     from .operators.curation import quality_flags as _qflags
     from .operators.text import quality_score as _qscore
@@ -2253,17 +2274,23 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _qflags(docs, min_words=20).select(
         "doc_id", F.col("keep").cast("double").alias("label")
     )
+    feature_cols = ["n_tokens", "punct_ratio", "stopword_ratio"]
     data = VectorAssembler(
-        inputCols=["n_tokens", "punct_ratio", "stopword_ratio"],
-        outputCol="features",
+        inputCols=feature_cols, outputCol="features"
     ).transform(feats.join(labels, "doc_id")).cache()
     model = LogisticRegression(
         maxIter=10, regParam=0.01, labelCol="label", featuresCol="features"
     ).fit(data)
-    pred = model.transform(data).select(
+    margin = F.lit(float(model.intercept))
+    for c, w in zip(feature_cols, model.coefficients.toArray().tolist()):
+        margin = margin + F.col(c) * float(w)
+    pred = data.select(
         "label",
-        F.col("prediction"),
-        vector_to_array("probability")[1].alias("p1"),
+        # MLlib's binary prediction at the default threshold 0.5 is
+        # exactly margin > 0
+        F.when(margin > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+        .alias("prediction"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("p1"),
     ).cache()
     buckets = pred.groupBy(F.round("p1", 6).alias("b")).agg(
         F.sum("label").alias("np_"),
@@ -3283,6 +3310,43 @@ _STREAM_SESSIONIZE_SQL = """
 """
 
 
+# Shared Gopher/C4 weak-label gate CTEs (base → m), used by BOTH the
+# doc_quality_flags oracle and the doc_quality_classifier oracle (which
+# re-applies the same conjunction at min_words=20): one definition, so
+# a gate tweak — a regex, a ratio threshold — cannot desynchronize the
+# classifier's weak-keep count from the Spark weak labels it trains on.
+_QUALITY_GATE_CTES = r"""base AS (
+          SELECT doc_id, n_chars, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
+                 len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id, n_chars, n_words,
+                 n_nospace / GREATEST(n_words, 1)::DOUBLE AS mwl_raw,
+                 n_symbols / GREATEST(n_words, 1)::DOUBLE AS sym_ratio,
+                 len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])')))
+                   / GREATEST(len(lines), 1)::DOUBLE AS bullet_ratio,
+                 len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$')))
+                   / GREATEST(len(lines), 1)::DOUBLE AS ell_ratio,
+                 NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem,
+                 NOT contains(text, '{') AS ok_no_braces
+          FROM base
+        )"""
+
+
+def _quality_keep_sql(min_words: int) -> str:
+    """The gate conjunction over _QUALITY_GATE_CTES's m columns."""
+    return (
+        f"(n_words >= {min_words} AND n_words <= 100000)"
+        " AND (mwl_raw >= 2.0 AND mwl_raw <= 12.0)"
+        " AND (sym_ratio <= 0.1) AND (bullet_ratio <= 0.9)"
+        " AND (ell_ratio <= 0.3) AND ok_no_lorem AND ok_no_braces"
+    )
+
+
 ORACLES: dict[str, str] = {
     "rank_normalized": _RANKED_SQL,
     "feature_pivot": _PIVOT_SQL,
@@ -3592,33 +3656,11 @@ ORACLES: dict[str, str] = {
                TRUE AS cost_le_total_ss
         FROM (SELECT unnest(range(8)) AS ci)
     """,
-    "doc_quality_classifier": r"""
-        WITH base AS (
-          SELECT doc_id, text,
-                 CASE WHEN trim(text) = '' THEN 0
-                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
-                 length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
-                 len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
-                 string_split(text, chr(10)) AS lines
-          FROM documents
-        ), m AS (
-          SELECT n_words,
-                 n_nospace / GREATEST(n_words, 1)::DOUBLE AS mwl_raw,
-                 n_symbols / GREATEST(n_words, 1)::DOUBLE AS sym_ratio,
-                 len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])')))
-                   / GREATEST(len(lines), 1)::DOUBLE AS bullet_ratio,
-                 len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$')))
-                   / GREATEST(len(lines), 1)::DOUBLE AS ell_ratio,
-                 NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem,
-                 NOT contains(text, '{') AS ok_no_braces
-          FROM base
-        )
+    "doc_quality_classifier": f"""
+        WITH {_QUALITY_GATE_CTES}
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN (n_words >= 20 AND n_words <= 100000)
-                              AND (mwl_raw >= 2.0 AND mwl_raw <= 12.0)
-                              AND (sym_ratio <= 0.1) AND (bullet_ratio <= 0.9)
-                              AND (ell_ratio <= 0.3) AND ok_no_lorem
-                              AND ok_no_braces THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN {_quality_keep_sql(20)}
+                             THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_weak_keep,
                TRUE AS probs_in_unit, TRUE AS preds_binary,
                TRUE AS auc_ge_half
@@ -3672,27 +3714,8 @@ ORACLES: dict[str, str] = {
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name
     """,
-    "doc_quality_flags": r"""
-        WITH base AS (
-          SELECT doc_id, n_chars, text,
-                 CASE WHEN trim(text) = '' THEN 0
-                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
-                 length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
-                 len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
-                 string_split(text, chr(10)) AS lines
-          FROM documents
-        ), m AS (
-          SELECT doc_id, n_chars, n_words,
-                 n_nospace / GREATEST(n_words, 1)::DOUBLE AS mwl_raw,
-                 n_symbols / GREATEST(n_words, 1)::DOUBLE AS sym_ratio,
-                 len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])')))
-                   / GREATEST(len(lines), 1)::DOUBLE AS bullet_ratio,
-                 len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$')))
-                   / GREATEST(len(lines), 1)::DOUBLE AS ell_ratio,
-                 NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem,
-                 NOT contains(text, '{') AS ok_no_braces
-          FROM base
-        )
+    "doc_quality_flags": f"""
+        WITH {_QUALITY_GATE_CTES}
         SELECT doc_id, n_chars, CAST(n_words AS BIGINT) AS n_words,
                ROUND(mwl_raw, 4) AS mean_word_len,
                (n_words >= 50 AND n_words <= 100000) AS ok_words,
@@ -3701,10 +3724,7 @@ ORACLES: dict[str, str] = {
                (bullet_ratio <= 0.9) AS ok_bullet_lines,
                (ell_ratio <= 0.3) AS ok_ellipsis_lines,
                ok_no_lorem, ok_no_braces,
-               ((n_words >= 50 AND n_words <= 100000)
-                AND (mwl_raw >= 2.0 AND mwl_raw <= 12.0)
-                AND (sym_ratio <= 0.1) AND (bullet_ratio <= 0.9)
-                AND (ell_ratio <= 0.3) AND ok_no_lorem AND ok_no_braces) AS keep
+               ({_quality_keep_sql(50)}) AS keep
         FROM m
     """,
     "doc_repetition": r"""

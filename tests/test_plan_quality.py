@@ -102,6 +102,18 @@ def test_broadcast_threshold_respected(spark):
 def test_feature_pivot_two_shuffles(spark):
     # long_table agg + pivot groupBy(id): floor is 2 exchanges
     # (site,id) → (id).  The window rank rides the second.
+    #
+    # The graduated ML queries cache the feature matrix (same pivot
+    # lineage, queries._ML_CACHE); Spark then substitutes the cached
+    # subtree here and the plan string prints the InMemoryRelation's
+    # OWN exchanges inside InMemoryTableScan, double-counting the
+    # floor (3 → 6) whenever an ml_* parity test ran first in the
+    # shared session.  Unpersist so the floor is asserted on the real
+    # from-scratch plan, order-independently.
+    from recommendation_translation_spark import queries as _q
+
+    for feats, _models in _q._ML_CACHE.values():
+        feats.unpersist()
     df = QUERIES["feature_pivot"](spark, SF_SMALL)
     assert count_exchanges(df) <= 3
 
