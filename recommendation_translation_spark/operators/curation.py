@@ -43,6 +43,7 @@ __all__ = [
     "maximal_dup_spans",
     "duplicate_span_removal_maximal",
     "ngram_contamination",
+    "bloom_decontaminate",
     "blocklist_filter",
     "pack_sequences",
     "source_quota",
@@ -855,5 +856,116 @@ def ngram_contamination_split(docs_with_split: DataFrame, n: int = 8,
         .agg(
             F.count_distinct("gram").alias("n_shared_grams"),
             F.count_distinct("test_id").alias("n_test_docs"),
+        )
+    )
+
+
+def _km_positions(gram: F.Column, m_bits: int, k: int) -> F.Column:
+    """Kirsch-Mitzenmacher double hashing (k bit positions from ONE
+    base hash, "Less Hashing, Same Performance", ESA 2006): for the
+    60-bit positive gram digest g, h1 = g mod m and h2 = an ODD value
+    derived from the bits ABOVE h1 (odd ⇒ invertible mod a power-of-two
+    m ⇒ the k positions are pairwise distinct), position_i =
+    (h1 + i·h2) mod m.  All arithmetic is shifts/mods on positive
+    longs staying below k·m — exact on any engine (NO double division:
+    g/m as a double would round 60-bit digests at the 53-bit mantissa
+    and desynchronize the two engines' filters), so a SQL oracle
+    recomputes the EXACT same filter, false positives included."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    log2m = m_bits.bit_length() - 1
+    h1 = F.pmod(gram, F.lit(m_bits))
+    h2 = F.pmod(F.shiftright(gram, log2m), F.lit(m_bits // 2)) * 2 + 1
+    return F.array(*[F.pmod(h1 + i * h2, F.lit(m_bits)) for i in range(k)])
+
+
+def bloom_decontaminate(docs_with_split: DataFrame, n: int = 8,
+                        m_bits: int = 1 << 18, k: int = 5,
+                        split_col: str = "split",
+                        train_value: str = "train",
+                        test_value: str = "test",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination via a BLOOM FILTER of the test
+    split's n-grams — the broadcast-a-filter-not-a-join shape that
+    matters at 100 TB: the train side (the huge side) is probed with a
+    structure bounded by ``m_bits`` REGARDLESS of corpus size, so the
+    only SF-scaled shuffle is the per-doc rollup the scan needs
+    anyway; the test corpus itself is never joined against train text.
+
+    Per train document: (doc_id, n_grams, exact_hit, bloom_hit,
+    no_false_negative) where ``exact_hit`` is the true shares-a-gram
+    flag (the verification twin — production skips this join and
+    trusts the filter), ``bloom_hit`` is the filter's verdict, and
+    ``no_false_negative = bloom_hit OR NOT exact_hit`` — TRUE for
+    every document BY CONSTRUCTION (Bloom filters have one-sided
+    error), asserted per-row rather than assumed.
+
+    Filter mechanics: each distinct test gram (60-bit md5 digest,
+    :func:`doc_ngrams`) sets k Kirsch-Mitzenmacher positions in an
+    m-bit address space; the SET-BIT TABLE (≤ m_bits rows — bounded by
+    a constant, not by data) is broadcast, and a train gram hits iff
+    all k of its positions are set.  The whole construction is
+    deterministic integer arithmetic on both engines, so the DuckDB
+    oracle reproduces the filter EXACTLY — hash parity covers the
+    false-positive behaviour too, not just an invariant flag.  Sizing:
+    the PER-GRAM fp rate compounds per document (a doc is flagged if
+    ANY of its grams hits), so size m for per-gram fp ≪ 1 /
+    grams-per-doc — the defaults give ~0.4% per gram at sf0.1, which
+    deliberately LEAVES visible doc-level false positives (bloom_hit ≫
+    exact_hit) so the parity check exercises the fp path; production
+    decontamination would use 16+ bits per test gram and shard the
+    broadcast if m grows past executor memory."""
+    grams = doc_ngrams(
+        docs_with_split.select(id_col, text_col, split_col),
+        n=n, text_col=text_col, id_col=id_col, keep_cols=(split_col,),
+    ).localCheckpoint(eager=False)
+    tr = grams.filter(F.col(split_col) == train_value).select(id_col, "gram")
+    te = grams.filter(F.col(split_col) == test_value).select("gram").distinct()
+
+    set_bits = te.select(
+        F.explode(_km_positions(F.col("gram"), m_bits, k)).alias("pos")
+    ).distinct()
+
+    # probe: explode each train gram's k positions against the
+    # broadcast set-bit table; a gram hits iff all k positions match
+    # (KM positions are pairwise distinct, so matched-count == k).
+    probe = tr.select(
+        id_col, "gram",
+        F.explode(_km_positions(F.col("gram"), m_bits, k)).alias("pos"),
+    )
+    gram_hits = (
+        probe.join(F.broadcast(set_bits), "pos")
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == k)
+        .select(id_col)
+        .distinct()
+        .withColumn("bloom_hit", F.lit(True))
+    )
+    exact_hits = (
+        tr.join(te, "gram")
+        .select(id_col)
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    n_grams = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+
+    base = docs_with_split.filter(
+        F.col(split_col) == train_value
+    ).select(id_col)
+    return (
+        base.join(n_grams, id_col, "left")
+        .join(exact_hits, id_col, "left")
+        .join(gram_hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+            (
+                F.coalesce("bloom_hit", F.lit(False))
+                | ~F.coalesce("exact_hit", F.lit(False))
+            ).alias("no_false_negative"),
         )
     )

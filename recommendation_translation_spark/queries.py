@@ -2528,6 +2528,25 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination_split(docs, n=8)
 
 
+def q_corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination
+    (operators.curation.bloom_decontaminate): the test split's 8-grams
+    set k=5 Kirsch-Mitzenmacher positions in a 2¹⁸-bit space; train
+    docs are probed against the broadcast SET-BIT table (≤ 2¹⁸ rows —
+    bounded by a CONSTANT, not by data), so at 100 TB the huge train
+    side never joins test text, only a fixed-size filter.  Per train
+    doc: exact_hit (the verification twin the oracle also computes),
+    bloom_hit (the filter's verdict), and the per-row one-sided-error
+    invariant no_false_negative.  The filter is deterministic integer
+    arithmetic on both engines, so the DuckDB oracle reproduces it
+    EXACTLY — the hash check covers the false-positive behaviour too,
+    not just an invariant flag."""
+    from .operators.curation import bloom_decontaminate, hash_split
+
+    docs = hash_split(_t(spark, sf_dir, "documents"))
+    return bloom_decontaminate(docs, n=8, m_bits=1 << 18, k=5)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H completion (shapes adapted to the driver's schema: no partsupp
 # table, no l_shipmode/commit/receipt dates — substitutes noted per query)
@@ -4253,6 +4272,50 @@ ORACLES["corpus_contamination"] = f"""
            CAST(COUNT(DISTINCT te.test_id) AS BIGINT) AS n_test_docs
     FROM tr JOIN te ON tr.gram = te.gram
     GROUP BY tr.doc_id
+"""
+
+# The bloom oracle REBUILDS the filter: same 60-bit gram digests, same
+# Kirsch-Mitzenmacher positions ((g % m + i*(((g >> 18) % (m/2))*2+1)) % m,
+# all positive-integer shifts/mods — see operators.curation._km_positions),
+# so bloom_hit matches Spark bit-for-bit, false positives included.
+ORACLES["corpus_bloom_decontaminate"] = f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             {_hash_sql("CAST(doc_id AS VARCHAR)", seed="split")} % 100 AS b
+      FROM documents),
+    toks AS (SELECT doc_id, b, {_TOKS} AS w FROM split),
+    grams AS (
+      SELECT DISTINCT doc_id, b,
+             ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+      WHERE len(w) >= 8),
+    tr AS (SELECT doc_id, gram FROM grams WHERE b < 80),
+    te AS (SELECT DISTINCT gram FROM grams WHERE b >= 90),
+    bits AS (
+      SELECT DISTINCT
+             (gram % 262144 + i * (((gram >> 18) % 131072) * 2 + 1)) % 262144 AS pos
+      FROM te, LATERAL (SELECT unnest(range(5)) AS i) x),
+    hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT p.doc_id, p.gram
+        FROM (SELECT tr.doc_id, tr.gram,
+                     (tr.gram % 262144
+                      + i * (((tr.gram >> 18) % 131072) * 2 + 1)) % 262144 AS pos
+              FROM tr, LATERAL (SELECT unnest(range(5)) AS i) x) p
+        JOIN bits USING (pos)
+        GROUP BY p.doc_id, p.gram
+        HAVING COUNT(*) = 5)),
+    exact AS (SELECT DISTINCT tr.doc_id FROM tr JOIN te USING (gram)),
+    ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+           (e.doc_id IS NOT NULL) AS exact_hit,
+           (h.doc_id IS NOT NULL) AS bloom_hit,
+           ((h.doc_id IS NOT NULL) OR e.doc_id IS NULL) AS no_false_negative
+    FROM (SELECT doc_id FROM split WHERE b < 80) s
+    LEFT JOIN ng USING (doc_id)
+    LEFT JOIN exact e USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
 """
 
 ORACLES["lineitem_percentiles"] = """
@@ -6379,6 +6442,7 @@ QUERIES = {
     # -- (b) round-6 additions: first driver rows --
     "doc_dup_span_maximal": q_doc_dup_span_maximal,
     "pipeline_e2e_score": q_pipeline_e2e_score,
+    "corpus_bloom_decontaminate": q_corpus_bloom_decontaminate,
     # -- (c) implementation changed in round 6 (round-5 ADVICE fixes +
     # the self-review _positional_dup_grams refactor): re-verify under
     # the driver ahead of already-green entries --
@@ -6397,10 +6461,12 @@ QUERIES = {
     # -- (e) remaining r2-era rows, refreshed this round.  Five trivial
     # single-operator r2 queries (count_by_site, distinct_sites,
     # exists_filter, suffix_filter_rewrite, feature_unpivot) did
-    # not fit the 50-slot window and rotate forward in round 7, as
-    # does pricing_summary_sql (displaced by doc_dup_span_removal's
-    # post-refactor re-verification; its non-SQL twin stays below);
-    # all six are continuously pinned by test_oracle_parity --
+    # not fit the 50-slot window and rotate forward in round 7, as do
+    # pricing_summary_sql (displaced by doc_dup_span_removal's
+    # post-refactor re-verification; its non-SQL twin stays below) and
+    # tpch_q5_regional (displaced by the corpus_bloom_decontaminate
+    # addition; unchanged since r2 and pytest-pinned); all seven are
+    # continuously pinned by test_oracle_parity --
     "corpus_hash_split": q_corpus_hash_split,
     "customer_balance_merge": q_customer_balance_merge,
     "dedup_exact": q_dedup_exact,

@@ -261,3 +261,57 @@ def test_snapshot_diff_requires_keys(spark):
     df = spark.range(1)
     with _pytest.raises(ValueError):
         snapshot_diff(df, df, [])
+
+
+def test_bloom_decontaminate_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.operators.curation import (
+        _km_positions,
+        bloom_decontaminate,
+    )
+
+    # Hand-built corpus: train doc 1 shares its 8-gram run with test
+    # doc 10; train doc 2 is clean; train doc 3 is too short to gram.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " iota kappa", "train"),
+            (2, "one two three four five six seven eight nine", "train"),
+            (3, "too short", "train"),
+            (10, "prefix words " + shared, "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    rows = {r.doc_id: r for r in bloom_decontaminate(docs, n=8).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].exact_hit and rows[1].bloom_hit  # no false negative
+    assert not rows[2].exact_hit  # bloom MAY false-positive; exact not
+    assert rows[3].n_grams == 0 and not rows[3].exact_hit
+    assert all(r.no_false_negative for r in rows.values())
+
+    # KM positions: k pairwise-distinct values in [0, m) for every gram
+    # (h2 odd => invertible mod the power-of-two m).
+    m, k = 1 << 18, 5
+    pos = (
+        spark.range(1000)
+        .select(
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("g")
+        )
+        .select(_km_positions(F.col("g"), m, k).alias("p"))
+        .select(
+            F.size(F.array_distinct("p")).alias("nd"),
+            F.array_min("p").alias("lo"),
+            F.array_max("p").alias("hi"),
+        )
+        .agg(
+            F.min("nd").alias("min_nd"),
+            F.min("lo").alias("min_lo"),
+            F.max("hi").alias("max_hi"),
+        )
+        .collect()[0]
+    )
+    assert pos.min_nd == k
+    assert pos.min_lo >= 0 and pos.max_hi < m
