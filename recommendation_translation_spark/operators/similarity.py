@@ -231,46 +231,92 @@ def ann_lsh_topk(
     )
 
 
+#: embedding-LSH sizing shared with the DuckDB oracle (queries.py):
+#: buckets target ~TARGET_BUCKET_ROWS vectors each, bit width capped at
+#: MAX_LSH_BITS, recall recovered with N_LSH_TABLES independent
+#: OR-banded hyperplane tables (seeds "hp0", "hp1", ...).
+TARGET_BUCKET_ROWS = 128
+MAX_LSH_BITS = 12
+N_LSH_TABLES = 2
+
+
+def adaptive_n_bits(n_rows: int, target_bucket_rows: int = TARGET_BUCKET_ROWS,
+                    max_bits: int = MAX_LSH_BITS) -> int:
+    """Bucket-width for hyperplane LSH derived from the corpus size:
+    the largest ``b ≤ max_bits`` with ``n_rows ≥ target_bucket_rows·2^b``
+    (i.e. floor(log2(n_rows / target)) clamped to [1, max_bits]) — so
+    expected bucket occupancy stays ~``target_bucket_rows`` as the
+    corpus grows and within-bucket candidate volume is O(N·target),
+    not O(N²/2^const).  Pure integer comparisons: the DuckDB oracle
+    mirrors this as a CASE ladder on COUNT(*), bit-identically."""
+    for b in range(max_bits, 1, -1):
+        if n_rows >= target_bucket_rows * (1 << b):
+            return b
+    return 1
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_salts: int = 8,
+    n_tables: int = N_LSH_TABLES,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup surface).
 
     The scale path of embedding dedup: hyperplane-LSH bucket both sides,
     equi-join on the bucket (same-bucket vectors are the near-dup
     candidates), verify with the exact cosine, keep pairs ≥ threshold.
-    The full |N|² cross join never materializes; recall is tuned with
-    ``n_bits`` (fewer bits → bigger buckets → higher recall).
+    The full |N|² cross join never materializes.
 
-    ``n_salts`` splits each bucket's pair work across the cluster: with
-    only 2^n_bits join keys the join would run at most 2^n_bits tasks
-    (16 for the default — most of a 32-core box idle, and a handful of
-    reducers at 100 TB).  Side *a* gets a deterministic salt, side *b*
-    is replicated once per salt, and the join key becomes
-    (bucket, salt) — every unordered pair still meets exactly once, at
-    2^n_bits · n_salts-way parallelism for n_salts× replication of the
-    (small) vector rows.  Output: (a_id, b_id, cosine) with a_id < b_id.
+    **Bucket width scales with the corpus** (round-6 verdict): with a
+    fixed ``n_bits`` the 2^n_bits-bucket space makes candidate volume
+    O(N²/2^n_bits) — quadratic at 100× data.  Default ``n_bits=None``
+    derives the width from the corpus count via ``adaptive_n_bits`` so
+    buckets hold ~``TARGET_BUCKET_ROWS`` rows and candidates grow
+    O(N·target).  The count is one cheap metadata-scale job at plan
+    time (pass ``n_rows`` to skip it).  Recall lost to narrower buckets
+    is recovered with ``n_tables`` INDEPENDENT hyperplane tables
+    OR-banded like ``minhash_bands`` (dedup.py): a pair is a candidate
+    if it collides in ANY table; duplicate hits dedup via a post-filter
+    ``distinct`` over the (tiny) surviving pair set.
+
+    ``n_salts`` splits each bucket's pair work across the cluster:
+    side *a* gets a deterministic salt, side *b* is replicated once per
+    salt, and the join key becomes (table, bucket, salt) — every
+    unordered pair still meets exactly once per colliding table, at
+    tables · 2^n_bits · n_salts-way parallelism.  Output:
+    (a_id, b_id, cosine) with a_id < b_id, one row per pair.
     """
+    if n_bits is None:
+        n = emb.count() if n_rows is None else n_rows
+        n_bits = adaptive_n_bits(n)
     v = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec"))
-    v = v.withColumn("bucket", hyperplane_bits(F.col("vec"), n_bits, dim)) \
-         .withColumn("nrm", l2_norm(F.col("vec")))
+    v = v.withColumn("nrm", l2_norm(F.col("vec"))).withColumn(
+        "tb",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).cast("int").alias("t"),
+                hyperplane_bits(F.col("vec"), n_bits, dim, seed=f"hp{t}").alias("bkt"),
+            )
+            for t in range(n_tables)
+        ])),
+    ).select("vid", "vec", "nrm", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
     a = v.select(F.col("vid").alias("a_id"), F.col("vec").alias("avec"),
-                 F.col("nrm").alias("anrm"), "bucket").withColumn(
+                 F.col("nrm").alias("anrm"), "t", "bkt").withColumn(
         "salt", F.pmod(F.xxhash64(F.col("a_id")), F.lit(n_salts))
     )
     b = v.select(F.col("vid").alias("b_id"), F.col("vec").alias("bvec"),
-                 F.col("nrm").alias("bnrm"), "bucket").withColumn(
+                 F.col("nrm").alias("bnrm"), "t", "bkt").withColumn(
         "salt",
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
     )
     return (
-        a.join(b, ["bucket", "salt"])
+        a.join(b, ["t", "bkt", "salt"])
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn(
             "cosine",
@@ -278,6 +324,7 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
+        .distinct()
     )
 
 

@@ -598,9 +598,12 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_emb_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed (dedup surface)."""
+    """Embedding-cosine near-dup pairs, LSH-bucketed (dedup surface).
+    Bucket width adapts to the corpus count (adaptive_n_bits) with
+    recall recovered by OR-banded independent hyperplane tables —
+    candidate volume O(N·TARGET_BUCKET_ROWS), not O(N²/2^const)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb, threshold=0.3, n_bits=4, dim=64)
+    return embedding_cosine_pairs(emb, threshold=0.3, dim=64)
 
 
 def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3190,17 +3193,17 @@ def _cosine_topk_sql(k: int = 5, decimals: int = 8) -> str:
     """
 
 
-def _hyperplane_proj_sql(vec: str, i: int, dim: int = 64) -> str:
+def _hyperplane_proj_sql(vec: str, i: int, dim: int = 64, seed: str = "hp") -> str:
     expr = "0.0"
     for j in range(dim):
-        w = hyperplane_weight(i, j)
+        w = hyperplane_weight(i, j, seed)
         expr = f"({expr} + CAST({vec}[{j + 1}] AS DOUBLE) * {w!r})"
     return expr
 
 
-def _bucket_sql(vec: str, n_bits: int = 4, dim: int = 64) -> str:
+def _bucket_sql(vec: str, n_bits: int = 4, dim: int = 64, seed: str = "hp") -> str:
     terms = [
-        f"CASE WHEN {_hyperplane_proj_sql(vec, i, dim)} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        f"CASE WHEN {_hyperplane_proj_sql(vec, i, dim, seed)} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for i in range(n_bits)
     ]
     return "(" + " + ".join(terms) + ")"
@@ -3232,18 +3235,45 @@ def _ann_lsh_sql(k: int = 5, n_bits: int = 4, dim: int = 64) -> str:
     """
 
 
-def _emb_cosine_pairs_sql(threshold: float = 0.3, n_bits: int = 4, dim: int = 64) -> str:
+def _emb_cosine_pairs_sql(threshold: float = 0.3, dim: int = 64) -> str:
+    """Mirror of the scale-adaptive multi-table embedding LSH
+    (operators.similarity.embedding_cosine_pairs): the effective bit
+    width is the same integer CASE ladder adaptive_n_bits computes,
+    each table's full MAX_LSH_BITS-bit bucket is masked down to the
+    effective width (bit i contributes 2^i, so the low-bit mask equals
+    computing only the first nb hyperplanes), and OR-banded candidates
+    dedup via DISTINCT over the surviving pairs."""
+    from .operators.similarity import (
+        MAX_LSH_BITS, N_LSH_TABLES, TARGET_BUCKET_ROWS,
+    )
+
+    ladder = " ".join(
+        f"WHEN n >= {TARGET_BUCKET_ROWS * (1 << b)} THEN {b}"
+        for b in range(MAX_LSH_BITS, 1, -1)
+    )
+    tables = " UNION ALL ".join(
+        f"""SELECT vec_id, embedding, nrm, {t} AS t,
+               ({_bucket_sql('embedding', MAX_LSH_BITS, dim, seed=f'hp{t}')})
+               & ((CAST(1 AS BIGINT) << nb) - 1) AS bkt
+            FROM v CROSS JOIN eff"""
+        for t in range(N_LSH_TABLES)
+    )
     return f"""
-        WITH v AS (
-          SELECT vec_id, embedding,
-                 {_norm_sql('embedding', dim)} AS nrm,
-                 {_bucket_sql('embedding', n_bits, dim)} AS bucket
+        WITH eff AS (
+          SELECT CASE {ladder} ELSE 1 END AS nb
+          FROM (SELECT COUNT(*) AS n FROM embeddings)
+        ),
+        v AS (
+          SELECT vec_id, embedding, {_norm_sql('embedding', dim)} AS nrm
           FROM embeddings
+        ),
+        tb AS ({tables}),
+        cand AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 8) AS cosine
+          FROM tb a JOIN tb b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               ROUND({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 8) AS cosine
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE ROUND({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 8) >= {threshold}
+        SELECT DISTINCT a_id, b_id, cosine FROM cand WHERE cosine >= {threshold}
     """
 
 
