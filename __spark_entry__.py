@@ -8,6 +8,15 @@ since round 6 the catalog has zero rows-only entries: the ML queries
 emit exact deterministic skeletons + invariant flags (training itself
 still runs; its outcome is hash-checked).  Implementation lives in
 ``recommendation_translation_spark.queries``.
+
+Note on the ml_* invariant flags (rmse_le_2x_label_sd,
+cost_le_total_ss, acc_ge_majority, auc_ge_half): these are
+measured-with-margin statistical envelopes, guarded for degenerate
+inputs (single-row sites, constant labels, single-class corpora flip
+to vacuous TRUE).  A flag turning False on new data therefore means a
+TRAINING-ENVELOPE violation (a genuinely bad fit on that
+distribution), not a Spark-vs-oracle engine mismatch — triage it as a
+model-quality signal, not a correctness bug.
 """
 
 from __future__ import annotations

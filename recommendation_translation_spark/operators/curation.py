@@ -335,14 +335,20 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
     by every weight ≤ 16 but exactness never depends on that).
 
     The per-source rank is a source-partitioned window (parallel
-    across sources; for a single pathologically dominant source, the
-    grouped two-pass in operators.ordering computes the same rank with
-    ``group_cols=[source]``).  The global mix_rank — the part that was
-    a single-reducer ``Window.orderBy`` — is the two-pass
-    range-partitioned formulation: no ``Exchange SinglePartition``
-    anywhere in the plan."""
-    from .ordering import range_partitioned_row_number
-
+    across sources).  The global ``mix_rank`` — row_number over
+    (vpos, source, id) — is computed in CLOSED FORM, not with a global
+    window or a two-pass range sort (round-6 verdict #6: the two-pass
+    machinery cost 3 jobs + a checkpoint of fixed overhead per run):
+    source positions ``p_k = (k−1)·SCALE div w`` are strictly
+    increasing per source, so the number of rows of source s′ ordered
+    before a given (vpos, source) is ``min(n_{s′},
+    (vpos·w′−1) div SCALE + 1)`` plus an exactly-expressible tie term
+    — a pure JVM expression over per-source row counts.  Those counts
+    are ONE bounded aggregate (source labels are a mixing config, not
+    user-scale data; collect is |sources| rows at any corpus size).
+    The only exchanges in the whole plan are the per-source window's
+    hash partition and the counts agg.  Sources must be non-null
+    (mixing labels)."""
     scale = 720720
     weight = F.lit(1)
     for k, v in sorted(weights.items()):
@@ -354,12 +360,42 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
         df.withColumn("_w", weight)
         .withColumn("_rn", rn)
         .withColumn("vpos", F.expr(f"(CAST(_rn AS BIGINT) - 1) * {scale} div _w"))
-        .drop("_rn", "_w")
     )
-    return range_partitioned_row_number(
-        out,
-        [F.col("vpos"), F.col(source_col), F.col(id_col)],
-        out_col="mix_rank",
+    # per-source row counts as a broadcast 1-row map — part of the SAME
+    # action (no driver collect, no extra job): at any corpus size this
+    # is a scan + bounded agg feeding a |sources|-entry broadcast
+    cnt_map = df.groupBy(F.col(source_col).alias("s")).agg(
+        F.count("*").alias("n")
+    ).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("s"), F.col("n")))
+        ).alias("cmap")
+    )
+    # weight of the map entry's source, as a literal CASE (config data)
+    wexpr = "CASE e.key " + "".join(
+        f"WHEN '{k.replace(chr(39), chr(39) * 2)}' THEN CAST({v} AS BIGINT) "
+        for k, v in sorted(weights.items())
+    ) + "ELSE CAST(1 AS BIGINT) END"
+    # how many of source e's strictly-increasing positions fall below
+    # my vpos (uncapped); the tie row (position == vpos) sorts before
+    # me iff its source name does
+    lt = (
+        f"(CASE WHEN vpos >= 1 THEN (vpos * ({wexpr}) - 1) div {scale} + 1 "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+    mix = F.expr(
+        f"CAST(_rn AS BIGINT) + aggregate(map_entries(cmap), "
+        f"CAST(0 AS BIGINT), (acc, e) -> acc + "
+        f"(CASE WHEN e.key = {source_col} THEN CAST(0 AS BIGINT) ELSE "
+        f"LEAST(e.value, {lt}) + "
+        f"(CASE WHEN e.key < {source_col} AND {lt} + 1 <= e.value "
+        f"AND ({lt} * {scale}) div ({wexpr}) = vpos "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) END))"
+    )
+    return (
+        out.crossJoin(F.broadcast(cnt_map))
+        .withColumn("mix_rank", mix)
+        .drop("_rn", "_w", "cmap")
     )
 
 

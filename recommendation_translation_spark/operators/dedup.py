@@ -41,6 +41,7 @@ __all__ = [
     "word_shingles",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "ngram_rep_edges",
     "minhash_signatures",
     "minhash_bands",
     "minhash_lsh_pairs",
@@ -150,6 +151,76 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def ngram_rep_edges(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate edges against shingle-bucket REPRESENTATIVES —
+    the group-shaped escape from pairwise enumeration (round-6 verdict
+    #3): each document is Jaccard-verified only against the smallest-id
+    document sharing each of its shingles, not against every co-shingle
+    partner.  Inside a K-clone duplicate group every member shares its
+    shingles with the group minimum, so the candidate set is K−1 star
+    edges where the pairwise join emits K(K−1)/2 — candidate volume is
+    Θ(N · distinct-reps-per-doc), linear in the corpus for any
+    duplication level.  The verified edges feed ``dup_clusters``
+    (curation.py) and one-representative-per-component selection.
+
+    The Jaccard itself is EXACT on the capped shingle sets (the same
+    ``max_doc_freq`` df-cap as ``ngram_jaccard_pairs``); what is
+    approximate is connectivity — two near-dups whose buckets are all
+    represented by an unrelated third document are not linked.  Use
+    ``ngram_jaccard_pairs`` as the exact-pairs audit variant.
+
+    Returns (a_id, b_id, jaccard), a_id < b_id (a_id is the rep).
+    """
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
+            "shingle", "left_anti",
+        )
+    sh = sh.cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    reps = sh.groupBy("shingle").agg(F.min(id_col).alias("rep"))
+    cand = (
+        sh.join(reps, "shingle")
+        .filter(F.col(id_col) > F.col("rep"))
+        .select(F.col("rep").alias("a_id"), F.col(id_col).alias("b_id"))
+        .distinct()
+    )
+    # exact capped-set intersection for the candidate pairs only:
+    # expand each pair by the rep's shingles, keep the ones the other
+    # side also holds — Θ(Σ_cand |S_rep|) rows, never an all-pairs join
+    sa = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sza = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    szb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sza, "a_id")
+        .join(szb, "b_id")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),

@@ -756,7 +756,11 @@ def q_ml_train_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ok,
                 fin,
                 fin and rmse < 1.0,
-                fin and sd is not None and rmse <= 2.0 * sd,
+                # degenerate guard (ADVICE r6 #2): a site with <2
+                # labeled rows has NULL sample sd, and zero sd means
+                # constant labels — the spread bound is vacuous there,
+                # not failed
+                fin and (sd is None or sd == 0.0 or rmse <= 2.0 * sd),
             )
         )
     return spark.createDataFrame(
@@ -2035,6 +2039,99 @@ def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_dir(name: str, sf_dir: str) -> str:
+    """Addressable per-(query, sf) scratch dir under /tmp, CLEARED at
+    the start of each invocation (round-6 ADVICE #3: mkdtemp leaked a
+    full artifact tree per bench/parity run).  Later invocations
+    overwrite the same path, so nothing accumulates across runs."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_runs",
+        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+def q_pysource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource WRITER driver row (round-6 verdict #8): the
+    per-priority orders rollup is written through the two-phase-commit
+    jsonl writer (sources.pysource._JsonlTwoPhaseWriter — tasks stage
+    private files, only the driver's commit() publishes them + a
+    _SUCCESS marker), then read BACK from the published files and
+    returned.  The oracle recomputes the rollup straight from orders,
+    so a lost row, a double-published staging file, or a botched
+    rename all hash-mismatch; the _SUCCESS marker rides as a checked
+    flag."""
+    import os
+
+    from .sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    d = _run_dir("pysource_write", sf_dir)
+    out = os.path.join(d, "out")
+    rollup = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+    rollup.write.format("synthetic_events").mode("append").save(out)
+    back = (
+        spark.read.schema(
+            "o_orderpriority string, n_orders long, total_cents long"
+        )
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out)
+    )
+    return back.withColumn(
+        "committed", F.lit(os.path.exists(os.path.join(out, "_SUCCESS")))
+    )
+
+
+def q_parquet_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-parquet sink driver row (round-6 verdict #8): orders
+    is written through sources.writers.write_parquet with
+    ``partition_by=o_orderpriority`` (S5/S7 — the layout that buys
+    partition pruning downstream), read back with a single-partition
+    filter, and rolled up per month.  The oracle computes the same
+    rollup from the unpartitioned source, so partition-value mangling,
+    row loss in the sink, or a filter that reads the wrong partition
+    all hash-mismatch.  The pruning itself (only the one partition
+    directory scanned) is asserted plan-side in pytest."""
+    import os
+
+    from .sources.writers import write_parquet
+
+    d = _run_dir("parquet_prune", sf_dir)
+    out = os.path.join(d, "orders_by_prio")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_parquet(orders, out, partition_by=["prio"])
+    back = spark.read.parquet(out).filter(F.col("prio") == "1-URGENT")
+    return back.groupBy(
+        F.col("prio").cast("string").alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.min("o_orderkey").alias("min_orderkey"),
+    )
+
+
 def q_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 RandomForest feature importances per site, mapped back to
     feature-column names — the model-inspection surface of the ML
@@ -2214,7 +2311,12 @@ def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = model.summary.clusterSizes
     cost = float(model.summary.trainingCost)
     sizes_ok = sum(int(s) for s in sizes) == n_points
-    cost_ok = math.isfinite(cost) and 0.0 <= cost <= total_ss
+    # degenerate guard (ADVICE r6 #2): identical points give total_ss≈0
+    # where float noise could put cost a hair above it — the k=1 bound
+    # is vacuous, not failed
+    cost_ok = math.isfinite(cost) and 0.0 <= cost and (
+        total_ss <= 0.0 or cost <= total_ss
+    )
     rows = [
         (
             ci,
@@ -2332,12 +2434,16 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     data.unpersist()
     pred.unpersist()
     majority = max(agg.n_weak_keep, agg.n_scored - agg.n_weak_keep)
+    # degenerate guard (ADVICE r6 #2): on a single-class corpus both
+    # flags assert nothing (majority baseline = perfect; AUC already
+    # defaults) — vacuous TRUE, not a training-envelope failure
+    single_class = not (u_row.n_pos and u_row.n_neg)
     return spark.createDataFrame(
         [
             (
                 int(agg.n_scored),
                 int(agg.n_weak_keep),
-                int(agg.n_correct) >= majority,
+                single_class or int(agg.n_correct) >= majority,
                 float(auc) >= 0.5,
             )
         ],
@@ -2508,10 +2614,39 @@ def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate resolution: drop every document dominated by an
-    n-gram-Jaccard pair partner of higher quality (longer text; id
-    tie-break).  The corpus is LEFT-ANTI filtered by a broadcast of
-    the tiny dominated set — facts never shuffle."""
+    """Near-duplicate resolution, GROUP-shaped (round-6 verdict #3):
+    star edges against shingle-bucket representatives
+    (dedup.ngram_rep_edges — Θ(N) candidates at any duplication level)
+    → connected components (curation.dup_clusters, pointer jumping) →
+    keep ONE best document per component (longest text; id tie-break).
+    Unclustered documents keep themselves.  Only a narrow
+    (doc_id, q_len, cluster) relation ever shuffles — never the text.
+    ``corpus_keep_best_pairs`` is the exact-pairwise audit variant."""
+    from .operators.curation import dup_clusters
+    from .operators.dedup import ngram_rep_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_rep_edges(docs, n=3, threshold=0.05)
+    clusters = dup_clusters(edges)
+    narrow = docs.select("doc_id", F.length("text").cast("long").alias("q_len"))
+    labeled = narrow.join(clusters, "doc_id", "left").withColumn(
+        "cl", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    w = Window.partitionBy("cl").orderBy(F.col("q_len").desc(), F.col("doc_id"))
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "q_len")
+    )
+
+
+def q_corpus_keep_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-pairwise keep-best (the AUDIT variant of corpus_keep_best):
+    drop every document dominated by an n-gram-Jaccard pair partner of
+    higher quality (longer text; id tie-break).  The corpus is
+    LEFT-ANTI filtered by a broadcast of the tiny dominated set — facts
+    never shuffle.  Pair enumeration is Θ(K²) per K-clone group, so on
+    a duplication-heavy corpus prefer the group-shaped default."""
     from .operators.curation import keep_best_per_pair
 
     docs = _t(spark, sf_dir, "documents")
@@ -4265,7 +4400,54 @@ ORACLES["corpus_interleave"] = """
     FROM v
 """
 
+# Shared CTE block mirroring dedup.ngram_rep_edges + curation.dup_clusters:
+# df-capped shingles → per-shingle min-id representative → star
+# candidates → exact capped-set Jaccard verify → transitive closure
+# (recursive CTE; fine at oracle scale — the SPARK side runs pointer
+# jumping) → (doc_id, cluster_id = min reachable).  Used by
+# corpus_keep_best and corpus_dedup_report.
+_REP_CLUSTER_CTES = f"""
+    sh0 AS ({_SHINGLES_SQL}),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+           JOIN freq ON sh0.shingle = freq.shingle WHERE freq.df <= 1000),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    reps AS (SELECT shingle, MIN(doc_id) AS rep FROM sh GROUP BY shingle),
+    cand AS (SELECT DISTINCT r2.rep AS a_id, s.doc_id AS b_id
+             FROM sh s JOIN reps r2 ON s.shingle = r2.shingle
+             WHERE s.doc_id > r2.rep),
+    inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+              FROM cand c JOIN sh a ON a.doc_id = c.a_id
+                          JOIN sh b ON b.doc_id = c.b_id
+                                   AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    vedges AS (SELECT i.a_id, i.b_id FROM inter i
+               JOIN sizes sa ON i.a_id = sa.doc_id
+               JOIN sizes sb ON i.b_id = sb.doc_id
+               WHERE ROUND(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter),
+                           6) >= 0.05),
+    e AS (SELECT a_id AS u, b_id AS v FROM vedges
+          UNION SELECT b_id, a_id FROM vedges),
+    r(u, v) AS (SELECT u, v FROM e
+                UNION
+                SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+    labels AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+               FROM r GROUP BY u)
+"""
+
 ORACLES["corpus_keep_best"] = f"""
+    WITH RECURSIVE {_REP_CLUSTER_CTES},
+    q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q_len FROM documents),
+    lab AS (SELECT q.doc_id, q.q_len, COALESCE(l.cluster_id, q.doc_id) AS cl
+            FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id)
+    SELECT doc_id, q_len FROM (
+      SELECT doc_id, q_len,
+             ROW_NUMBER() OVER (PARTITION BY cl ORDER BY q_len DESC, doc_id) AS rn
+      FROM lab)
+    WHERE rn = 1
+"""
+
+ORACLES["corpus_keep_best_pairs"] = f"""
     WITH sh0 AS ({{shingles}}),
     freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
     sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
@@ -4499,6 +4681,27 @@ ORACLES["pysource_scan"] = """
 
 # the streaming form emits the identical relation — same oracle
 ORACLES["pysource_stream"] = ORACLES["pysource_scan"]
+
+ORACLES["pysource_write_roundtrip"] = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           TRUE AS committed
+    FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["parquet_prune_roundtrip"] = """
+    SELECT o_orderpriority AS prio,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           MIN(o_orderkey) AS min_orderkey
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1, 2
+"""
 
 ORACLES["events_transitions"] = """
     WITH seq AS (
@@ -5047,38 +5250,41 @@ def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline summary — the per-stage dataset-card a
     curation run prints: corpus size, distinct normalized contents,
-    exact-duplicate rows to drop, n-gram near-dup pairs, and documents
-    dominated by a better near-dup (the keep-best drop set).
+    exact-duplicate rows to drop, near-dup component count, documents
+    in components, and the keep-one-per-component drop set size.
 
-    One row, ONE lazily-built plan: each stage collapses to a 1-row
-    scalar aggregate and the scalars fold together with broadcast cross
-    joins (the decorrelated-scalar-subquery shape) — no driver-side
-    counts, so the driver/bench materializes everything in a single
-    action."""
+    GROUP-shaped (round-6 verdict #3): near-dup structure is reported
+    as connected components over star edges against shingle-bucket
+    representatives (dedup.ngram_rep_edges → curation.dup_clusters) —
+    Θ(N + groups), never the Θ(K² per group) pair enumeration a
+    duplication-heavy corpus explodes under.  The exact pairwise audit
+    lives in corpus_keep_best_pairs / dedup_ngram_capped.
+
+    One row; the scalars fold together with broadcast cross joins (the
+    decorrelated-scalar-subquery shape) — no driver-side counts."""
     docs = _t(spark, sf_dir, "documents")
-    from .operators.curation import keep_best_per_pair
+    from .operators.curation import dup_clusters
+    from .operators.dedup import ngram_rep_edges
 
     exact = dedup_exact(docs)
-    # the pair set is consumed twice (its own count + the keep-best
-    # anti-join) — materialize the small relation once instead of
-    # re-running the shingle self-join per consumer
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05).localCheckpoint()
-    with_q = docs.withColumn("q_len", F.length("text").cast("long"))
-    kept = keep_best_per_pair(with_q, pairs, "q_len")
+    edges = ngram_rep_edges(docs, n=3, threshold=0.05)
+    clusters = dup_clusters(edges)
     s_docs = docs.agg(F.count("*").alias("n_docs"))
     s_contents = exact.agg(F.count("*").alias("n_distinct_contents"))
-    s_pairs = pairs.agg(F.count("*").alias("n_near_pairs"))
-    s_kept = kept.agg(F.count("*").alias("n_kept"))
+    s_cl = clusters.agg(
+        F.countDistinct("cluster_id").alias("n_dup_clusters"),
+        F.count("*").alias("n_clustered_docs"),
+    )
     return (
         s_docs.crossJoin(F.broadcast(s_contents))
-        .crossJoin(F.broadcast(s_pairs))
-        .crossJoin(F.broadcast(s_kept))
+        .crossJoin(F.broadcast(s_cl))
         .select(
             "n_docs",
             "n_distinct_contents",
             (F.col("n_docs") - F.col("n_distinct_contents")).alias("n_exact_dup_rows"),
-            "n_near_pairs",
-            (F.col("n_docs") - F.col("n_kept")).alias("n_dominated"),
+            "n_dup_clusters",
+            "n_clustered_docs",
+            (F.col("n_clustered_docs") - F.col("n_dup_clusters")).alias("n_dominated"),
         )
     )
 
@@ -5104,42 +5310,21 @@ ORACLES["lineitem_price_histogram"] = """
     GROUP BY 1
 """
 
-ORACLES["corpus_dedup_report"] = """
-    WITH norm AS (
+ORACLES["corpus_dedup_report"] = f"""
+    WITH RECURSIVE {_REP_CLUSTER_CTES},
+    norm AS (
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-      FROM documents),
-    sh0 AS ({shingles}),
-    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
-    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
-           JOIN freq ON sh0.shingle = freq.shingle WHERE freq.df <= 1000),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a_id, b_id FROM (
-        SELECT i.a_id, i.b_id,
-               ROUND(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS j
-        FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle
-                                 AND a.doc_id < b.doc_id
-              GROUP BY 1, 2) i
-        JOIN sizes sa ON i.a_id = sa.doc_id
-        JOIN sizes sb ON i.b_id = sb.doc_id)
-      WHERE j >= 0.05),
-    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-              UNION ALL SELECT b_id, a_id FROM pairs),
-    q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS ql FROM documents),
-    dominated AS (
-      SELECT DISTINCT e.u AS doc_id
-      FROM edges e JOIN q qu ON e.u = qu.doc_id
-                   JOIN q qv ON e.v = qv.doc_id
-      WHERE qv.ql > qu.ql OR (qv.ql = qu.ql AND e.v < e.u))
+      FROM documents)
     SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
            (SELECT COUNT(DISTINCT fp) FROM norm) AS n_distinct_contents,
            (SELECT COUNT(*) FROM documents)
              - (SELECT COUNT(DISTINCT fp) FROM norm) AS n_exact_dup_rows,
-           (SELECT COUNT(*) FROM pairs) AS n_near_pairs,
-           (SELECT COUNT(*) FROM dominated) AS n_dominated
-""".format(shingles=_SHINGLES_SQL)
+           (SELECT COUNT(DISTINCT cluster_id) FROM labels) AS n_dup_clusters,
+           (SELECT COUNT(*) FROM labels) AS n_clustered_docs,
+           (SELECT COUNT(*) FROM labels)
+             - (SELECT COUNT(DISTINCT cluster_id) FROM labels) AS n_dominated
+"""
 
 
 ORACLES["corpus_pack_sequences"] = f"""
@@ -6031,11 +6216,11 @@ def q_pipeline_e2e_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride under a finiteness flag.  This is the one catalog entry that
     exercises stage gating, the run-dir artifact layout, model
     save/load paths and the CSV sink TOGETHER, not as pieces."""
-    import tempfile
-
     from .cli import Params, run as cli_run
 
-    d = tempfile.mkdtemp(prefix="pipeline_e2e_")
+    # addressable scratch tree, cleared per invocation (ADVICE r6 #3:
+    # mkdtemp left a full artifact tree in /tmp per bench/parity run)
+    d = _run_dir("pipeline_e2e", sf_dir)
     lt = long_table(spark, sf_dir)
     site_idx = (
         F.when(F.col("site") == SITES[0], 0)
@@ -6565,6 +6750,7 @@ QUERIES = {
     "events_ewma": _qa.q_events_ewma,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "corpus_keep_best": q_corpus_keep_best,
+    "corpus_keep_best_pairs": q_corpus_keep_best_pairs,
     "corpus_dedup_report": q_corpus_dedup_report,
     "events_sketch_stats": q_events_sketch_stats,
     "events_approx_stats": q_events_approx_stats,
@@ -6656,6 +6842,8 @@ QUERIES = {
     "lineitem_yearly_growth": q_lineitem_yearly_growth,
     "events_trimmed_mean": q_events_trimmed_mean,
     "pysource_scan": q_pysource_scan,
+    "pysource_write_roundtrip": q_pysource_write_roundtrip,
+    "parquet_prune_roundtrip": q_parquet_prune_roundtrip,
     "ingest_join": q_ingest_join,
     "nation_revenue_share": q_nation_revenue_share,
     "tpch_q14_promo": q_tpch_q14_promo,
@@ -6679,5 +6867,72 @@ QUERIES = {
     "customer_rfm": _qa.q_customer_rfm,
     "orders_snapshot_diff": _qa.q_orders_snapshot_diff,
     "pricing_decimal_exact": _qa.q_pricing_decimal_exact,
+}
+
+# -- Round-7 driver window (round-6 verdict #1): the ~50 entries below
+# lead ``queries()`` so the driver's correctness window covers (a) the
+# queries added or rewritten this round (no green signal yet), (b) all
+# 41 catalog queries whose latest driver hash predates round 4 — after
+# this sweep every query's hard signal postdates the r4-r5 refactors —
+# and (c) the ML queries whose invariant flags gained degenerate-input
+# guards (ADVICE r6 #2).  Relative order of everything else is kept. --
+_R7_WINDOW = [
+    # (a) new / rewritten in round 7
+    "dedup_emb_cosine",          # scale-adaptive multi-table LSH
+    "corpus_keep_best",          # group-shaped (star edges + CC)
+    "corpus_keep_best_pairs",    # new audit variant
+    "corpus_dedup_report",       # group-shaped report
+    "pysource_write_roundtrip",  # new: two-phase-commit writer row
+    "parquet_prune_roundtrip",   # new: partitioned-sink row
+    "corpus_interleave",         # closed-form mix_rank rewrite
+    # (b) stale r2/r3 rows (latest driver hash predates round 4)
+    "count_by_site",
+    "distinct_sites",
+    "exists_filter",
+    "feature_unpivot",
+    "pricing_summary_sql",
+    "suffix_filter_rewrite",
+    "tpch_q5_regional",
+    "basket_part_pairs",
+    "corpus_blocklist",
+    "corpus_contamination",
+    "corpus_token_budget",
+    "customer_semi_anti",
+    "dedup_ngram_capped",
+    "dedup_simhash_pairs",
+    "doc_array_funcs",
+    "events_funnel",
+    "events_json_props",
+    "events_resample_interp",
+    "events_transitions",
+    "events_user_lag",
+    "events_zscore_outliers",
+    "lineitem_price_histogram",
+    "lineitem_skew_profile",
+    "lineitem_stats",
+    "nation_set_ops",
+    "orders_above_cust_avg",
+    "orders_cohort_retention",
+    "orders_salted_join",
+    "pricing_cube",
+    "pricing_rollup",
+    "pysource_stream",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q22_acctbal",
+    "tpch_q2_min_cost",
+    "tpch_q4_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume",
+    "tpch_q8_share",
+    "tpch_q9_profit",
+    # (c) ml flag queries with new degenerate-input guards
+    "ml_train_rmse",
+    "emb_kmeans_centroids",
+    "doc_quality_classifier",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_WINDOW)},
 }
 

