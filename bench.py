@@ -4,8 +4,17 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+    {"metric": "sum_query_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1, "schema_version": 2}
+
+Schema v2 (round-6 ADVICE #1): the headline key is named for what it
+measures — ``sum_query_sec`` is the sum of recorded per-query times
+(each possibly the min of two runs under the quiet-host protocol);
+``loop_wall_sec`` is the raw loop wall clock including re-measures.
+v1 sidecars called the former ``total_wall_sec``, silently changing
+its meaning when the quiet-host protocol landed — do not compare a v1
+``total_wall_sec`` against a v2 ``sum_query_sec`` without noting the
+definitions.
 
 Each query is materialized with ``df.count()`` (full plan execution,
 no driver-side collect of the payload).  BASELINE.md records the first
@@ -163,7 +172,7 @@ def main() -> int:
             reruns.append(name)
             print(f"# re-measured {name}: {t}s -> {timings[name]}s "
                   f"(prior {ref})", file=sys.stderr)
-    # total_wall_sec = SUM OF RECORDED PER-QUERY TIMES, not the loop's
+    # sum_query_sec = SUM OF RECORDED PER-QUERY TIMES, not the loop's
     # wall clock: the quiet-host protocol executes flagged queries a
     # second time inside the loop, and rounds that add many new queries
     # (all best-of-2) would otherwise inflate the headline relative to
@@ -187,8 +196,8 @@ def main() -> int:
         }
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_QUERIES.json"), "w") as fh:
-            json.dump({"total_wall_sec": total, "loop_wall_sec": loop_wall,
-                       "sf": sf,
+            json.dump({"sum_query_sec": total, "loop_wall_sec": loop_wall,
+                       "schema_version": 2, "sf": sf,
                        "queries": timings, "remeasured": sorted(reruns),
                        "best": best},
                       fh, indent=1, sort_keys=True)
@@ -198,9 +207,11 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "total_wall_sec",
+                "metric": "sum_query_sec",
                 "value": total,
                 "unit": "sec",
+                "loop_wall_sec": loop_wall,
+                "schema_version": 2,
                 "queries": dict(sorted(timings.items())),
                 "remeasured": sorted(reruns),
                 "sf": sf,

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Per-round sf1 regression fence (round-6 verdict #4): the 28-query
+expensive panel, promoted from a one-shot curve (SCALE.md round 6) to a
+repeatable sidecar with the quiet-host best-of protocol and a 2x guard.
+
+Protocol:
+- data: ``tools_gen_scale_data.py`` tiles /root/testdata/sf0.1 to sf1
+  (run it first; default location /tmp/scaledata/sf1);
+- one timed run per query in sorted order after the same shape warmup
+  bench.py uses; any query measuring > 1.5x its reference (or > 2x,
+  the guard bound) is re-run once and the min recorded — co-tenant CPU
+  bursts don't fail the fence, real regressions reproduce;
+- reference: ``BENCH_SF1_BASELINE.json`` (seeded from the round-6
+  SCALE.md curve, post-ANN-panel-fix values; overwritten only
+  deliberately).  A query > 2x its reference is a FENCE VIOLATION,
+  listed in the output JSON and on stderr;
+- output: ``BENCH_sf1.json`` at the repo root — commit it per round
+  (the driver's own bench stays sf0.1).
+
+Usage: python tools_bench_sf1.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata/sf1"
+    if not os.path.isdir(sf_dir):
+        print(f"missing {sf_dir}: run tools_gen_scale_data.py first",
+              file=sys.stderr)
+        return 1
+    with open(os.path.join(REPO, "BENCH_SF1_BASELINE.json")) as fh:
+        baseline = json.load(fh)["queries"]
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from recommendation_translation_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench_sf1")
+    # same warmup as bench.py: JVM + page cache + dominant plan shapes
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "customer", "events", "documents",
+              "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
+
+    qmap = entry_mod.queries()
+    timings: dict[str, float] = {}
+    violations: list[str] = []
+    reruns: list[str] = []
+    for name in sorted(baseline):
+        if name not in qmap:
+            print(f"# panel query {name} missing from catalog", file=sys.stderr)
+            timings[name] = -1.0
+            violations.append(name)
+            continue
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as exc:
+            timings[name] = -1.0
+            violations.append(name)
+            msg = " ".join(str(exc).split())[:200]
+            print(f"# FAILED {name}: {msg}", file=sys.stderr)
+            continue
+        t = round(time.perf_counter() - t0, 2)
+        ref = baseline[name]
+        if t > 1.5 * ref:
+            t1 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                t = min(t, round(time.perf_counter() - t1, 2))
+            except Exception:
+                pass
+            reruns.append(name)
+        timings[name] = t
+        status = "VIOLATION" if t > 2.0 * ref else "ok"
+        if status == "VIOLATION":
+            violations.append(name)
+        print(f"# {name}: {t}s (ref {ref}s, rows={n}) {status}",
+              file=sys.stderr)
+    out = {
+        "sf": 1.0,
+        "schema_version": 2,
+        "sum_query_sec": round(sum(v for v in timings.values() if v > 0), 2),
+        "queries": timings,
+        "remeasured": sorted(reruns),
+        "violations_2x": sorted(violations),
+    }
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps(out, separators=(",", ":")))
+    return 0 if not violations else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,9 +18,12 @@ exactly that growth law:
 - document TEXT repeats (vocabulary stays fixed), so corpus-level
   duplication stays high — the regime the driver's fixed-vocab corpus
   is already in;
-- embeddings are perturbed by a per-replica (1 + i·1e-3) component
-  scale so replicas are near- but not exact-duplicates (cosine
-  structure preserved, degenerate exact ties avoided);
+- embeddings are perturbed PER-COMPONENT by a deterministic
+  (replica, position)-dependent epsilon (round-6 ADVICE #4: a single
+  per-replica scalar left every replica collinear with its source, so
+  cosine ties survived 4-decimal rounding) — replica vectors are
+  near- but genuinely not collinear duplicates (cosine structure
+  preserved, degenerate exact ties avoided);
 - region/nation are fixed dimensions and copy through.
 
 Output layout mirrors /root/testdata: one parquet FILE per table, so
@@ -67,19 +70,23 @@ def _replica(tbl: pa.Table, name: str, i: int) -> pa.Table:
         if off:
             col = pc.add(col, pa.scalar(i * off, type=field.type))
         elif name == "embeddings" and field.name == "embedding" and i:
-            scale = 1.0 + i * 1e-3
-            flat = pc.multiply(pc.list_flatten(col), scale)
+            import numpy as np
+
+            chunk = col.combine_chunks()
+            offsets = chunk.offsets
+            flat = pc.list_flatten(chunk).to_numpy(zero_copy_only=False)
+            # per-(replica, position) epsilon in ±i·1e-3: position runs
+            # over the flattened values, so no two components of a
+            # vector scale identically and the replica is NOT a scalar
+            # multiple of its source (cosine < 1 by a real margin)
+            pos = np.arange(flat.shape[0], dtype=np.int64)
+            eps = ((pos * 2654435761 + i * 97) % 2001 - 1000) / 1000.0
+            flat = flat * (1.0 + i * 1e-3 * eps)
             col = pa.chunked_array(
                 [
                     pa.ListArray.from_arrays(
-                        chunk.combine_chunks().offsets
-                        if isinstance(chunk, pa.ChunkedArray)
-                        else chunk.offsets,
-                        flat.combine_chunks().cast(pa.float32())
-                        if isinstance(flat, pa.ChunkedArray)
-                        else flat.cast(pa.float32()),
+                        offsets, pa.array(flat).cast(pa.float32())
                     )
-                    for chunk in [col.combine_chunks()]
                 ]
             )
         cols.append(col)
