@@ -71,7 +71,15 @@ def pagerank_integer(
         return nodes.withColumn("rank_int", F.lit(0).cast("long"))
     base = scale // n
     teleport = (100 - damping_pct) * base // 100
-    out_w = edges.groupBy(src).agg(F.sum(weight).alias("w_out"))
+    # One row per SOURCE NODE — domain-bounded for the graphs this
+    # engine builds (parts, users, hosts), so broadcast it EXPLICITLY:
+    # at sf1 (200k sources) AQE broadcasts on its own size estimate,
+    # but at sf3 (600k) the estimate crosses the 10 MB default and the
+    # plan silently degrades to a sort-merge join that sorts the full
+    # edge relation (measured 3.1 s → 25.5 s for 3x data, the round-7
+    # sf3 curve's one superlinear cliff).  Billion-node webgraphs
+    # should drop the hint and pay the shuffled join.
+    out_w = F.broadcast(edges.groupBy(src).agg(F.sum(weight).alias("w_out")))
     # Static per-iteration inputs: materialize once, reuse n_iter times,
     # PRE-PARTITIONED on their join keys.  localCheckpoint preserves the
     # physical partitioning, and the rank relation exits each iteration

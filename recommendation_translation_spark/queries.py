@@ -675,6 +675,29 @@ def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip, hash-gated (round-6 verdict #7): every
+    document becomes a well-formed grayscale PNG (stdlib zlib+CRC
+    encoder, dimensions closed-form in doc_id), then ``best_decoder()``
+    — the container-header parser here, PIL where available — re-reads
+    (width, height, mode) from the actual byte structure.  The oracle
+    states the same dims in SQL, so a hash match proves the encoder
+    emitted and the parser recovered the true container metadata for
+    every row; n_bytes is zlib-dependent and deliberately excluded.
+    Parser errors on any payload fail the whole query (no fake
+    fallback)."""
+    from .operators.multimodal import attach_png_media, best_decoder
+
+    media = attach_png_media(_t(spark, sf_dir, "documents"))
+    out = decode_image_meta(media, decoder=best_decoder())
+    return out.select(
+        "sample_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mode",
+    )
+
+
 # ---------------------------------------------------------------------------
 # ML pipeline (rows-only checks — RF internals aren't SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -3797,6 +3820,16 @@ ORACLES: dict[str, str] = {
                'RGB' AS mode
         FROM documents
     """,
+    # mm_decode_png: dims are closed-form in doc_id by construction
+    # (attach_png_media), so SQL can assert what the real PNG
+    # encode->header-parse round trip must recover.
+    "mm_decode_png": """
+        SELECT doc_id AS sample_id,
+               CAST(1 + doc_id % 64 AS BIGINT) AS width,
+               CAST(1 + (doc_id // 64) % 64 AS BIGINT) AS height,
+               'L' AS mode
+        FROM documents
+    """,
     # events_stream_tumbling shares the tumbling oracle — the streaming
     # replay must converge to the batch relation.
     "events_stream_tumbling": """
@@ -6720,6 +6753,7 @@ QUERIES = {
     "feature_pivot": q_feature_pivot,
     "median_crossing": q_median_crossing,
     "mm_decode_meta": q_mm_decode_meta,
+    "mm_decode_png": q_mm_decode_png,
     "mm_media_meta": q_mm_media_meta,
     "predictions_fold": q_predictions_fold,
     "pricing_summary": q_pricing_summary,
@@ -6885,6 +6919,7 @@ _R7_WINDOW = [
     "pysource_write_roundtrip",  # new: two-phase-commit writer row
     "parquet_prune_roundtrip",   # new: partitioned-sink row
     "corpus_interleave",         # closed-form mix_rank rewrite
+    "mm_decode_png",             # new: real PNG encode->parse round trip
     # (b) stale r2/r3 rows (latest driver hash predates round 4)
     "count_by_site",
     "distinct_sites",

@@ -199,13 +199,15 @@ def test_doc_array_funcs_blank_and_empty_docs(spark, tmp_path):
 
 
 def test_best_decoder_selects_available_path(spark):
-    # no Pillow in this container -> deterministic stand-in; with PIL
-    # installed the same call sites get the real decode transparently
+    # best_decoder always picks a REAL tier: PIL full decode when
+    # importable, the container-header parser otherwise — and the
+    # chosen decoder recovers true dimensions from genuine PNG media
+    # end-to-end through the mapInPandas plumbing.
     from recommendation_translation_spark.operators.multimodal import (
-        attach_fake_media,
+        attach_png_media,
         best_decoder,
         decode_image_meta,
-        fake_decode_image,
+        header_decode_image,
         real_decode_image,
     )
 
@@ -215,11 +217,14 @@ def test_best_decoder_selects_available_path(spark):
 
         assert dec is real_decode_image
     except ImportError:
-        assert dec is fake_decode_image
+        assert dec is header_decode_image
 
-    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
-    out = decode_image_meta(attach_fake_media(docs), decoder=dec).collect()
-    assert len(out) == 1 and out[0].width > 0 and out[0].height > 0
+    docs = spark.createDataFrame([(5, "x"), (130, "y")], "doc_id long, text string")
+    out = {r.sample_id: r for r in
+           decode_image_meta(attach_png_media(docs), decoder=dec).collect()}
+    # width = 1 + id%64, height = 1 + (id//64)%64 by construction
+    assert (out[5].width, out[5].height, out[5].mode) == (6, 1, "L")
+    assert (out[130].width, out[130].height) == (3, 3)
 
 
 # ---------------------------------------------------------------------------
@@ -350,14 +355,18 @@ def test_ngram_rep_edges_star_shape(spark):
 
 
 def test_real_decoder_contract():
-    """Round-6 verdict #7 asked to pin the real decoder in CI; Pillow
-    cannot be installed in this container (no pip), so the contract is
-    pinned BOTH ways: with PIL the real path must decode an actual
-    image; without it the real path must fail loudly (never silently
-    fall back) — best_decoder is the only sanctioned fallback point."""
+    """Round-6 verdict #7: pin which decoder actually runs.  Pillow
+    cannot be installed here (no pip), so the real tier below PIL is
+    ``header_decode_image`` — a genuine container parser — and
+    ``best_decoder`` must select a REAL tier on every environment,
+    never the digest stand-in.  With PIL the full-decode path is
+    additionally exercised on an actual image."""
     import pytest
 
     from recommendation_translation_spark.operators.multimodal import (
+        best_decoder,
+        fake_decode_image,
+        header_decode_image,
         real_decode_image,
     )
 
@@ -367,7 +376,11 @@ def test_real_decoder_contract():
         have_pil = True
     except ImportError:
         have_pil = False
+
+    chosen = best_decoder()
+    assert chosen is not fake_decode_image
     if have_pil:
+        assert chosen is real_decode_image
         # minimal valid 1x1 red PNG
         png = bytes.fromhex(
             "89504e470d0a1a0a0000000d4948445200000001000000010802000000"
@@ -377,5 +390,67 @@ def test_real_decoder_contract():
         w, h, mode = real_decode_image(png)
         assert (w, h) == (1, 1) and mode in ("RGB", "RGBA", "P")
     else:
+        assert chosen is header_decode_image
         with pytest.raises(NotImplementedError):
             real_decode_image(b"not-an-image")
+
+
+def test_header_decoder_parses_real_containers():
+    """header_decode_image reads true dimensions from each container's
+    actual byte structure — PNG IHDR, JPEG SOFn behind a marker walk,
+    GIF screen descriptor, BMP info header (negative = top-down) — and
+    rejects non-image bytes instead of inventing dimensions."""
+    import struct
+
+    import pytest
+
+    from recommendation_translation_spark.operators.multimodal import (
+        header_decode_image,
+    )
+
+    jpeg = (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 2
+    )
+    assert header_decode_image(jpeg) == (640, 480, "RGB")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 3
+    assert header_decode_image(gif) == (320, 200, "P")
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 20
+    assert header_decode_image(bmp) == (800, 600, "RGB")
+    with pytest.raises(ValueError):
+        header_decode_image(b"hello world, definitely text")
+
+
+def test_encode_png_is_well_formed_and_round_trips():
+    """encode_png emits spec-valid PNGs: every chunk CRC verifies, the
+    IDAT inflates to exactly height*(1+width) filter-0 scanline bytes,
+    and the header parser recovers the encoded dimensions — provable
+    without any image library.  Pixel bytes follow the documented
+    (seed + 31*y + x) mod 256 law."""
+    import struct
+    import zlib
+
+    from recommendation_translation_spark.operators.multimodal import (
+        encode_png,
+        header_decode_image,
+    )
+
+    for (w, h, s) in [(1, 1, 0), (64, 64, 255), (17, 3, 7), (640, 480, 42)]:
+        png = encode_png(w, h, seed=s)
+        assert header_decode_image(png) == (w, h, "L")
+        i, idat = 8, b""
+        while i < len(png):
+            ln = struct.unpack(">I", png[i : i + 4])[0]
+            tag, body = png[i + 4 : i + 8], png[i + 8 : i + 8 + ln]
+            crc = struct.unpack(">I", png[i + 8 + ln : i + 12 + ln])[0]
+            assert zlib.crc32(tag + body) & 0xFFFFFFFF == crc
+            if tag == b"IDAT":
+                idat += body
+            i += 12 + ln
+    raw = zlib.decompress(idat)
+    assert len(raw) == 480 * (1 + 640)
+    # scanline 2 of the last image: filter byte then the pixel law
+    row = raw[2 * 641 : 3 * 641]
+    assert row[0] == 0 and row[1] == (42 + 31 * 2) & 0xFF
