@@ -296,35 +296,59 @@ def embedding_cosine_pairs(
         n = emb.count() if n_rows is None else n_rows
         n_bits = adaptive_n_bits(n)
     v = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec"))
-    v = v.withColumn("nrm", l2_norm(F.col("vec"))).withColumn(
-        "tb",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(t).cast("int").alias("t"),
-                hyperplane_bits(F.col("vec"), n_bits, dim, seed=f"hp{t}").alias("bkt"),
-            )
-            for t in range(n_tables)
-        ])),
-    ).select("vid", "vec", "nrm", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+    # Every row carries ALL table buckets (bkt0..bktT-1, one int each)
+    # so a pair colliding in several tables can be claimed by its FIRST
+    # colliding table alone — the exact cosine is then computed once
+    # per candidate pair instead of once per collision, and the final
+    # distinct disappears (each unordered pair meets exactly once by
+    # construction).  True near-dups collide in every table, so the
+    # naive per-table enumeration did double (n_tables×) work exactly
+    # on the rows that survive the threshold.  Output set is identical.
+    v = v.withColumn("nrm", l2_norm(F.col("vec")))
+    for t in range(n_tables):
+        v = v.withColumn(
+            f"bkt{t}", hyperplane_bits(F.col("vec"), n_bits, dim, seed=f"hp{t}")
+        )
+    bkts = [f"bkt{t}" for t in range(n_tables)]
+    v = v.withColumn(
+        "t",
+        F.explode(F.array(*[F.lit(t).cast("int") for t in range(n_tables)])),
+    ).withColumn(
+        "bkt",
+        F.element_at(F.array(*[F.col(c) for c in bkts]), F.col("t") + 1),
+    )
     a = v.select(F.col("vid").alias("a_id"), F.col("vec").alias("avec"),
-                 F.col("nrm").alias("anrm"), "t", "bkt").withColumn(
+                 F.col("nrm").alias("anrm"), "t", "bkt",
+                 *[F.col(c).alias(f"a_{c}") for c in bkts]).withColumn(
         "salt", F.pmod(F.xxhash64(F.col("a_id")), F.lit(n_salts))
     )
     b = v.select(F.col("vid").alias("b_id"), F.col("vec").alias("bvec"),
-                 F.col("nrm").alias("bnrm"), "t", "bkt").withColumn(
+                 F.col("nrm").alias("bnrm"), "t", "bkt",
+                 *[F.col(c).alias(f"b_{c}") for c in bkts]).withColumn(
         "salt",
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
     )
+    # claimed by table t only if no earlier table already collided
+    first_collision = F.lit(True)
+    for t in range(n_tables):
+        earlier_differs = F.lit(True)
+        for u in range(t):
+            earlier_differs = earlier_differs & (
+                F.col(f"a_bkt{u}") != F.col(f"b_bkt{u}")
+            )
+        first_collision = F.when(F.col("t") == t, earlier_differs).otherwise(
+            first_collision
+        )
     return (
         a.join(b, ["t", "bkt", "salt"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(first_collision)
         .withColumn(
             "cosine",
             F.round(dot(F.col("avec"), F.col("bvec")) / (F.col("anrm") * F.col("bnrm")), 8),
         )
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
-        .distinct()
     )
 
 
