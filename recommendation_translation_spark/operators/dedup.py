@@ -44,6 +44,8 @@ __all__ = [
     "ngram_rep_edges",
     "minhash_signatures",
     "minhash_bands",
+    "minhash_bands_wide",
+    "band_collision_pairs",
     "minhash_lsh_pairs",
     "incremental_dedup_flags",
     "fuzzy_pairs_ed1",
@@ -278,6 +280,30 @@ def minhash_bands(
     docs sharing a (band, band_hash) are LSH candidates.  Shared by
     :func:`minhash_lsh_pairs` (candidate join) and the bucket-size
     skew diagnostic (queries.q_dedup_band_histogram)."""
+    banded = minhash_bands_wide(df, k=k, bands=bands, n=n, text_col=text_col,
+                                id_col=id_col)
+    return banded.selectExpr(
+        id_col,
+        "stack({}, {}) AS (band, band_hash)".format(
+            bands, ", ".join(f"'{bi}', band_{bi}" for bi in range(bands))
+        ),
+    )
+
+
+def minhash_bands_wide(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WIDE band table: (id, band_0 … band_{bands-1}), one row per doc.
+
+    The wide shape is what :func:`band_collision_pairs` needs — a
+    candidate pair can be claimed by its FIRST colliding band only when
+    each row carries every band digest.  :func:`minhash_bands` stacks
+    this to the long (id, band, band_hash) diagnostic shape."""
     assert k % bands == 0
     rows = k // bands
     sigs = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
@@ -289,12 +315,72 @@ def minhash_bands(
         band_cols.append(
             F.xxhash64(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(f"band_{bi}")
         )
-    banded = sigs.select(F.col(id_col), *band_cols)
-    return banded.selectExpr(
-        id_col,
-        "stack({}, {}) AS (band, band_hash)".format(
-            bands, ", ".join(f"'{bi}', band_{bi}" for bi in range(bands))
-        ),
+    return sigs.select(F.col(id_col), *band_cols)
+
+
+def band_collision_pairs(
+    wide: DataFrame,
+    wide_other: DataFrame | None = None,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    a_name: str = "a_id",
+    b_name: str = "b_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Unique LSH candidate pairs via FIRST-colliding-band claiming.
+
+    The naive OR-banding enumeration joins each band independently and
+    `distinct`s the union — but true near-duplicates collide in EVERY
+    band, so exactly the pairs that matter are emitted ``bands`` times
+    and shuffled once more to dedup.  Here every row carries all band
+    digests (the wide shape), the equi-join still runs per band, and a
+    pair is kept only in its first colliding band (all earlier bands
+    differ) — each unordered pair survives exactly once by
+    construction, so the ``distinct`` disappears and downstream
+    verification work is paid once per pair, not once per collision.
+    The output SET is provably identical to the distinct-of-unions.
+
+    Self-join when ``wide_other`` is None (pairs filtered to
+    ``a_name < b_name``); otherwise ``wide`` × ``wide_other`` with ids
+    assumed disjoint (the incremental-ingest shape).  ``carry`` names
+    payload columns of the wide frame(s) surfaced per side as
+    ``a_<col>`` / ``b_<col>`` (e.g. the simhash signature, so the
+    verifier never joins back to fetch it).
+    """
+    def expand(w: DataFrame, ident: str, prefix: str, side: str) -> DataFrame:
+        return (
+            w.select(
+                F.col(id_col).alias(ident),
+                *[F.col(c).alias(f"{side}_{c}") for c in carry],
+                *[F.col(f"band_{i}").alias(f"{prefix}{i}") for i in range(bands)],
+            )
+            .withColumn(
+                "band",
+                F.explode(F.array(*[F.lit(i).cast("int") for i in range(bands)])),
+            )
+            .withColumn(
+                "band_hash",
+                F.element_at(
+                    F.array(*[F.col(f"{prefix}{i}") for i in range(bands)]),
+                    F.col("band") + 1,
+                ),
+            )
+        )
+
+    a = expand(wide, a_name, "ab_", "a")
+    b = expand(wide if wide_other is None else wide_other, b_name, "bb_", "b")
+    j = a.join(b, ["band", "band_hash"])
+    if wide_other is None:
+        j = j.filter(F.col(a_name) < F.col(b_name))
+    claimed = F.lit(True)
+    for t in range(bands):
+        earlier_differs = F.lit(True)
+        for u in range(t):
+            earlier_differs = earlier_differs & (F.col(f"ab_{u}") != F.col(f"bb_{u}"))
+        claimed = F.when(F.col("band") == t, earlier_differs).otherwise(claimed)
+    return j.filter(claimed).select(
+        a_name, b_name,
+        *[f"a_{c}" for c in carry], *[f"b_{c}" for c in carry],
     )
 
 
@@ -314,15 +400,11 @@ def minhash_lsh_pairs(
     digest); candidates are verified with exact shingle Jaccard.
     Returns (a_id, b_id, jaccard ≥ threshold).
     """
-    stacked = minhash_bands(df, k=k, bands=bands, n=n, text_col=text_col,
-                            id_col=id_col)
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
-        .distinct()
-    )
+    wide = minhash_bands_wide(df, k=k, bands=bands, n=n, text_col=text_col,
+                              id_col=id_col)
+    # first-colliding-band claiming: each unordered pair is enumerated
+    # exactly once, so no distinct and no repeated verification work
+    cand = band_collision_pairs(wide, bands=bands, id_col=id_col)
     # exact-Jaccard verification restricted to the candidate pairs — the
     # pairwise join runs over candidates only, never all-pairs.  Shingles
     # are internal here too, so ship 64-bit hashes, not strings.
@@ -394,31 +476,20 @@ def incremental_dedup_flags(
     (``hash_split`` partitions are disjoint); external callers must
     re-key one side first.
     """
-    stacked_c = minhash_bands(corpus, k=k, bands=bands, n=n,
-                              text_col=text_col, id_col=id_col)
-    stacked_b = minhash_bands(batch, k=k, bands=bands, n=n,
-                              text_col=text_col, id_col=id_col)
-    nw, old_c = stacked_b.alias("nw"), stacked_c.alias("old")
-    cand_corpus = (
-        nw.join(old_c, ["band", "band_hash"])
-        .select(
-            F.col(f"nw.{id_col}").alias("new_id"),
-            F.col(f"old.{id_col}").alias("old_id"),
-        )
-        .distinct()
-        .withColumn("src", F.lit("corpus"))
-    )
-    a, b = stacked_b.alias("a"), stacked_b.alias("b")
-    cand_batch = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"b.{id_col}").alias("new_id"),
-            F.col(f"a.{id_col}").alias("old_id"),
-        )
-        .distinct()
-        .withColumn("src", F.lit("batch"))
-    )
+    wide_c = minhash_bands_wide(corpus, k=k, bands=bands, n=n,
+                                text_col=text_col, id_col=id_col)
+    wide_b = minhash_bands_wide(batch, k=k, bands=bands, n=n,
+                                text_col=text_col, id_col=id_col)
+    # first-colliding-band claiming on both legs (see
+    # band_collision_pairs): unique pairs by construction, no distinct
+    cand_corpus = band_collision_pairs(
+        wide_b, wide_c, bands=bands, id_col=id_col,
+        a_name="new_id", b_name="old_id",
+    ).withColumn("src", F.lit("corpus"))
+    cand_batch = band_collision_pairs(
+        wide_b, bands=bands, id_col=id_col,
+        a_name="old_id", b_name="new_id",
+    ).select("new_id", "old_id").withColumn("src", F.lit("batch"))
     cand = cand_corpus.unionByName(cand_batch)
 
     sh_b = word_shingles(batch, n=n, text_col=text_col, id_col=id_col).select(
@@ -634,39 +705,41 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
         )
         for i in range(m)
     ]
-    bands = []
-    band_id = 0
+    band_keys = []
     for i in range(m):
         for j in range(i + 1, m):
-            # key = block_i ++ block_j, tagged with the band index so
-            # different (i, j) combos never collide in the join.
+            # key = block_i ++ block_j.  The band index is the wide
+            # column POSITION (band_collision_pairs joins per band), so
+            # no band tag inside the key is needed.
             # shiftleft|or, NOT multiply+add: with bits=64 and m=2 the
             # blocks are 32 wide and block_i << 32 can set the sign
             # bit — the bit ops wrap in two's complement (the key is
             # just a join label), where ANSI mode makes `*` throw
             # ARITHMETIC_OVERFLOW
-            key = F.shiftleft(blocks[i], widths[j]).bitwiseOR(blocks[j]).cast("long")
-            bands.append(F.struct(F.lit(band_id).alias("band"), key.alias("key")))
-            band_id += 1
+            band_keys.append(
+                F.shiftleft(blocks[i], widths[j]).bitwiseOR(blocks[j]).cast("long")
+            )
     # materialize the signatures once — the self-join references them on
     # both sides, and without lineage truncation the 32-aggregate
     # simhash computation (the expensive part) would run twice.  The
     # signature frame is (id, 8-byte hash): tiny next to the corpus.
     s = simhash(df, bits=bits, text_col=text_col, id_col=id_col).localCheckpoint()
-    stacked = s.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
-    ).select(id_col, "simhash", "b.band", "b.key")
-    a, b = stacked.alias("a"), stacked.alias("b")
+    wide = s.select(
+        F.col(id_col), F.col("simhash"),
+        *[k.alias(f"band_{bi}") for bi, k in enumerate(band_keys)],
+    )
+    # exact twins collide in EVERY C(m,2) band — first-colliding-band
+    # claiming (band_collision_pairs) runs the bit_count verify once
+    # per pair instead of once per collision and drops the distinct
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        band_collision_pairs(
+            wide, bands=len(band_keys), id_col=id_col, carry=("simhash",)
+        )
         .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
+            "a_id", "b_id",
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
