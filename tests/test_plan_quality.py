@@ -1012,3 +1012,16 @@ def test_mad_outliers_facts_never_shuffle(spark):
     df = QUERIES["events_anomaly_mad"](spark, SF_SMALL)
     plan = physical_plan(df, mode="simple")
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_simhash_pairs_no_pair_distinct(spark):
+    # first-colliding-band claiming (dedup.band_collision_pairs): each
+    # unordered pair is enumerated exactly once, so the pair stream
+    # needs NO distinct.  The signature aggregation is truncated behind
+    # a localCheckpoint, so the remaining physical plan (explode ->
+    # band self-join -> claim filter -> hamming project) must contain
+    # zero aggregates — a reappearing HashAggregate means someone
+    # reintroduced the distinct and with it the bands-fold duplicate
+    # verification work.
+    df = QUERIES["dedup_simhash_pairs"](spark, SF_SMALL)
+    assert "HashAggregate" not in physical_plan(df)

@@ -917,3 +917,51 @@ def test_cogroup_shard_count_is_pure_execution_key(spark):
     assert len(base) > 0
     assert snapshot(1) == base
     assert snapshot(7) == base
+
+
+@SETTINGS
+@given(
+    texts=st.lists(st.text(alphabet="abc d", min_size=10, max_size=40),
+                   min_size=2, max_size=8),
+    n_dups=st.integers(min_value=0, max_value=3),
+)
+def test_band_collision_pairs_matches_distinct_of_unions(spark, texts, n_dups):
+    # first-colliding-band claiming must emit the SAME pair set as the
+    # naive per-band enumeration + distinct, with each unordered pair
+    # appearing exactly once (no residual duplicates to rely on a
+    # downstream distinct for) — the invariant the whole rewrite of
+    # minhash_lsh_pairs / simhash_pairs / incremental_dedup_flags
+    # leans on.
+    from pyspark.sql import functions as SF
+    from recommendation_translation_spark.operators.dedup import (
+        band_collision_pairs,
+        minhash_bands_wide,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # exact duplicates maximize multi-band collisions — the regime the
+    # claiming exists for
+    rows += [(1000 + j, texts[j % len(texts)]) for j in range(n_dups)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = 4
+    wide = minhash_bands_wide(df, k=8, bands=bands)
+    claimed = band_collision_pairs(wide, bands=bands).collect()
+    got = [(r.a_id, r.b_id) for r in claimed]
+    assert len(got) == len(set(got)), "claimed pairs must be unique"
+    # reference: per-band self-join, distinct over the union
+    stacked = wide.selectExpr(
+        "doc_id",
+        "stack({}, {}) AS (band, band_hash)".format(
+            bands, ", ".join(f"'{b}', band_{b}" for b in range(bands))
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    ref = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, ["band", "band_hash"])
+        .filter(SF.col("a.doc_id") < SF.col("b.doc_id"))
+        .select(SF.col("a.doc_id").alias("a_id"), SF.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .collect()
+    }
+    assert set(got) == ref
