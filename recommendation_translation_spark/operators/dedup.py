@@ -400,11 +400,23 @@ def minhash_lsh_pairs(
     digest); candidates are verified with exact shingle Jaccard.
     Returns (a_id, b_id, jaccard ≥ threshold).
     """
-    wide = minhash_bands_wide(df, k=k, bands=bands, n=n, text_col=text_col,
-                              id_col=id_col)
-    # first-colliding-band claiming: each unordered pair is enumerated
-    # exactly once, so no distinct and no repeated verification work
-    cand = band_collision_pairs(wide, bands=bands, id_col=id_col)
+    stacked = minhash_bands(df, k=k, bands=bands, n=n, text_col=text_col,
+                            id_col=id_col)
+    # narrow per-band join + distinct, NOT first-colliding-band
+    # claiming (band_collision_pairs): here the exact-Jaccard verify
+    # already runs after the distinct, so claiming would only trade the
+    # narrow pair-dedup shuffle for bands x wider join rows — measured
+    # a wash at sf1 and 13-30% SLOWER at sf3's K~30 duplication (see
+    # SCALE.md round-7 addendum).  Claiming pays off only when
+    # per-collision verification work precedes the distinct (the
+    # simhash hamming / embedding cosine paths, which do use it).
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
     # exact-Jaccard verification restricted to the candidate pairs — the
     # pairwise join runs over candidates only, never all-pairs.  Shingles
     # are internal here too, so ship 64-bit hashes, not strings.
@@ -476,20 +488,34 @@ def incremental_dedup_flags(
     (``hash_split`` partitions are disjoint); external callers must
     re-key one side first.
     """
-    wide_c = minhash_bands_wide(corpus, k=k, bands=bands, n=n,
-                                text_col=text_col, id_col=id_col)
-    wide_b = minhash_bands_wide(batch, k=k, bands=bands, n=n,
-                                text_col=text_col, id_col=id_col)
-    # first-colliding-band claiming on both legs (see
-    # band_collision_pairs): unique pairs by construction, no distinct
-    cand_corpus = band_collision_pairs(
-        wide_b, wide_c, bands=bands, id_col=id_col,
-        a_name="new_id", b_name="old_id",
-    ).withColumn("src", F.lit("corpus"))
-    cand_batch = band_collision_pairs(
-        wide_b, bands=bands, id_col=id_col,
-        a_name="old_id", b_name="new_id",
-    ).select("new_id", "old_id").withColumn("src", F.lit("batch"))
+    stacked_c = minhash_bands(corpus, k=k, bands=bands, n=n,
+                              text_col=text_col, id_col=id_col)
+    stacked_b = minhash_bands(batch, k=k, bands=bands, n=n,
+                              text_col=text_col, id_col=id_col)
+    # narrow band joins + distinct, not first-colliding-band claiming —
+    # verification runs post-distinct here, so claiming loses (see the
+    # note in minhash_lsh_pairs)
+    nw, old_c = stacked_b.alias("nw"), stacked_c.alias("old")
+    cand_corpus = (
+        nw.join(old_c, ["band", "band_hash"])
+        .select(
+            F.col(f"nw.{id_col}").alias("new_id"),
+            F.col(f"old.{id_col}").alias("old_id"),
+        )
+        .distinct()
+        .withColumn("src", F.lit("corpus"))
+    )
+    a, b = stacked_b.alias("a"), stacked_b.alias("b")
+    cand_batch = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"b.{id_col}").alias("new_id"),
+            F.col(f"a.{id_col}").alias("old_id"),
+        )
+        .distinct()
+        .withColumn("src", F.lit("batch"))
+    )
     cand = cand_corpus.unionByName(cand_batch)
 
     sh_b = word_shingles(batch, n=n, text_col=text_col, id_col=id_col).select(

@@ -1108,11 +1108,7 @@ def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     wasted).  Everything folds to ONE row of counts; at scale this runs
     on a SAMPLE while the production path runs banding only — the
     report is how you justify k/bands before trusting them."""
-    from .operators.dedup import (
-        band_collision_pairs,
-        minhash_bands_wide,
-        ngram_jaccard_pairs,
-    )
+    from .operators.dedup import minhash_bands, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     # the recall denominator must be the EXACT pair set — explicitly
@@ -1122,11 +1118,24 @@ def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ngram_jaccard_pairs(
         docs, n=3, threshold=0.02, max_doc_freq=None
     ).select("a_id", "b_id")
-    # first-colliding-band claiming (band_collision_pairs): the
-    # candidate count is the same distinct-pair count, without the
-    # bands× re-enumeration of true near-dups or the dedup shuffle
-    cand = band_collision_pairs(
-        minhash_bands_wide(docs, k=16, bands=8), bands=8
+    # narrow band join + distinct (the minhash_lsh_pairs shape — see
+    # the claiming boundary note there): the candidate COUNT is the
+    # audit statistic, and no per-collision verify precedes the dedup
+    stacked = minhash_bands(docs, k=16, bands=8)
+    b2 = stacked.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band").alias("band2"),
+        F.col("band_hash").alias("band_hash2"),
+    )
+    cand = (
+        stacked.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("band_hash") == F.col("band_hash2"))
+            & (F.col("doc_id") < F.col("b_id")),
+        )
+        .select(F.col("doc_id").alias("a_id"), "b_id")
+        .distinct()
     )
     verified = cand.join(truth, ["a_id", "b_id"], "left_semi")
     s_truth = truth.agg(F.count(F.lit(1)).alias("n_true"))
