@@ -189,21 +189,26 @@ def ngram_rep_edges(
 
     Returns (a_id, b_id, jaccard), a_id < b_id (a_id is the rep).
     """
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
+    sh0 = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
         id_col, F.xxhash64("shingle").alias("shingle")
     )
+    # ONE aggregation yields both the document frequency (for the cap)
+    # and the bucket representative: the cap drops whole shingle
+    # buckets, never rows within a bucket, so min(id) over the raw rows
+    # equals min(id) over the surviving rows.  Folding them saves a
+    # second full groupBy over the shingle stream, and joining the
+    # per-shingle relation back also replaces the former separate
+    # rep-assignment join (each row comes back already carrying its
+    # bucket's rep).
+    g = sh0.groupBy("shingle").agg(
+        F.count("*").alias("df_"), F.min(id_col).alias("rep")
+    )
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
-            "shingle", "left_anti",
-        )
-    sh = sh.cache()
+        g = g.filter(F.col("df_") <= max_doc_freq)
+    sh = sh0.join(g.select("shingle", "rep"), "shingle").cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    reps = sh.groupBy("shingle").agg(F.min(id_col).alias("rep"))
     cand = (
-        sh.join(reps, "shingle")
-        .filter(F.col(id_col) > F.col("rep"))
+        sh.filter(F.col(id_col) > F.col("rep"))
         .select(F.col("rep").alias("a_id"), F.col(id_col).alias("b_id"))
         .distinct()
     )
