@@ -6920,6 +6920,8 @@ _R7_WINDOW = [
     "parquet_prune_roundtrip",   # new: partitioned-sink row
     "corpus_interleave",         # closed-form mix_rank rewrite
     "mm_decode_png",             # new: real PNG encode->parse round trip
+    "dedup_simhash64_pairs",     # r7 late: first-colliding-band claiming
+    "dedup_clusters",            # r7 late: consumes the claimed simhash pairs
     # (b) stale r2/r3 rows (latest driver hash predates round 4)
     "count_by_site",
     "distinct_sites",
@@ -6961,7 +6963,14 @@ _R7_WINDOW = [
     "tpch_q7_volume",
     "tpch_q8_share",
     "tpch_q9_profit",
-    # (c) ml flag queries with new degenerate-input guards
+    # (c) ml flag queries with new degenerate-input guards.  These got
+    # fresh hash-green rows in the round-6 window and the guards only
+    # fire on degenerate inputs absent from the driver's sf0.01 corpus
+    # (pytest covers those paths), so when the 50-slot window is tight
+    # they yield to (a)'s this-round rewrites — doc_quality_classifier
+    # already spilled in the original layout, and ml_train_rmse /
+    # emb_kmeans_centroids now sit just past the cutoff for the two
+    # late simhash-claiming rewrites above.
     "ml_train_rmse",
     "emb_kmeans_centroids",
     "doc_quality_classifier",
