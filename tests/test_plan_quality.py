@@ -1025,3 +1025,13 @@ def test_simhash_pairs_no_pair_distinct(spark):
     # verification work.
     df = QUERIES["dedup_simhash_pairs"](spark, SF_SMALL)
     assert "HashAggregate" not in physical_plan(df)
+
+
+def test_emb_cosine_pairs_no_pair_distinct(spark):
+    # the embedding LSH path claims each pair in its first colliding
+    # hyperplane table (the 4.2x sf1 win recorded in SCALE.md) — like
+    # the simhash twin above, the pair stream must stay distinct-free.
+    # The adaptive n_bits count runs at build time as its own action,
+    # so the returned frame's plan has no aggregate at all.
+    df = QUERIES["dedup_emb_cosine"](spark, SF_SMALL)
+    assert "HashAggregate" not in physical_plan(df)
