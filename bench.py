@@ -126,6 +126,13 @@ def main() -> int:
         fn = qmap[name]
         if only and name not in only:
             continue
+        # Cache hygiene: operators cache internal frames (e.g. the
+        # shingle stream) rebuilt per query, so earlier queries'
+        # entries are dead weight that grows GC/memory pressure across
+        # a 185-query loop — one observed symptom was a mid-panel
+        # query measuring 4x slow on BOTH its runs yet normal in
+        # isolation.  Clearing costs microseconds.
+        spark.catalog.clearCache()
         # Streaming queries replay through a fresh memory sink and can
         # hit environment-flaky Python-worker socket timeouts (round-3
         # BENCH tail) — give them one retry before recording a failure.

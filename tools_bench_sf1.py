@@ -62,6 +62,9 @@ def main() -> int:
             violations.append(name)
             continue
         fn = qmap[name]
+        # same cache hygiene as bench.py: drop the previous query's
+        # dead cached frames before timing the next one
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             n = fn(spark, sf_dir).count()
