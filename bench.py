@@ -168,6 +168,9 @@ def main() -> int:
         if t > 0 and (
             ref is None or t > 1.5 * ref + 0.2 or name in ALWAYS_BEST_OF_2
         ):
+            # cold re-run: same protocol as first runs (see the loop-top
+            # clearCache) so best-of-2 never records a warm-cache min
+            spark.catalog.clearCache()
             try:
                 t1 = time.perf_counter()
                 fn(spark, sf_dir).count()

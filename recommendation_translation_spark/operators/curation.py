@@ -330,9 +330,13 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
     Each row's virtual position is ``(rank_within_source − 1) · SCALE
     div weight`` in *integer floor division* (both Spark ``div`` and
     the DuckDB oracle's ``//`` truncate identically, so the result is
-    exact and engine-independent for ANY positive integer weight —
-    SCALE = 720720 merely keeps positions well-spread; it is divisible
-    by every weight ≤ 16 but exactness never depends on that).
+    exact and engine-independent for any positive integer weight
+    ≤ SCALE — the closed-form rank below needs per-source positions
+    strictly increasing, which holds iff weight ≤ SCALE; larger
+    weights collapse consecutive ranks onto one position and are
+    REJECTED up front (SCALE = 720720, divisible by every weight
+    ≤ 16, is already ~5 orders of magnitude above any sane mixing
+    ratio).
 
     The per-source rank is a source-partitioned window (parallel
     across sources).  The global ``mix_rank`` — row_number over
@@ -352,8 +356,12 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
     scale = 720720
     weight = F.lit(1)
     for k, v in sorted(weights.items()):
-        if not (isinstance(v, int) and v > 0):
-            raise ValueError(f"weights must be positive integers, got {k}={v!r}")
+        if not (isinstance(v, int) and 0 < v <= scale):
+            raise ValueError(
+                f"weights must be integers in [1, {scale}], got {k}={v!r} "
+                "(the closed-form mix_rank needs strictly increasing "
+                "per-source positions, which requires weight <= SCALE)"
+            )
         weight = F.when(F.col(source_col) == k, F.lit(v)).otherwise(weight)
     rn = F.row_number().over(Window.partitionBy(source_col).orderBy(id_col))
     out = (

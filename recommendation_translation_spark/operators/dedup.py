@@ -46,6 +46,7 @@ __all__ = [
     "minhash_bands",
     "minhash_bands_wide",
     "band_collision_pairs",
+    "first_collision_claim",
     "minhash_lsh_pairs",
     "incremental_dedup_flags",
     "fuzzy_pairs_ed1",
@@ -139,7 +140,11 @@ def ngram_jaccard_pairs(
             sh.join(F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
                     "shingle", "left_anti")
         )
-    sh = sh.cache()
+    # localCheckpoint, not cache: cached entries outlive the query and
+    # accumulate across a long-lived session (cleared only by explicit
+    # clearCache); checkpoint blocks are released when this frame is
+    # GC'd.  Same multi-consumer reuse, no session-level leak.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -205,7 +210,9 @@ def ngram_rep_edges(
     )
     if max_doc_freq is not None:
         g = g.filter(F.col("df_") <= max_doc_freq)
-    sh = sh0.join(g.select("shingle", "rep"), "shingle").cache()
+    # localCheckpoint, not cache (see ngram_jaccard_pairs note): same
+    # reuse, released on GC instead of leaking into the session cache
+    sh = sh0.join(g.select("shingle", "rep"), "shingle").localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     cand = (
         sh.filter(F.col(id_col) > F.col("rep"))
@@ -323,6 +330,26 @@ def minhash_bands_wide(
     return sigs.select(F.col(id_col), *band_cols)
 
 
+def first_collision_claim(
+    band_col: str, a_prefix: str, b_prefix: str, bands: int
+) -> F.Column:
+    """Predicate: the current row's band index (``band_col``) is the
+    FIRST band where the pair collides — every earlier band's digests
+    (columns ``{a_prefix}{u}`` / ``{b_prefix}{u}``) differ.  Shared by
+    :func:`band_collision_pairs` and
+    ``similarity.embedding_cosine_pairs`` so the subtle claiming
+    construction exists exactly once."""
+    claimed = F.lit(True)
+    for t in range(bands):
+        earlier_differs = F.lit(True)
+        for u in range(t):
+            earlier_differs = earlier_differs & (
+                F.col(f"{a_prefix}{u}") != F.col(f"{b_prefix}{u}")
+            )
+        claimed = F.when(F.col(band_col) == t, earlier_differs).otherwise(claimed)
+    return claimed
+
+
 def band_collision_pairs(
     wide: DataFrame,
     wide_other: DataFrame | None = None,
@@ -377,12 +404,7 @@ def band_collision_pairs(
     j = a.join(b, ["band", "band_hash"])
     if wide_other is None:
         j = j.filter(F.col(a_name) < F.col(b_name))
-    claimed = F.lit(True)
-    for t in range(bands):
-        earlier_differs = F.lit(True)
-        for u in range(t):
-            earlier_differs = earlier_differs & (F.col(f"ab_{u}") != F.col(f"bb_{u}"))
-        claimed = F.when(F.col("band") == t, earlier_differs).otherwise(claimed)
+    claimed = first_collision_claim("band", "ab_", "bb_", bands)
     return j.filter(claimed).select(
         a_name, b_name,
         *[f"a_{c}" for c in carry], *[f"b_{c}" for c in carry],
@@ -427,7 +449,7 @@ def minhash_lsh_pairs(
     # are internal here too, so ship 64-bit hashes, not strings.
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
         id_col, F.xxhash64("shingle").alias("shingle")
-    ).cache()
+    ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("a_id"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("b_id"), F.col("shingle"))
@@ -536,7 +558,7 @@ def incremental_dedup_flags(
         id_col,
         "left_semi",
     )
-    sh = sh_b.unionByName(sh_c_needed).cache()
+    sh = sh_b.unionByName(sh_c_needed).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("new_id"), "shingle")
     sb = sh.select(F.col(id_col).alias("old_id"), "shingle")

@@ -42,6 +42,7 @@ def pagerank_integer(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    broadcast_out_weights: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, in exact integer
     fixed-point: returns (node, rank_int) with rank_int ≈ rank·scale
@@ -77,9 +78,13 @@ def pagerank_integer(
     # but at sf3 (600k) the estimate crosses the 10 MB default and the
     # plan silently degrades to a sort-merge join that sorts the full
     # edge relation (measured 3.1 s → 25.5 s for 3x data, the round-7
-    # sf3 curve's one superlinear cliff).  Billion-node webgraphs
-    # should drop the hint and pay the shuffled join.
-    out_w = F.broadcast(edges.groupBy(src).agg(F.sum(weight).alias("w_out")))
+    # sf3 curve's one superlinear cliff).  Billion-node webgraphs pass
+    # broadcast_out_weights=False and pay the shuffled join instead of
+    # a driver-OOM broadcast — the opt-out is a parameter, not a
+    # library edit.
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("w_out"))
+    if broadcast_out_weights:
+        out_w = F.broadcast(out_w)
     # Static per-iteration inputs: materialize once, reuse n_iter times,
     # PRE-PARTITIONED on their join keys.  localCheckpoint preserves the
     # physical partitioning, and the rank relation exits each iteration

@@ -187,9 +187,14 @@ def header_decode_image(payload: bytes) -> tuple[int, int, str]:
       negative = top-down; the magnitude is the pixel height).
 
     Raises ``ValueError`` on anything that is not one of these
-    containers — unlike ``fake_decode_image`` this cannot hallucinate
-    dimensions for non-image bytes."""
+    containers — including a recognized magic with a TRUNCATED header
+    (short slices would otherwise surface as struct.error/IndexError,
+    breaking callers that route bad media on ValueError).  Unlike
+    ``fake_decode_image`` this cannot hallucinate dimensions for
+    non-image bytes."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        if len(payload) < 26:
+            raise ValueError("truncated PNG IHDR")
         w, h = struct.unpack(">II", payload[16:24])
         return w, h, _PNG_MODES.get(payload[25], f"ct{payload[25]}")
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
@@ -199,15 +204,21 @@ def header_decode_image(payload: bytes) -> tuple[int, int, str]:
                 break
             marker = payload[i + 1]
             if marker in _JPEG_SOF:
+                if i + 10 > len(payload):
+                    raise ValueError("truncated JPEG SOF segment")
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return w, h, _JPEG_MODES.get(payload[i + 9], "RGB")
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             i += 2 + seg_len
         raise ValueError("JPEG without SOF frame header")
     if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF screen descriptor")
         w, h = struct.unpack("<HH", payload[6:10])
         return w, h, "P"
     if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("truncated BMP info header")
         w, h = struct.unpack("<ii", payload[18:26])
         return w, abs(h), "RGB"
     raise ValueError(f"unrecognized image container: {payload[:8]!r}")

@@ -328,17 +328,13 @@ def embedding_cosine_pairs(
         "salt",
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
     )
-    # claimed by table t only if no earlier table already collided
-    first_collision = F.lit(True)
-    for t in range(n_tables):
-        earlier_differs = F.lit(True)
-        for u in range(t):
-            earlier_differs = earlier_differs & (
-                F.col(f"a_bkt{u}") != F.col(f"b_bkt{u}")
-            )
-        first_collision = F.when(F.col("t") == t, earlier_differs).otherwise(
-            first_collision
-        )
+    # claimed by table t only if no earlier table already collided —
+    # the predicate construction is shared with the minhash/simhash
+    # banding (dedup.first_collision_claim), so the two paths cannot
+    # silently diverge
+    from .dedup import first_collision_claim
+
+    first_collision = first_collision_claim("t", "a_bkt", "b_bkt", n_tables)
     return (
         a.join(b, ["t", "bkt", "salt"])
         .filter(F.col("a_id") < F.col("b_id"))

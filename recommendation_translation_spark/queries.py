@@ -715,10 +715,17 @@ def _trained(spark: SparkSession, sf_dir: str):
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ML_CACHE:
-        feats = feature_table(spark, sf_dir).cache()
-        feats.count()  # materialize BEFORE the threaded fan-out so the
-        # per-site trainers share one cached copy instead of racing to
-        # compute the pivot lineage concurrently (SURVEY §3 EP3 fix)
+        # localCheckpoint, NOT cache: the bench harnesses clearCache()
+        # between queries (dead-frame hygiene), which would silently
+        # evict a cached feats and make every later ml_* query
+        # recompute the pivot lineage per action.  Checkpoint blocks
+        # are keyed to this concrete frame (held here for the session,
+        # exactly like the memoized models), so the shared-one-copy
+        # design survives any cache clearing.  Eager: materializes
+        # BEFORE the threaded fan-out so the per-site trainers share
+        # one copy instead of racing to compute the pivot concurrently
+        # (SURVEY §3 EP3 fix).
+        feats = feature_table(spark, sf_dir).localCheckpoint()
         _ML_CACHE[key] = (feats, build_models(feats, SITES, seed=42, parallelism=3))
     return _ML_CACHE[key]
 

@@ -423,6 +423,46 @@ def test_header_decoder_parses_real_containers():
         header_decode_image(b"hello world, definitely text")
 
 
+def test_header_decoder_raises_valueerror_on_truncation():
+    """A recognized magic with a TRUNCATED header must still raise the
+    documented ValueError, not struct.error/IndexError — callers route
+    bad media on ValueError."""
+    import struct
+
+    import pytest
+
+    from recommendation_translation_spark.operators.multimodal import (
+        header_decode_image,
+    )
+
+    cases = [
+        b"\x89PNG\r\n\x1a\nXXXXIHDR" + b"\x00" * 6,   # PNG cut inside IHDR
+        b"\x89PNG\r\n\x1a\nXXXXIHDR" + b"\x00" * 9,   # PNG missing color type
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + b"\x08\x01",  # JPEG SOF cut
+        b"GIF89a" + b"\x00" * 2,                        # GIF cut in descriptor
+        b"BM" + b"\x00" * 10,                           # BMP cut in info header
+    ]
+    for payload in cases:
+        with pytest.raises(ValueError):
+            header_decode_image(payload)
+
+
+def test_interleave_rejects_weights_beyond_scale(spark):
+    """Weights above SCALE (720720) would collapse consecutive
+    per-source positions onto one vpos and silently break the
+    closed-form mix_rank's strictly-increasing premise — the operator
+    must reject them up front."""
+    import pytest
+
+    from recommendation_translation_spark.operators.curation import (
+        interleave_sources,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    with pytest.raises(ValueError, match="720720"):
+        interleave_sources(df, "src", {"a": 1_000_000})
+
+
 def test_encode_png_is_well_formed_and_round_trips():
     """encode_png emits spec-valid PNGs: every chunk CRC verifies, the
     IDAT inflates to exactly height*(1+width) filter-0 scanline bytes,

@@ -55,7 +55,17 @@ def main() -> int:
     timings: dict[str, float] = {}
     violations: list[str] = []
     reruns: list[str] = []
-    for name in sorted(baseline):
+    # Same ordering rule as bench.py: ml_train_rmse runs BEFORE the
+    # other ml_* rows so the shared one-time training cost lands on the
+    # training row — in plain sorted order ml_als_recs/ml_cv_tuning
+    # would pay it and ml_train_rmse would measure fully warm,
+    # hiding a training-cost regression from the fence.
+    names = sorted(baseline)
+    ml = [n for n in names if n.startswith("ml_")]
+    if "ml_train_rmse" in ml and ml[0] != "ml_train_rmse":
+        names.remove("ml_train_rmse")
+        names.insert(names.index(ml[0]), "ml_train_rmse")
+    for name in names:
         if name not in qmap:
             print(f"# panel query {name} missing from catalog", file=sys.stderr)
             timings[name] = -1.0
@@ -77,6 +87,11 @@ def main() -> int:
         t = round(time.perf_counter() - t0, 2)
         ref = baseline[name]
         if t > 1.5 * ref:
+            # clear again so the re-run measures under the same cold
+            # protocol as every first run — otherwise re-measured rows
+            # record warm-cache minimums and the 2x guard is
+            # systematically looser for exactly the flagged queries
+            spark.catalog.clearCache()
             t1 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
