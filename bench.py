@@ -96,6 +96,13 @@ def main() -> int:
     # corpus_token_budget measured 2.66 s r3 / 2.94 s r5 vs 1.76 s
     # quiet with an unchanged, audited-sound plan).
     ALWAYS_BEST_OF_2 = {"corpus_token_budget"}
+    # Queries whose cost is a Python-side memo (the _ML_CACHE model
+    # store) are NEVER re-measured: their second run is warm through a
+    # mechanism clearCache cannot reach, so a best-of-2 min would hide
+    # the one-time training cost the row exists to measure (the cold
+    # BASELINE.md anchor for ml_train_rmse is ~9 s; the warm min was
+    # recording 0.36 s).
+    NEVER_REMEASURE = {"ml_train_rmse"}
     prior: dict[str, float] = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -165,7 +172,7 @@ def main() -> int:
         # other scale factors.
         if os.environ.get("SPARK_GRAFT_BENCH_ONCE") == "1":
             continue
-        if t > 0 and (
+        if t > 0 and name not in NEVER_REMEASURE and (
             ref is None or t > 1.5 * ref + 0.2 or name in ALWAYS_BEST_OF_2
         ):
             # cold re-run: same protocol as first runs (see the loop-top
