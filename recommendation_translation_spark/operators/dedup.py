@@ -140,11 +140,14 @@ def ngram_jaccard_pairs(
             sh.join(F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
                     "shingle", "left_anti")
         )
-    # localCheckpoint, not cache: cached entries outlive the query and
-    # accumulate across a long-lived session (cleared only by explicit
-    # clearCache); checkpoint blocks are released when this frame is
-    # GC'd.  Same multi-consumer reuse, no session-level leak.
-    sh = sh.localCheckpoint()
+    # cache, not localCheckpoint: the frame feeds several downstream
+    # consumers of ONE final plan, and a lazy cache populates inside
+    # that single job — an eager checkpoint was measured to add a
+    # synchronous extra materialization job (~0.5-1 s per query,
+    # +5% catalog wall).  Cached entries do outlive the query, so
+    # LONG-LIVED sessions should clearCache() periodically — both
+    # bench harnesses do, between every query.
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -210,9 +213,9 @@ def ngram_rep_edges(
     )
     if max_doc_freq is not None:
         g = g.filter(F.col("df_") <= max_doc_freq)
-    # localCheckpoint, not cache (see ngram_jaccard_pairs note): same
-    # reuse, released on GC instead of leaking into the session cache
-    sh = sh0.join(g.select("shingle", "rep"), "shingle").localCheckpoint()
+    # cache, not localCheckpoint (see the ngram_jaccard_pairs note on
+    # this trade-off)
+    sh = sh0.join(g.select("shingle", "rep"), "shingle").cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     cand = (
         sh.filter(F.col(id_col) > F.col("rep"))
@@ -449,7 +452,7 @@ def minhash_lsh_pairs(
     # are internal here too, so ship 64-bit hashes, not strings.
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
         id_col, F.xxhash64("shingle").alias("shingle")
-    ).localCheckpoint()
+    ).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("a_id"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("b_id"), F.col("shingle"))
@@ -558,7 +561,7 @@ def incremental_dedup_flags(
         id_col,
         "left_semi",
     )
-    sh = sh_b.unionByName(sh_c_needed).localCheckpoint()
+    sh = sh_b.unionByName(sh_c_needed).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("new_id"), "shingle")
     sb = sh.select(F.col(id_col).alias("old_id"), "shingle")

@@ -86,7 +86,11 @@ def main() -> int:
             continue
         t = round(time.perf_counter() - t0, 2)
         ref = baseline[name]
-        if t > 1.5 * ref:
+        # ml_train_rmse's cost is a Python-side model memo: a re-run is
+        # warm through a mechanism clearCache cannot reach, so min()
+        # would mask a training-cost regression (same NEVER_REMEASURE
+        # rule as bench.py)
+        if t > 1.5 * ref and name != "ml_train_rmse":
             # clear again so the re-run measures under the same cold
             # protocol as every first run — otherwise re-measured rows
             # record warm-cache minimums and the 2x guard is
