@@ -461,6 +461,16 @@ def test_interleave_rejects_weights_beyond_scale(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
     with pytest.raises(ValueError, match="720720"):
         interleave_sources(df, "src", {"a": 1_000_000})
+    # the boundary itself is legal: weight == SCALE keeps per-source
+    # positions strictly increasing (positions are exactly 0,1,2,...)
+    df3 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, src string"
+    )
+    ranks = sorted(
+        r.mix_rank
+        for r in interleave_sources(df3, "src", {"a": 720720, "b": 1}).collect()
+    )
+    assert ranks == [1, 2, 3]
 
 
 def test_encode_png_is_well_formed_and_round_trips():
