@@ -42,6 +42,10 @@ __all__ = [
     "centroids_by_label",
     "sq8_quantize",
     "sq8_topk",
+    "pq_codebooks",
+    "pq_code_expr",
+    "pq_adc_expr",
+    "pq_decode_expr",
 ]
 
 
@@ -670,3 +674,152 @@ def sq8_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "dot_q8", "rk")
     )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+) -> tuple[list, list, list, int]:
+    """Product-quantization TRAINING (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the ``dim``-wide
+    vector into ``m`` contiguous subvectors and fit an independent
+    seeded k-means codebook of ``k`` centroids per subspace —
+    distributed Lloyd's via Spark ML, one fit per subspace over a
+    projected slice (the corpus is scanned, never collected).
+
+    Returns ``(codebooks, costs, sub_total_ss, n_points)`` where
+    ``codebooks[s][j]`` is subspace ``s``'s ``j``-th centroid (list of
+    dim/m floats), ``costs[s]`` the fit's within-cluster SS, and
+    ``sub_total_ss[s]`` the subspace's total SS around its mean
+    (the k=1 optimum — the same cost_le_total_ss invariant anchor as
+    ``q_emb_kmeans_centroids``, computed per subspace in ONE
+    distributed pass via the Σv/Σv² identity).
+
+    Codebooks are m·k·(dim/m) doubles — dim·k total (16 KiB at
+    dim=64, k=16): always driver- and broadcast-safe, which is the
+    entire point of PQ at 100 TB (the corpus is stored as m small ints
+    per vector; only the codebooks ride with the query)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    d_sub = dim // m
+    arr = emb.select(_as_double(vec_col).alias("e")).cache()
+    n_points = arr.count()
+    # per-(subspace, position) moments in one scan -> per-subspace SS
+    stats = (
+        arr.select(F.posexplode("e").alias("pos", "v"))
+        .groupBy((F.col("pos") / d_sub).cast("int").alias("s"), "pos")
+        .agg(F.sum("v").alias("sv"), F.sum(F.col("v") * F.col("v")).alias("svv"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sub_total_ss = [0.0] * m
+    for r in stats:
+        sub_total_ss[int(r["s"])] += r["svv"] - (r["sv"] * r["sv"]) / r["n"]
+    codebooks, costs = [], []
+    for s in range(m):
+        feats = arr.select(
+            array_to_vector(F.slice("e", s * d_sub + 1, d_sub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(feats)
+        sizes = [int(x) for x in model.summary.clusterSizes]
+        if sum(sizes) != n_points:
+            raise AssertionError(f"subspace {s}: cluster sizes do not partition")
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+        costs.append(float(model.summary.trainingCost))
+    arr.unpersist()
+    return codebooks, costs, sub_total_ss, n_points
+
+
+def pq_code_expr(vec: Column, codebooks: list) -> Column:
+    """Encode ``vec`` (array<double>) to its PQ code — array<int> of
+    length m, ``code[s]`` = index of subspace s's nearest centroid by
+    L2 (index tie-break).  The codebooks ride as PLAN LITERALS, so
+    encoding the full corpus is a pure zero-shuffle projection — the
+    same scale mechanism as ``assign_lists`` / ``sq8_quantize``: the
+    100 TB corpus is written once as m bytes per vector."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(vec, s * d_sub + 1, d_sub)
+        cents = F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.array(*[F.lit(x) for x in codebooks[s][j]]).alias("cv"),
+            )
+            for j in range(len(codebooks[s]))
+        ])
+        # single-param lambda: PySpark treats a 2-param lambda as
+        # (element, index) and would pass the INDEX into zip_with;
+        # F.transform builds the expression eagerly, so closing over
+        # the loop's `sub` is safe
+        scored = F.transform(
+            cents,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, c["cv"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c["j"].alias("j"),
+            ),
+        )
+        best = F.array_sort(
+            scored,
+            lambda x, y: F.when(x["d"] < y["d"], F.lit(-1))
+            .when(x["d"] > y["d"], F.lit(1))
+            .otherwise(x["j"] - y["j"])
+            .cast("int"),
+        )[0]["j"]
+        codes.append(best)
+    return F.array(*codes)
+
+
+def pq_adc_expr(vec: Column, code: Column, codebooks: list) -> Column:
+    """Asymmetric-distance computation: ||q − decode(code)||² as the
+    sum of per-subspace lookup terms — LUT_s[j] = ||q_sub − c_sj||²
+    evaluated against the literal codebooks, selected by ``code[s]``.
+    This is the per-subspace-partials formulation (ADC proper); its
+    float addition order differs from a whole-vector fold, which is
+    exactly what ``q_emb_pq_train_report``'s consistency flag
+    exploits to verify the lookup path against a direct decode."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    total = F.lit(0.0)
+    for s in range(m):
+        sub = F.slice(vec, s * d_sub + 1, d_sub)
+        cents = F.array(*[
+            F.array(*[F.lit(x) for x in codebooks[s][j]])
+            for j in range(len(codebooks[s]))
+        ])
+        cv = F.element_at(cents, code[s] + 1)
+        total = total + F.aggregate(
+            F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    return total
+
+
+def pq_decode_expr(code: Column, codebooks: list) -> Column:
+    """Reconstruct the quantized vector: concat of the selected
+    centroid per subspace (array<double> of the original dim)."""
+    m = len(codebooks)
+    parts = []
+    for s in range(m):
+        cents = F.array(*[
+            F.array(*[F.lit(x) for x in codebooks[s][j]])
+            for j in range(len(codebooks[s]))
+        ])
+        parts.append(F.element_at(cents, code[s] + 1))
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out

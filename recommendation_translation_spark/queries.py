@@ -2364,6 +2364,91 @@ def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pq_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization training + encode + ADC audit (Jégou et
+    al. 2011) — the memory-compressed ANN tier that completes the
+    family (brute / LSH / IVF / SQ8 / PQ): m=4 subspaces × k=16
+    seeded k-means codebooks (operators.similarity.pq_codebooks), the
+    full corpus encoded to 4 small ints per vector via literal
+    codebooks (pq_code_expr — a pure zero-shuffle projection, the same
+    scale mechanism as IVF assignment: at 100 TB the codes column is
+    written once and scanned instead of the floats), and an
+    asymmetric-distance consistency audit.
+
+    Hash-checked via the ML invariant pattern (exact skeleton the
+    oracle recomputes + flags on the training outcome that CAN fail):
+    one row per subspace with the EXACT corpus count, plus
+    - ``sizes_sum_to_n``: each subspace's cluster sizes partition the
+      corpus (checked inside pq_codebooks, surfaced as a flag);
+    - ``cost_le_subspace_ss``: the subspace fit's within-cluster SS is
+      ≤ that subspace's TOTAL SS around its mean — the k=1 optimum any
+      useful k=16 fit must beat (the q_emb_kmeans_centroids invariant,
+      per subspace, with the same degenerate-input guard);
+    - ``adc_lookup_consistent``: over a bounded query panel (every
+      50th vector, ≤ 20), the ADC per-subspace-lookup formulation
+      (pq_adc_expr) equals a direct whole-vector decode-and-fold
+      within 1e-6 — the two compute the same quantity in DIFFERENT
+      float addition orders, so agreement verifies the lookup path's
+      indexing (a wrong element_at offset or subspace slice fails it).
+    """
+    import math
+
+    from .operators.similarity import (
+        _as_double,
+        pq_adc_expr,
+        pq_code_expr,
+        pq_codebooks,
+        pq_decode_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    m, k = 4, 16
+    codebooks, costs, sub_ss, n_points = pq_codebooks(
+        emb, m=m, k=k, dim=64, seed=42, vec_col="embedding"
+    )
+    # bounded audit panel (the ANN-audit convention: strided + capped)
+    panel = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(20)
+        .select(F.col("vec_id"), _as_double("embedding").alias("vec"))
+        .withColumn("code", pq_code_expr(F.col("vec"), codebooks))
+    )
+    direct = F.aggregate(
+        F.zip_with(
+            F.col("vec"),
+            pq_decode_expr(F.col("code"), codebooks),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    audit = panel.select(
+        F.max(
+            F.abs(pq_adc_expr(F.col("vec"), F.col("code"), codebooks) - direct)
+        ).alias("max_err")
+    ).collect()[0]
+    adc_ok = audit["max_err"] is not None and audit["max_err"] < 1e-6
+    rows = [
+        (
+            s,
+            n_points,
+            k,
+            True,  # pq_codebooks raises if sizes fail to partition
+            math.isfinite(costs[s]) and 0.0 <= costs[s] and (
+                sub_ss[s] <= 0.0 or costs[s] <= sub_ss[s]
+            ),
+            adc_ok,
+        )
+        for s in range(m)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subspace long, n_points long, k long, sizes_sum_to_n boolean, "
+        "cost_le_subspace_ss boolean, adc_lookup_consistent boolean",
+    )
+
+
 def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filtering (the fastText-style stage of
     LLM curation): train LogisticRegression on cheap text statistics
@@ -3889,6 +3974,14 @@ ORACLES: dict[str, str] = {
                TRUE AS sizes_sum_to_n, TRUE AS norm_positive,
                TRUE AS cost_le_total_ss
         FROM (SELECT unnest(range(8)) AS ci)
+    """,
+    "emb_pq_train_report": """
+        SELECT CAST(s AS BIGINT) AS subspace,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_points,
+               CAST(16 AS BIGINT) AS k,
+               TRUE AS sizes_sum_to_n, TRUE AS cost_le_subspace_ss,
+               TRUE AS adc_lookup_consistent
+        FROM (SELECT unnest(range(4)) AS s)
     """,
     "doc_quality_classifier": f"""
         WITH {_QUALITY_GATE_CTES}
@@ -6705,6 +6798,7 @@ QUERIES = {
     "ml_feature_importance": q_ml_feature_importance,
     "ml_cv_tuning": q_ml_cv_tuning,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
+    "emb_pq_train_report": q_emb_pq_train_report,
     "doc_quality_classifier": q_doc_quality_classifier,
     "ml_als_recs": _qa.q_ml_als_recs,
     # -- (b) round-6 additions: first driver rows --
@@ -6929,6 +7023,7 @@ _R7_WINDOW = [
     "mm_decode_png",             # new: real PNG encode->parse round trip
     "dedup_simhash64_pairs",     # r7 late: first-colliding-band claiming
     "dedup_clusters",            # r7 late: consumes the claimed simhash pairs
+    "emb_pq_train_report",       # r7 late: new product-quantization tier
     # (b) stale r2/r3 rows (latest driver hash predates round 4)
     "count_by_site",
     "distinct_sites",

@@ -965,3 +965,76 @@ def test_band_collision_pairs_matches_distinct_of_unions(spark, texts, n_dups):
         .collect()
     }
     assert set(got) == ref
+
+
+def test_pq_encode_decode_adc_identities(spark):
+    """PQ invariants on a tiny synthetic corpus: (1) encoding is a
+    deterministic pure projection (same codebooks -> same codes on
+    re-evaluation), (2) every code entry is a valid centroid index,
+    (3) the ADC per-subspace lookup equals the direct whole-vector
+    decode-and-fold within float reassociation noise, and (4) a vector
+    that IS a centroid in every subspace reconstructs exactly
+    (ADC = 0)."""
+    from recommendation_translation_spark.operators.similarity import (
+        pq_adc_expr,
+        pq_code_expr,
+        pq_codebooks,
+        pq_decode_expr,
+    )
+
+    m, k, dim = 2, 4, 8
+    # 40 deterministic vectors in 8-d
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 11) - 5) / 5.0 for j in range(dim)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codebooks, costs, sub_ss, n = pq_codebooks(
+        emb, m=m, k=k, dim=dim, seed=7, vec_col="embedding"
+    )
+    assert n == 40 and len(codebooks) == m and all(len(cb) == k for cb in codebooks)
+    assert all(c >= 0 for c in costs)
+    assert all(costs[s] <= sub_ss[s] + 1e-9 for s in range(m))
+
+    coded = emb.select(
+        "vec_id",
+        F.col("embedding").alias("vec"),
+        pq_code_expr(F.col("embedding"), codebooks).alias("code"),
+    )
+    got1 = {r.vec_id: list(r.code) for r in coded.collect()}
+    got2 = {r.vec_id: list(r.code) for r in coded.collect()}
+    assert got1 == got2
+    assert all(0 <= c < k for cs in got1.values() for c in cs)
+    # the encode is a pure projection over literal codebooks — the 100 TB
+    # posture: zero exchanges, no join, corpus scanned once
+    from recommendation_translation_spark.plans.checks import count_exchanges
+
+    assert count_exchanges(coded) == 0
+
+    checked = coded.select(
+        F.abs(
+            pq_adc_expr(F.col("vec"), F.col("code"), codebooks)
+            - F.aggregate(
+                F.zip_with(
+                    F.col("vec"),
+                    pq_decode_expr(F.col("code"), codebooks),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("err")
+    ).agg(F.max("err").alias("mx")).collect()[0]
+    assert checked.mx < 1e-9
+
+    # a concatenation of per-subspace centroids quantizes to itself
+    centroid_vec = codebooks[0][1] + codebooks[1][2]
+    cdf = spark.createDataFrame([(0, centroid_vec)], "vec_id long, embedding array<double>")
+    r = cdf.select(
+        pq_adc_expr(
+            F.col("embedding"),
+            pq_code_expr(F.col("embedding"), codebooks),
+            codebooks,
+        ).alias("d")
+    ).collect()[0]
+    assert r.d < 1e-12
