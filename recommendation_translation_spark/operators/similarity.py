@@ -43,6 +43,7 @@ __all__ = [
     "sq8_quantize",
     "sq8_topk",
     "pq_codebooks",
+    "pq_det_codebooks",
     "pq_code_expr",
     "pq_adc_expr",
     "pq_decode_expr",
@@ -823,3 +824,26 @@ def pq_decode_expr(code: Column, codebooks: list) -> Column:
     for p in parts[1:]:
         out = F.concat(out, p)
     return out
+
+
+def pq_det_codebooks(m: int = 4, k: int = 16, d_sub: int = 16,
+                     seed: str = "pq", scale: float = 0.1) -> list:
+    """DETERMINISTIC pseudo-random PQ codebooks — md5-derived like
+    ``hyperplane_weight``, computed driver-side so the exact same
+    float literals ride in the Spark plan AND in the DuckDB oracle SQL
+    (``queries._pq_*_sql`` imports this same function).  This is the
+    hash-exact complement of the LEARNED ``pq_codebooks``: learned
+    codebooks cannot be reproduced in SQL, so the searched path is
+    verified end-to-end with fixed codebooks while the k-means quality
+    invariants live in ``q_emb_pq_train_report``.  ``scale`` pulls the
+    [-1, 1) raw weights into the embedding magnitude range."""
+    import hashlib
+
+    def w(s: int, j: int, t: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{s}:{j}:{t}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0 * scale
+
+    return [
+        [[w(s, j, t) for t in range(d_sub)] for j in range(k)]
+        for s in range(m)
+    ]

@@ -2449,6 +2449,56 @@ def q_emb_pq_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ SEARCH, hash-exact end-to-end: the corpus is encoded to m=4
+    codes against DETERMINISTIC md5-derived codebooks
+    (similarity.pq_det_codebooks — learned codebooks cannot be rebuilt
+    in SQL, so the searched path is verified with fixed ones while
+    training quality lives in q_emb_pq_train_report), and each panel
+    query ranks candidates by asymmetric distance: the query's RAW
+    vector against each candidate's RECONSTRUCTED code, per-subspace
+    lookup terms summed left-to-right (pq_adc_expr).  The oracle
+    rebuilds codes and distances bit-for-bit from the same literals
+    (_pq_topk_sql), so the driver hash covers quantization, code
+    assignment tie-breaks, the LUT indexing, AND the final ranking.
+
+    Scale shape: encode is a zero-shuffle projection over literal
+    codebooks; the bounded query panel broadcasts; candidates stream
+    through one codegen'd stage carrying 4 small ints instead of 64
+    floats — the PQ promise (scan codes, not vectors) made literal.
+    Output: (query_id, cand_id, adc, rk ≤ 5), ADC ascending,
+    cand_id tie-break."""
+    from .operators.similarity import (
+        _as_double,
+        pq_adc_expr,
+        pq_code_expr,
+        pq_det_codebooks,
+    )
+
+    cb = pq_det_codebooks()
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        pq_code_expr(_as_double("embedding"), cb).alias("code"),
+    )
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 4000)).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+    )
+    scored = cand.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).withColumn(
+        "adc", F.round(pq_adc_expr(F.col("qvec"), F.col("code"), cb), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "adc", "rk")
+    )
+
+
 def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filtering (the fastText-style stage of
     LLM curation): train LogisticRegression on cheap text statistics
@@ -3421,6 +3471,75 @@ def _norm_sql(a: str, dim: int = 64) -> str:
     return f"sqrt({expr})"
 
 
+def _pq_sub_dist_sql(vec: str, s: int, j: int, cb: list, d_sub: int) -> str:
+    """Left-to-right fold of ||vec_sub − codebook[s][j]||², matching
+    similarity.pq_adc_expr / pq_code_expr bit-for-bit (same literals
+    via pq_det_codebooks, same addition order)."""
+    expr = "0.0"
+    for t in range(d_sub):
+        i = s * d_sub + t + 1
+        c = cb[s][j][t]
+        term = f"(CAST({vec}[{i}] AS DOUBLE) - {c!r})"
+        expr = f"({expr} + ({term} * {term}))"
+    return expr
+
+
+def _pq_code_sql(vec: str, s: int, cb: list, k: int, d_sub: int) -> str:
+    """Subspace code: argmin over the k literal centroids with index
+    tie-break — DuckDB sorts structs lexicographically by field order,
+    exactly the (d, j) comparator pq_code_expr uses."""
+    items = ", ".join(
+        "{'d': " + _pq_sub_dist_sql(vec, s, j, cb, d_sub) + f", 'j': {j}" + "}"
+        for j in range(k)
+    )
+    return f"(list_sort([{items}]))[1].j"
+
+
+def _pq_adc_sql(qvec: str, code_col: str, cb: list, m: int, k: int,
+                d_sub: int) -> str:
+    """ADC: Σ_s LUT_s[code_s] with the subspace partials added
+    left-to-right, mirroring pq_adc_expr's fold order."""
+    expr = "0.0"
+    for s in range(m):
+        case = (
+            f"CASE {code_col}{s} "
+            + " ".join(
+                f"WHEN {j} THEN {_pq_sub_dist_sql(qvec, s, j, cb, d_sub)}"
+                for j in range(k)
+            )
+            + " END"
+        )
+        expr = f"({expr} + ({case}))"
+    return expr
+
+
+def _pq_topk_sql(k_nn: int = 5, m: int = 4, k: int = 16, d_sub: int = 16) -> str:
+    from .operators.similarity import pq_det_codebooks
+
+    cb = pq_det_codebooks(m=m, k=k, d_sub=d_sub)
+    code_cols = ", ".join(
+        f"{_pq_code_sql('embedding', s, cb, k, d_sub)} AS c{s}" for s in range(m)
+    )
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS cand_id, {code_cols} FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
+        ),
+        scored AS (
+          SELECT query_id, cand_id,
+                 ROUND({_pq_adc_sql('qv', 'c', cb, m, k, d_sub)}, 6) AS adc
+          FROM q JOIN c ON cand_id <> query_id
+        )
+        SELECT query_id, cand_id, adc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= {k_nn}
+    """
+
+
 def _cosine_topk_sql(k: int = 5, decimals: int = 8) -> str:
     return f"""
         WITH q AS (
@@ -3878,6 +3997,7 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "emb_cosine_topk": _cosine_topk_sql(),
+    "emb_pq_topk": _pq_topk_sql(),
     "emb_cosine_topk_np": _cosine_topk_sql(decimals=4),
     "emb_ann_lsh": _ann_lsh_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
@@ -6799,6 +6919,7 @@ QUERIES = {
     "ml_cv_tuning": q_ml_cv_tuning,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
     "emb_pq_train_report": q_emb_pq_train_report,
+    "emb_pq_topk": q_emb_pq_topk,
     "doc_quality_classifier": q_doc_quality_classifier,
     "ml_als_recs": _qa.q_ml_als_recs,
     # -- (b) round-6 additions: first driver rows --
@@ -7024,6 +7145,7 @@ _R7_WINDOW = [
     "dedup_simhash64_pairs",     # r7 late: first-colliding-band claiming
     "dedup_clusters",            # r7 late: consumes the claimed simhash pairs
     "emb_pq_train_report",       # r7 late: new product-quantization tier
+    "emb_pq_topk",               # r7 late: hash-exact PQ search
     # (b) stale r2/r3 rows (latest driver hash predates round 4)
     "count_by_site",
     "distinct_sites",

@@ -816,6 +816,10 @@ _SCALAR_FOLD_OK = {
     # temperature sampler folds the 1-row max-sqrt scalar into the
     # |langs|-row rate table
     "corpus_temperature_sample",
+    # round 7: PQ search broadcasts the bounded query panel with a
+    # non-equi self-exclusion (cand_id <> query_id) — the same
+    # BroadcastNestedLoopJoin shape as emb_cosine_topk/emb_sq8_topk
+    "emb_pq_topk",
 }
 
 
