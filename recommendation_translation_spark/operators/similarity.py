@@ -685,7 +685,7 @@ def pq_codebooks(
     seed: int = 42,
     vec_col: str = "embedding",
     max_iter: int = 5,
-) -> tuple[list, list, list, int]:
+) -> tuple[list, list, list, int, list]:
     """Product-quantization TRAINING (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the ``dim``-wide
     vector into ``m`` contiguous subvectors and fit an independent
@@ -693,13 +693,16 @@ def pq_codebooks(
     distributed Lloyd's via Spark ML, one fit per subspace over a
     projected slice (the corpus is scanned, never collected).
 
-    Returns ``(codebooks, costs, sub_total_ss, n_points)`` where
-    ``codebooks[s][j]`` is subspace ``s``'s ``j``-th centroid (list of
-    dim/m floats), ``costs[s]`` the fit's within-cluster SS, and
+    Returns ``(codebooks, costs, sub_total_ss, n_points, sizes_ok)``
+    where ``codebooks[s][j]`` is subspace ``s``'s ``j``-th centroid
+    (list of dim/m floats), ``costs[s]`` the fit's within-cluster SS,
     ``sub_total_ss[s]`` the subspace's total SS around its mean
     (the k=1 optimum — the same cost_le_total_ss invariant anchor as
     ``q_emb_kmeans_centroids``, computed per subspace in ONE
-    distributed pass via the Σv/Σv² identity).
+    distributed pass via the Σv/Σv² identity), and ``sizes_ok[s]``
+    whether the fit's cluster sizes partition the corpus — surfaced as
+    a FLAG (the caller's oracle pins it TRUE) rather than raised, so a
+    violation shows up as a hash-mismatched row, not a query crash.
 
     Codebooks are m·k·(dim/m) doubles — dim·k total (16 KiB at
     dim=64, k=16): always driver- and broadcast-safe, which is the
@@ -711,31 +714,57 @@ def pq_codebooks(
     assert dim % m == 0, "dim must split evenly into m subspaces"
     d_sub = dim // m
     arr = emb.select(_as_double(vec_col).alias("e")).cache()
-    n_points = arr.count()
-    # per-(subspace, position) moments in one scan -> per-subspace SS
-    stats = (
-        arr.select(F.posexplode("e").alias("pos", "v"))
-        .groupBy((F.col("pos") / d_sub).cast("int").alias("s"), "pos")
-        .agg(F.sum("v").alias("sv"), F.sum(F.col("v") * F.col("v")).alias("svv"),
-             F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    sub_total_ss = [0.0] * m
-    for r in stats:
-        sub_total_ss[int(r["s"])] += r["svv"] - (r["sv"] * r["sv"]) / r["n"]
-    codebooks, costs = [], []
-    for s in range(m):
-        feats = arr.select(
-            array_to_vector(F.slice("e", s * d_sub + 1, d_sub)).alias("features")
+    try:
+        n_points = arr.count()
+        # per-(subspace, position) moments in one scan -> per-subspace SS
+        stats = (
+            arr.select(F.posexplode("e").alias("pos", "v"))
+            .groupBy((F.col("pos") / d_sub).cast("int").alias("s"), "pos")
+            .agg(F.sum("v").alias("sv"),
+                 F.sum(F.col("v") * F.col("v")).alias("svv"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(feats)
-        sizes = [int(x) for x in model.summary.clusterSizes]
-        if sum(sizes) != n_points:
-            raise AssertionError(f"subspace {s}: cluster sizes do not partition")
-        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
-        costs.append(float(model.summary.trainingCost))
-    arr.unpersist()
-    return codebooks, costs, sub_total_ss, n_points
+        sub_total_ss = [0.0] * m
+        for r in stats:
+            sub_total_ss[int(r["s"])] += r["svv"] - (r["sv"] * r["sv"]) / r["n"]
+        codebooks, costs, sizes_ok = [], [], []
+        for s in range(m):
+            feats = arr.select(
+                array_to_vector(F.slice("e", s * d_sub + 1, d_sub)).alias("features")
+            )
+            model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(feats)
+            sizes = [int(x) for x in model.summary.clusterSizes]
+            sizes_ok.append(sum(sizes) == n_points)
+            codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+            costs.append(float(model.summary.trainingCost))
+    finally:
+        # unpersist on every path — a failed fit must not pin the
+        # double-cast corpus in the long-lived shared session
+        arr.unpersist()
+    return codebooks, costs, sub_total_ss, n_points, sizes_ok
+
+
+def _pq_cents_lit(codebooks: list, s: int) -> Column:
+    """Subspace ``s``'s centroids as ONE literal array-of-arrays —
+    shared by the ADC lookup and the decode so their literals (and
+    thus their bit-exact agreement, which the consistency flag and the
+    hash-exact oracle both lean on) cannot drift apart."""
+    return F.array(*[
+        F.array(*[F.lit(x) for x in codebooks[s][j]])
+        for j in range(len(codebooks[s]))
+    ])
+
+
+def _l2sq_fold(a: Column, b: Column) -> Column:
+    """||a − b||² as a left-to-right fold — the ONE squared-distance
+    construction every PQ expression uses (same term order everywhere,
+    mirrored by queries._pq_sub_dist_sql)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def pq_code_expr(vec: Column, codebooks: list) -> Column:
@@ -764,11 +793,7 @@ def pq_code_expr(vec: Column, codebooks: list) -> Column:
         scored = F.transform(
             cents,
             lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(sub, c["cv"], lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
+                _l2sq_fold(sub, c["cv"]).alias("d"),
                 c["j"].alias("j"),
             ),
         )
@@ -796,16 +821,8 @@ def pq_adc_expr(vec: Column, code: Column, codebooks: list) -> Column:
     total = F.lit(0.0)
     for s in range(m):
         sub = F.slice(vec, s * d_sub + 1, d_sub)
-        cents = F.array(*[
-            F.array(*[F.lit(x) for x in codebooks[s][j]])
-            for j in range(len(codebooks[s]))
-        ])
-        cv = F.element_at(cents, code[s] + 1)
-        total = total + F.aggregate(
-            F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        cv = F.element_at(_pq_cents_lit(codebooks, s), code[s] + 1)
+        total = total + _l2sq_fold(sub, cv)
     return total
 
 
@@ -813,13 +830,10 @@ def pq_decode_expr(code: Column, codebooks: list) -> Column:
     """Reconstruct the quantized vector: concat of the selected
     centroid per subspace (array<double> of the original dim)."""
     m = len(codebooks)
-    parts = []
-    for s in range(m):
-        cents = F.array(*[
-            F.array(*[F.lit(x) for x in codebooks[s][j]])
-            for j in range(len(codebooks[s]))
-        ])
-        parts.append(F.element_at(cents, code[s] + 1))
+    parts = [
+        F.element_at(_pq_cents_lit(codebooks, s), code[s] + 1)
+        for s in range(m)
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = F.concat(out, p)

@@ -2403,7 +2403,7 @@ def q_emb_pq_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     m, k = 4, 16
-    codebooks, costs, sub_ss, n_points = pq_codebooks(
+    codebooks, costs, sub_ss, n_points, sizes_ok = pq_codebooks(
         emb, m=m, k=k, dim=64, seed=42, vec_col="embedding"
     )
     # bounded audit panel (the ANN-audit convention: strided + capped)
@@ -2434,7 +2434,7 @@ def q_emb_pq_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             s,
             n_points,
             k,
-            True,  # pq_codebooks raises if sizes fail to partition
+            sizes_ok[s],
             math.isfinite(costs[s]) and 0.0 <= costs[s] and (
                 sub_ss[s] <= 0.0 or costs[s] <= sub_ss[s]
             ),
@@ -2481,8 +2481,8 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         pq_code_expr(_as_double("embedding"), cb).alias("code"),
     )
-    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 4000)).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+    q = _queries_frame(emb).select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
     )
     scored = cand.join(
         F.broadcast(q), F.col("cand_id") != F.col("query_id")
@@ -2495,7 +2495,7 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("query_id", "cand_id", "adc", "rk")
+        .select("query_id", "cand_id", "adc", F.col("rk").cast("long").alias("rk"))
     )
 
 

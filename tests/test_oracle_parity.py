@@ -76,6 +76,13 @@ CROSS_SF_SENSITIVE = [
     # a different missingness pattern per SF
     "doc_dup_span_maximal",
     "pipeline_e2e_score",
+    # round-7: the PQ train report's per-subspace k-means cost-bound
+    # flags are distribution-dependent (same class as
+    # emb_kmeans_centroids); the hash-exact PQ search rides along so
+    # the deterministic-codebook mirror is exercised on both
+    # distributions too
+    "emb_pq_train_report",
+    "emb_pq_topk",
 ]
 
 from .conftest import SF_SMALL  # noqa: E402

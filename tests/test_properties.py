@@ -989,12 +989,13 @@ def test_pq_encode_decode_adc_identities(spark):
         for i in range(40)
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    codebooks, costs, sub_ss, n = pq_codebooks(
+    codebooks, costs, sub_ss, n, sizes_ok = pq_codebooks(
         emb, m=m, k=k, dim=dim, seed=7, vec_col="embedding"
     )
     assert n == 40 and len(codebooks) == m and all(len(cb) == k for cb in codebooks)
     assert all(c >= 0 for c in costs)
     assert all(costs[s] <= sub_ss[s] + 1e-9 for s in range(m))
+    assert sizes_ok == [True] * m
 
     coded = emb.select(
         "vec_id",
