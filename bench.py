@@ -137,8 +137,16 @@ def main() -> int:
         # entries are dead weight that grows GC/memory pressure across
         # a 185-query loop — one observed symptom was a mid-panel
         # query measuring 4x slow on BOTH its runs yet normal in
-        # isolation.  Clearing costs microseconds.
+        # isolation.  Clearing costs microseconds.  Memory-sink tables
+        # from earlier streaming drains hold full result sets in
+        # driver memory with no TTL (clearCache does not touch temp
+        # views) — drop them too; prior results are already recorded.
         spark.catalog.clearCache()
+        from recommendation_translation_spark.streaming.events_stream import (
+            drop_memory_sink_tables,
+        )
+
+        drop_memory_sink_tables(spark)
         # Streaming queries replay through a fresh memory sink and can
         # hit environment-flaky Python-worker socket timeouts (round-3
         # BENCH tail) — give them one retry before recording a failure.

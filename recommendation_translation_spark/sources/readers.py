@@ -243,11 +243,23 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return normalize_event_ts(spark, df)
+
+
+def normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize the physical ``ts`` column to TimestampType — shared
+    by the batch reader above AND the streaming replay
+    (streaming.events_stream._events_stream), so the two paths cannot
+    silently diverge on a new testdata generation or a tz-handling
+    fix (the round-3 timezone-restore fix originally had to be applied
+    in both copies)."""
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         # integer division — float division loses ns precision at 1e18 magnitudes
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
+        # the cast captures its zone at ANALYSIS time, so pin UTC
+        # around the withColumn and restore the caller's conf
         prev_tz = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:

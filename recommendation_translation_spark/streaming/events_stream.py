@@ -26,11 +26,13 @@ __all__ = [
     "stream_static_enrich",
     "stream_stream_join",
     "stream_user_stats",
+    "stream_user_stats_tws",
+    "stream_join_then_agg",
     "stream_dedup_counts",
     "run_stream_to_memory",
+    "drop_memory_sink_tables",
     "stream_events_to_parquet",
     "stream_upsert_user_totals",
-    "stream_user_stats_tws",
 ]
 
 
@@ -52,40 +54,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes)["ts"]
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # TIMESTAMP(MICROS, isAdjustedToUTC=false) generation — normalize
-        # exactly like sources.readers.read_events (naive-as-UTC): the
-        # cast captures its zone at analysis time, so pin UTC around the
-        # withColumn and restore the caller's conf.
-        prev_tz = spark.conf.get("spark.sql.session.timeZone")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        try:
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        finally:
-            spark.conf.set("spark.sql.session.timeZone", prev_tz)
-    return stream
+    # ONE normalization shared with the batch reader — the streaming
+    # replay must land on the identical TimestampType values the
+    # batch relations (and their oracles) use
+    from ..sources.readers import normalize_event_ts
+
+    return normalize_event_ts(spark, stream)
 
 
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
     """Streaming tumbling-window count/sum per event_type — the
     incremental form of operators.events.tumbling_agg (same output)."""
-    events = _events_stream(spark, sf_dir)
-    return (
-        events.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    # tumbling IS the slide == width special case of hopping: one
+    # implementation, one output contract
+    return stream_hopping_agg(spark, sf_dir, width=width, slide=width)
 
 
 def stream_hopping_agg(spark: SparkSession, sf_dir: str, width: str = "2 hours",
@@ -334,6 +316,10 @@ def run_stream_to_memory(
             _PROVIDER_CONF,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+    elif state_store is not None:
+        # a typo ('RocksDB', 'rocks') must not silently run under the
+        # default provider while the caller believes it pinned RocksDB
+        raise ValueError(f"unknown state_store {state_store!r}; use 'rocksdb' or None")
     try:
         name = f"stream_out_{uuid.uuid4().hex[:8]}"
         query = (
@@ -351,7 +337,32 @@ def run_stream_to_memory(
                 spark.conf.unset(_PROVIDER_CONF)
             else:
                 spark.conf.set(_PROVIDER_CONF, prev_provider)
+    _MEMORY_SINK_TABLES.append(name)
     return spark.table(name)
+
+
+# Memory-sink tables this module has registered: each holds its full
+# result set in driver memory for the session lifetime (the sink has
+# no TTL, and catalog cache clearing does not touch temp views).
+# Long-lived loops call :func:`drop_memory_sink_tables` between
+# queries, AFTER the previous result has been materialized.
+_MEMORY_SINK_TABLES: list[str] = []
+
+
+def drop_memory_sink_tables(spark: SparkSession) -> int:
+    """Drop every memory-sink table registered by
+    :func:`run_stream_to_memory`; returns how many were dropped.
+    Only call once prior results have been collected — the DataFrames
+    those drains returned read FROM these tables."""
+    n = 0
+    while _MEMORY_SINK_TABLES:
+        name = _MEMORY_SINK_TABLES.pop()
+        try:
+            spark.catalog.dropTempView(name)
+            n += 1
+        except Exception:
+            pass  # already dropped, or registered on another session
+    return n
 
 
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,10 +467,12 @@ def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    # NOTE: the RocksDB provider this API requires is NOT set here —
+    # setting it at build time would mutate the shared session for
+    # every later streaming query (the provider is read at query
+    # START, not analysis).  Drain with
+    # ``run_stream_to_memory(..., state_store="rocksdb")``, which sets
+    # and RESTORES the conf around start().
     events = _events_stream(spark, sf_dir)
 
     class RunningStats(StatefulProcessor):

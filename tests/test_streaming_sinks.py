@@ -75,7 +75,12 @@ def test_transform_with_state_matches_apply_in_pandas(spark):
     new = {
         (r.user_id, r.n_events, r.sum_value, r.max_value)
         for r in run_stream_to_memory(
-            stream_user_stats_tws(spark, SF_SMALL), output_mode="update"
+            stream_user_stats_tws(spark, SF_SMALL),
+            output_mode="update",
+            # tws requires the RocksDB provider; the drain sets it
+            # around start() and RESTORES it — the builder deliberately
+            # does not mutate the shared session's provider conf
+            state_store="rocksdb",
         ).collect()
     }
     old = {

@@ -73,8 +73,14 @@ def main() -> int:
             continue
         fn = qmap[name]
         # same cache hygiene as bench.py: drop the previous query's
-        # dead cached frames before timing the next one
+        # dead cached frames and memory-sink tables before timing the
+        # next one
         spark.catalog.clearCache()
+        from recommendation_translation_spark.streaming.events_stream import (
+            drop_memory_sink_tables,
+        )
+
+        drop_memory_sink_tables(spark)
         t0 = time.perf_counter()
         try:
             n = fn(spark, sf_dir).count()
