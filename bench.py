@@ -183,8 +183,12 @@ def main() -> int:
             ref is None or t > 1.5 * ref + 0.2 or name in ALWAYS_BEST_OF_2
         ):
             # cold re-run: same protocol as first runs (see the loop-top
-            # clearCache) so best-of-2 never records a warm-cache min
+            # clearCache + memory-sink drop) so best-of-2 never records
+            # a warm-cache min and a flagged STREAMING query's re-run
+            # does not execute with its first run's memory-sink table
+            # still resident (round-7 advisor)
             spark.catalog.clearCache()
+            drop_memory_sink_tables(spark)
             try:
                 t1 = time.perf_counter()
                 fn(spark, sf_dir).count()

@@ -330,13 +330,20 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
     Each row's virtual position is ``(rank_within_source − 1) · SCALE
     div weight`` in *integer floor division* (both Spark ``div`` and
     the DuckDB oracle's ``//`` truncate identically, so the result is
-    exact and engine-independent for any positive integer weight
-    ≤ SCALE — the closed-form rank below needs per-source positions
-    strictly increasing, which holds iff weight ≤ SCALE; larger
-    weights collapse consecutive ranks onto one position and are
-    REJECTED up front (SCALE = 720720, divisible by every weight
-    ≤ 16, is already ~5 orders of magnitude above any sane mixing
-    ratio).
+    exact and engine-independent).  Weights must be positive integers
+    that DIVIDE SCALE: divisibility makes every source's positions
+    exact multiples of an integer ``step = SCALE / weight``, which (a)
+    keeps per-source positions strictly increasing (the closed-form
+    rank's premise — weights above SCALE would collapse consecutive
+    ranks onto one position) and (b) lets the cross-source
+    strictly-below count be ``ceil(vpos / step)`` with NO
+    ``vpos × weight`` product — that product's intermediate
+    (~n_rows·SCALE·weight) silently wrapped int64 for weight-heavy
+    configs past ~2e7 rows (round-7 advisor); intermediates here stay
+    ≤ vpos + SCALE, int64-safe to ~1.2e13 rows per source.
+    SCALE = 720720 is divisible by every weight ≤ 16 (and by 2^4·3^2·
+    5·7·11·13's 240 divisors up to SCALE itself), far beyond any sane
+    mixing ratio.
 
     The per-source rank is a source-partitioned window (parallel
     across sources).  The global ``mix_rank`` — row_number over
@@ -356,11 +363,13 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
     scale = 720720
     weight = F.lit(1)
     for k, v in sorted(weights.items()):
-        if not (isinstance(v, int) and 0 < v <= scale):
+        if not (isinstance(v, int) and 0 < v <= scale and scale % v == 0):
             raise ValueError(
-                f"weights must be integers in [1, {scale}], got {k}={v!r} "
-                "(the closed-form mix_rank needs strictly increasing "
-                "per-source positions, which requires weight <= SCALE)"
+                f"weights must be positive integer divisors of {scale}, "
+                f"got {k}={v!r} (the closed-form mix_rank needs strictly "
+                "increasing per-source positions at exact integer steps, "
+                "which requires weight <= SCALE and weight | SCALE; every "
+                "weight <= 16 qualifies)"
             )
         weight = F.when(F.col(source_col) == k, F.lit(v)).otherwise(weight)
     rn = F.row_number().over(Window.partitionBy(source_col).orderBy(id_col))
@@ -379,16 +388,20 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
             F.collect_list(F.struct(F.col("s"), F.col("n")))
         ).alias("cmap")
     )
-    # weight of the map entry's source, as a literal CASE (config data)
-    wexpr = "CASE e.key " + "".join(
-        f"WHEN '{k.replace(chr(39), chr(39) * 2)}' THEN CAST({v} AS BIGINT) "
+    # position step of the map entry's source, as a literal CASE
+    # (config data; weights divide SCALE so each step is exact)
+    sexpr = "CASE e.key " + "".join(
+        f"WHEN '{k.replace(chr(39), chr(39) * 2)}' THEN "
+        f"CAST({scale // v} AS BIGINT) "
         for k, v in sorted(weights.items())
-    ) + "ELSE CAST(1 AS BIGINT) END"
-    # how many of source e's strictly-increasing positions fall below
-    # my vpos (uncapped); the tie row (position == vpos) sorts before
-    # me iff its source name does
+    ) + f"ELSE CAST({scale} AS BIGINT) END"
+    # how many of source e's strictly-increasing positions (exact
+    # multiples of its step) fall below my vpos: ceil(vpos / step),
+    # uncapped; the tie row (position == vpos, i.e. step | vpos) sorts
+    # before me iff its source name does.  No vpos*weight product —
+    # intermediates stay <= vpos + SCALE (round-7 advisor overflow fix)
     lt = (
-        f"(CASE WHEN vpos >= 1 THEN (vpos * ({wexpr}) - 1) div {scale} + 1 "
+        f"(CASE WHEN vpos >= 1 THEN (vpos + ({sexpr}) - 1) div ({sexpr}) "
         f"ELSE CAST(0 AS BIGINT) END)"
     )
     mix = F.expr(
@@ -397,7 +410,7 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
         f"(CASE WHEN e.key = {source_col} THEN CAST(0 AS BIGINT) ELSE "
         f"LEAST(e.value, {lt}) + "
         f"(CASE WHEN e.key < {source_col} AND {lt} + 1 <= e.value "
-        f"AND ({lt} * {scale}) div ({wexpr}) = vpos "
+        f"AND vpos % ({sexpr}) = 0 "
         f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) END))"
     )
     return (

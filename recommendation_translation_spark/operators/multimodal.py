@@ -199,17 +199,32 @@ def header_decode_image(payload: bytes) -> tuple[int, int, str]:
         return w, h, _PNG_MODES.get(payload[25], f"ct{payload[25]}")
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
-        while i + 4 <= len(payload):
+        while i + 2 <= len(payload):
             if payload[i] != 0xFF:
                 break
-            marker = payload[i + 1]
+            # the spec permits any run of 0xFF fill bytes before the
+            # marker byte (round-7 advisor: spec-valid JPEGs misparsed)
+            j = i + 1
+            while j < len(payload) and payload[j] == 0xFF:
+                j += 1
+            if j >= len(payload):
+                break
+            marker = payload[j]
             if marker in _JPEG_SOF:
-                if i + 10 > len(payload):
+                if j + 9 > len(payload):
                     raise ValueError("truncated JPEG SOF segment")
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                return w, h, _JPEG_MODES.get(payload[i + 9], "RGB")
-            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
-            i += 2 + seg_len
+                h, w = struct.unpack(">HH", payload[j + 4 : j + 8])
+                return w, h, _JPEG_MODES.get(payload[j + 8], "RGB")
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                # TEM / RSTn / (stray) SOI are standalone — no length word
+                i = j + 1
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            if j + 3 > len(payload):
+                break
+            seg_len = struct.unpack(">H", payload[j + 1 : j + 3])[0]
+            i = j + 1 + seg_len
         raise ValueError("JPEG without SOF frame header")
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         if len(payload) < 10:

@@ -329,6 +329,11 @@ def run_stream_to_memory(
             .trigger(availableNow=True)
             .start()
         )
+        # track IMMEDIATELY after start() registered the sink: if the
+        # drain below raises, the table is already in the catalog and
+        # must stay reclaimable by drop_memory_sink_tables (round-7
+        # advisor — success-path-only tracking leaked failed drains)
+        _MEMORY_SINK_TABLES.append(name)
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -337,7 +342,6 @@ def run_stream_to_memory(
                 spark.conf.unset(_PROVIDER_CONF)
             else:
                 spark.conf.set(_PROVIDER_CONF, prev_provider)
-    _MEMORY_SINK_TABLES.append(name)
     return spark.table(name)
 
 

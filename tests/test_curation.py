@@ -447,6 +447,39 @@ def test_header_decoder_raises_valueerror_on_truncation():
             header_decode_image(payload)
 
 
+def test_header_decoder_jpeg_fill_and_standalone_markers():
+    """The JPEG marker walk must accept spec-valid streams the strict
+    walk rejected (round-7 advisor): runs of 0xFF fill bytes before a
+    marker, and length-LESS standalone markers (TEM 0x01, RST0-7)
+    between segments — and still fail safe (ValueError, not invented
+    dimensions) on an EOI with no SOF."""
+    import struct
+
+    import pytest
+
+    from recommendation_translation_spark.operators.multimodal import (
+        header_decode_image,
+    )
+
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 2
+    )
+    # fill bytes before both the APP0 and SOF markers
+    filled = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xff" + sof
+    )
+    assert header_decode_image(filled) == (640, 480, "RGB")
+    # TEM and RST4 standalone markers between SOI and SOF
+    standalone = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd4" + sof
+    assert header_decode_image(standalone) == (640, 480, "RGB")
+    # EOI before any SOF: reject, don't walk past the end
+    with pytest.raises(ValueError):
+        header_decode_image(b"\xff\xd8\xff\x01\xff\xd9")
+
+
 def test_interleave_rejects_weights_beyond_scale(spark):
     """Weights above SCALE (720720) would collapse consecutive
     per-source positions onto one vpos and silently break the
@@ -461,6 +494,10 @@ def test_interleave_rejects_weights_beyond_scale(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
     with pytest.raises(ValueError, match="720720"):
         interleave_sources(df, "src", {"a": 1_000_000})
+    # non-divisors of SCALE are rejected too: the overflow-safe
+    # ceil(vpos/step) rank needs an exact integer step per source
+    with pytest.raises(ValueError, match="divisor"):
+        interleave_sources(df, "src", {"a": 17})
     # the boundary itself is legal: weight == SCALE keeps per-source
     # positions strictly increasing (positions are exactly 0,1,2,...)
     df3 = spark.createDataFrame(

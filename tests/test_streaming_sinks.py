@@ -90,3 +90,34 @@ def test_transform_with_state_matches_apply_in_pandas(spark):
         ).collect()
     }
     assert new == old
+
+
+def test_memory_sink_tracked_even_when_drain_raises(spark, monkeypatch):
+    """run_stream_to_memory registers the memory-sink table with the
+    hygiene list IMMEDIATELY after start(), not on the success path
+    only (round-7 advisor): a drain that raises after start() has
+    already put the table in the catalog, and an untracked one can
+    never be reclaimed by drop_memory_sink_tables."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQuery
+
+    from recommendation_translation_spark.streaming import events_stream as es
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected drain failure")
+
+    monkeypatch.setattr(StreamingQuery, "awaitTermination", boom)
+    before = list(es._MEMORY_SINK_TABLES)
+    with pytest.raises(RuntimeError, match="injected"):
+        es.run_stream_to_memory(
+            es.stream_tumbling_agg(spark, SF_SMALL), output_mode="complete"
+        )
+    added = [n for n in es._MEMORY_SINK_TABLES if n not in before]
+    assert len(added) == 1, "failed drain must still be tracked"
+    monkeypatch.undo()
+    # let the availableNow query finish, then reclaim the sink table
+    for q in spark.streams.active:
+        if q.name == added[0]:
+            q.awaitTermination()
+    assert es.drop_memory_sink_tables(spark) >= 1
+    assert added[0] not in [t.name for t in spark.catalog.listTables()]

@@ -101,7 +101,9 @@ def main() -> int:
             # protocol as every first run — otherwise re-measured rows
             # record warm-cache minimums and the 2x guard is
             # systematically looser for exactly the flagged queries
+            # (memory-sink tables included — round-7 advisor)
             spark.catalog.clearCache()
+            drop_memory_sink_tables(spark)
             t1 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
