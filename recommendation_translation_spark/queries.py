@@ -2507,6 +2507,79 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index PERSIST-then-SEARCH (round-7 verdict #4): the
+    build-once/reuse path the 100 TB story promises.  BUILD writes the
+    encoded corpus — (cand_id, code array<int>), 4 small ints per
+    vector — through the parquet sink plus a JSON codebook MANIFEST
+    beside it, making the index self-describing.  SEARCH then reads
+    ONLY the persisted form: codebooks come from the manifest (JSON
+    float round-trip is exact in Python, so the reloaded literals are
+    bit-identical and the driver hash still covers them) and
+    candidates stream from the codes table — the scan carries 4 ints
+    per row, never the 64-float vectors (asserted plan-side in
+    pytest: the codes scan's ReadSchema has no embedding column; the
+    raw-vector scan appears only under the bounded broadcast query
+    panel, which is the asymmetric half of ADC by definition).
+
+    Same deterministic codebooks, panel, ranking, and oracle
+    (_pq_topk_sql) as emb_pq_topk, so any row lost or mangled by the
+    sink round-trip — or a manifest/codes version skew — is a hash
+    mismatch, not a silent recall drop."""
+    import json
+    import os
+
+    from .operators.similarity import (
+        _as_double,
+        pq_adc_expr,
+        pq_code_expr,
+        pq_det_codebooks,
+    )
+    from .sources.writers import write_parquet
+
+    m, k, d_sub = 4, 16, 16
+    d = _run_dir("pq_index", sf_dir)
+    codes_path = os.path.join(d, "codes")
+    manifest_path = os.path.join(d, "codebook_manifest.json")
+    emb = _t(spark, sf_dir, "embeddings")
+    # ---- BUILD: encode (zero-shuffle projection) + persist ----
+    cb = pq_det_codebooks(m=m, k=k, d_sub=d_sub)
+    write_parquet(
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            pq_code_expr(_as_double("embedding"), cb).alias("code"),
+        ),
+        codes_path,
+    )
+    with open(manifest_path, "w") as f:
+        json.dump(
+            {"m": m, "k": k, "d_sub": d_sub, "metric": "adc_l2sq",
+             "codebooks": cb},
+            f,
+        )
+    # ---- SEARCH: only the persisted index from here on ----
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    cb_loaded = manifest["codebooks"]
+    cand = spark.read.parquet(codes_path)
+    q = _queries_frame(emb).select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    )
+    scored = cand.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).withColumn(
+        "adc", F.round(pq_adc_expr(F.col("qvec"), F.col("code"), cb_loaded), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "adc", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filtering (the fastText-style stage of
     LLM curation): train LogisticRegression on cheap text statistics
@@ -4006,6 +4079,9 @@ ORACLES: dict[str, str] = {
     """,
     "emb_cosine_topk": _cosine_topk_sql(),
     "emb_pq_topk": _pq_topk_sql(),
+    # persisted-index search: same relation as the in-flight PQ search
+    # (the sink round-trip and manifest reload must be value-invisible)
+    "emb_pq_persisted_topk": _pq_topk_sql(),
     "emb_cosine_topk_np": _cosine_topk_sql(decimals=4),
     "emb_ann_lsh": _ann_lsh_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
@@ -6928,6 +7004,7 @@ QUERIES = {
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
     "emb_pq_train_report": q_emb_pq_train_report,
     "emb_pq_topk": q_emb_pq_topk,
+    "emb_pq_persisted_topk": q_emb_pq_persisted_topk,
     "doc_quality_classifier": q_doc_quality_classifier,
     "ml_als_recs": _qa.q_ml_als_recs,
     # -- (b) round-6 additions: first driver rows --

@@ -1039,3 +1039,36 @@ def test_emb_cosine_pairs_no_pair_distinct(spark):
     # so the returned frame's plan has no aggregate at all.
     df = QUERIES["dedup_emb_cosine"](spark, SF_SMALL)
     assert "HashAggregate" not in physical_plan(df)
+
+
+def test_pq_persisted_search_scans_codes_not_vectors(spark):
+    """The persisted-PQ search (round-7 verdict #4) must deliver the
+    "write the codes column once, scan codes not vectors" promise in
+    the PLAN: the candidate-side FileScan reads the persisted codes
+    table — (cand_id, code), 4 small ints — and NO scan in the query
+    reads the float-vector column except the bounded query panel
+    (vec_id-strided + capped, pushed into its scan and broadcast).
+    A regression that joins the raw embeddings back onto the candidate
+    side would re-read 64 floats per corpus row at 100 TB."""
+    df = QUERIES["emb_pq_persisted_topk"](spark, SF_SMALL)
+    # simple mode prints each FileScan on one line with its output
+    # columns and data filters (formatted mode splits them off into a
+    # details section, hiding the per-scan column list)
+    plan = physical_plan(df, mode="simple")
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    code_scans = [s for s in scans if "code" in s and "embedding" not in s]
+    vec_scans = [s for s in scans if "embedding" in s]
+    assert code_scans, "no codes-table scan in the plan"
+    # every raw-vector scan is the strided+capped query panel, never
+    # an unfiltered corpus read on the candidate side
+    assert vec_scans, "query panel scan missing"
+    for s in vec_scans:
+        assert "% 50" in s and "< 4000" in s, (
+            "raw-vector scan without the panel filter pushed down:\n" + s
+        )
+    # the panel joins as a BROADCAST (nested-loop: the != condition is
+    # non-equi, and 80 rows broadcast is exactly right) — the corpus
+    # codes side must never shuffle for it
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
