@@ -7289,3 +7289,70 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_WINDOW)},
 }
 
+
+
+# -- Round-8 driver window: leads with (a) the LAST two stale rows —
+# tpch_q8_share / tpch_q9_profit, whose newest driver hash is still r3
+# (they sat at slots 51-52 of the round-7 window, just past the 50-row
+# cutoff) — (b) this round's new/changed queries (the persisted-PQ
+# index path; corpus_interleave's overflow-safe mix_rank rearrangement;
+# dedup_emb_cosine's footer-metadata sizing), and (c) the 45 queries
+# whose newest hard signal is r4, oldest-first — so after this window
+# every catalog query's latest green row is r5+ and the two r3 rows
+# are finally swept.  Relative order of everything else is kept. --
+_R8_WINDOW = [
+    "tpch_q8_share",
+    "tpch_q9_profit",
+    "emb_pq_persisted_topk",
+    "corpus_interleave",
+    "dedup_emb_cosine",
+    "corpus_stratified_sample",
+    "corpus_vocab_growth",
+    "customer_rfm",
+    "dedup_band_histogram",
+    "doc_bigram_perplexity",
+    "doc_chunks_udtf",
+    "doc_rarity_quality",
+    "doc_tfidf_topterms",
+    "emb_sq8_topk",
+    "events_bitmap_distinct",
+    "events_hourly_heatmap",
+    "events_regr_trend",
+    "events_scd2_intervals",
+    "events_stream_dedup",
+    "events_stream_hopping",
+    "events_stream_static",
+    "events_trailing_range_sum",
+    "events_trimmed_mean",
+    "events_variant_props",
+    "ingest_join",
+    "lineitem_corr_matrix",
+    "lineitem_dq_checks",
+    "lineitem_moving_sum",
+    "lineitem_percentiles",
+    "lineitem_udaf_wavg",
+    "lineitem_yearly_growth",
+    "mm_frame_sample",
+    "nation_revenue_share",
+    "orders_date_funcs",
+    "orders_lateral_topk",
+    "orders_snapshot_diff",
+    "orders_window_funcs",
+    "pricing_decimal_exact",
+    "pricing_grouping_sets",
+    "pysource_scan",
+    "tpch_q11_important",
+    "tpch_q12_priority",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q18_bigorders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess",
+    "tpch_q21_waiting",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R8_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)},
+}

@@ -862,6 +862,41 @@ def test_bucketed_join_is_exchange_free(spark):
     assert full.count("Exchange hashpartitioning") == 1, full
 
 
+def test_salted_join_plan_shape_pinned(spark):
+    """orders_salted_join's intended plan, pinned deterministically
+    (round-7 verdict #3: sf3 showed AQE run-to-run 'plan luck' —
+    sometimes broadcasting the 8×-replicated dim, sometimes SMJ).  At
+    100 TB neither side broadcasts, so the shape under test — with
+    size-based broadcast disabled, as at real scale — is: a shuffle
+    join whose BOTH sides exchange on (key, _salt) — the 8-way hot-key
+    spread that is the operator's whole point — with the dim
+    replication (Generate explode) MAP-SIDE beneath its exchange, and
+    exactly 3 exchanges total (join side ×2 + the final priority
+    rollup)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["orders_salted_join"](spark, SF_SMALL)
+        plan = physical_plan(df, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "Broadcast" not in plan, plan
+    salted_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_salt" in ln
+    ]
+    assert len(salted_exchanges) == 2, (
+        "both join inputs must partition on (key, _salt):\n" + plan
+    )
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    # replication happens before the dim's shuffle (map-side explode),
+    # so the salt spread is effective at the exchange
+    gen = plan.find("Generate explode")
+    dim_exch = plan.find(salted_exchanges[-1].strip())
+    assert gen > dim_exch >= 0, plan
+
+
 def test_zorder_scan_clusters_matches(spark):
     # the hash-checked flag asserts ≤16 of 32 files hit; the actual
     # count at any SF is a handful — pin the stronger bound here
