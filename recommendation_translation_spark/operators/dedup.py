@@ -52,6 +52,7 @@ __all__ = [
     "fuzzy_pairs_ed1",
     "simhash",
     "simhash_pairs",
+    "simhash_clusters_collapsed",
 ]
 
 
@@ -798,4 +799,79 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_clusters_collapsed(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected components over the simhash near-dup graph, with
+    EXACT-duplicATE COLLAPSE first — identical output to
+    ``dup_clusters(simhash_pairs(docs))``, at Θ(distinct texts) pair
+    cost instead of Θ(Σ clone_group²).
+
+    The round-8 sf3 octave caught the direct composition's cliff:
+    simhash signatures are a pure function of the text, so every
+    clone of a text collides with every clone of every near-dup text
+    — the verified pair relation grows ∝ K² per K-clone group (69.9M
+    pairs at sf3's K≈30 tiling, 17 s to enumerate before CC even
+    starts).  But those pairs carry no new connectivity: clones of
+    one text share a signature (hamming 0), so the component
+    structure over DOCS is exactly the component structure over
+    DISTINCT TEXTS, expanded by the exact-duplicate groups.  Hence:
+
+    1. fingerprint each doc (sha2 of the raw text — byte-identical
+       duplicates, the standard exact-dedup key) and take the min-id
+       REPRESENTATIVE per fingerprint (one shuffle on fp);
+    2. run the complete Manku banding + CC over representatives only
+       — pair volume is now corpus-duplication-INDEPENDENT;
+    3. map members back through (fp → rep → component label).  A
+       component's full-graph cluster_id is the min doc id it
+       reaches, every exact group's min is its rep, so the min over
+       the component's docs IS the min over its reps — the rep-level
+       label is the exact doc-level label.  Membership also maps
+       exactly: the full graph pairs a doc iff its group has ≥ 2
+       clones (hamming-0 twin) or its text has a near-dup text
+       (rep-level pair).
+
+    At 100 TB this is a strict win: the collapse costs one narrow
+    (id, fp) shuffle; rep-level work equals the old path's when the
+    corpus has no exact dups and shrinks with every one it has.
+    The rep map scales with distinct texts, so both mapping joins are
+    shuffle joins (AQE broadcasts them when small), never a driver
+    collect."""
+    from .curation import dup_clusters
+
+    member = docs.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("_fp")
+    )
+    reps = member.groupBy("_fp").agg(
+        F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
+    )
+    rep_docs = docs.join(
+        reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs = simhash_pairs(
+        rep_docs, max_hamming=max_hamming, bits=bits,
+        text_col=text_col, id_col=id_col,
+    )
+    rep_labels = dup_clusters(rep_pairs).select(
+        F.col("doc_id").alias("_rep"), F.col("cluster_id").alias("_label")
+    )
+    # a rep with no rep-level pair but >= 2 clones still clusters (its
+    # clones are hamming-0 pairs in the full graph): label = rep id
+    rep_info = reps.join(rep_labels, "_rep", "left").select(
+        "_fp",
+        F.coalesce("_label", F.col("_rep")).alias("_label"),
+        (F.col("_n") >= 2).alias("_twins"),
+        F.col("_label").isNotNull().alias("_paired"),
+    )
+    return (
+        member.join(rep_info, "_fp")
+        .filter(F.col("_paired") | F.col("_twins"))
+        .select(F.col(id_col).alias("doc_id"), F.col("_label").alias("cluster_id"))
     )

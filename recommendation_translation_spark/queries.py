@@ -1030,9 +1030,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py); the driver oracle is an exact DuckDB
     recursive-CTE transitive closure over the same pairs — min
     reachable id per member — so this is a full hash-checked row,
-    plus a union-find property oracle in tests/."""
-    pairs = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
-    return dup_clusters(pairs)
+    plus a union-find property oracle in tests/.
+
+    Round-8: runs through ``simhash_clusters_collapsed`` — exact-dup
+    collapse (sha2 fingerprint → min-id rep), CC over distinct-text
+    representatives, members mapped back — after the sf3 octave caught
+    the direct composition's cliff (signatures are text-functional, so
+    the verified pair set grew ∝ clone-group² — 69.9M pairs at sf3's
+    K≈30; output proven identical, boundary in SCALE.md round 8)."""
+    from .operators.dedup import simhash_clusters_collapsed
+
+    return simhash_clusters_collapsed(
+        _t(spark, sf_dir, "documents"), max_hamming=2
+    )
 
 
 # ---------------------------------------------------------------------------

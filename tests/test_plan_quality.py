@@ -820,6 +820,10 @@ _SCALAR_FOLD_OK = {
     # non-equi self-exclusion (cand_id <> query_id) — the same
     # BroadcastNestedLoopJoin shape as emb_cosine_topk/emb_sq8_topk
     "emb_pq_topk",
+    # round 8: the persisted-index search ranks with the identical
+    # broadcast-panel BNLJ; its codes-only scan contract has its own
+    # dedicated test below
+    "emb_pq_persisted_topk",
 }
 
 
