@@ -144,6 +144,7 @@ def salted_join(
     salt: int = 16,
     salt_on: str | None = None,
     how: str = "inner",
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Equi-join with manual key salting for skewed fact keys.
 
@@ -157,10 +158,24 @@ def salted_join(
     ``salt`` evenly-sized shuffle partitions.  Result is exactly the
     unsalted join; dim replication cost is ``salt × |dim|`` rows,
     which is the knob to balance against the skew factor.
-    """
+
+    ``pin_shuffle_join`` (default True) attaches a sort-merge hint to
+    the replicated dim, closing the round-7 "AQE plan luck" watch
+    item: at mid scale AQE's runtime stats sometimes rewrote this join
+    into a BROADCAST of the replicated dim — measured 3× SLOWER than
+    the shuffle join it replaced (sf1 best-of-2: 9.5 s broadcast vs
+    2.9 s hinted SMJ / 2.8 s shuffle-hash; sf3: 3.3 / 3.4 / 3.7 s, a
+    wash), and structurally wrong besides: salted_join is only called
+    when the dim is too big to broadcast — a broadcastable dim needs
+    no salt, broadcast joins having no shuffle skew at all.  SMJ over
+    shuffle_hash: equal at the salt spread's parallelism and it
+    degrades by sort-spill rather than build-side OOM on 100 TB
+    partitions.  Pass False to let AQE choose freely."""
     salt_src = F.concat_ws("", *[F.col(c).cast("string") for c in fact.columns]) \
         if salt_on is None else F.col(salt_on).cast("string")
     f = fact.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt)).cast("int"))
     d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    if pin_shuffle_join:
+        d = d.hint("merge")
     out = f.join(d, (f[fact_key] == d[dim_key]) & (f["_salt"] == d["_salt"]), how)
     return out.drop("_salt")

@@ -868,23 +868,19 @@ def test_bucketed_join_is_exchange_free(spark):
 
 def test_salted_join_plan_shape_pinned(spark):
     """orders_salted_join's intended plan, pinned deterministically
-    (round-7 verdict #3: sf3 showed AQE run-to-run 'plan luck' —
-    sometimes broadcasting the 8×-replicated dim, sometimes SMJ).  At
-    100 TB neither side broadcasts, so the shape under test — with
-    size-based broadcast disabled, as at real scale — is: a shuffle
-    join whose BOTH sides exchange on (key, _salt) — the 8-way hot-key
-    spread that is the operator's whole point — with the dim
-    replication (Generate explode) MAP-SIDE beneath its exchange, and
-    exactly 3 exchanges total (join side ×2 + the final priority
-    rollup)."""
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        df = QUERIES["orders_salted_join"](spark, SF_SMALL)
-        plan = physical_plan(df, mode="simple")
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    (round-7 verdict #3: sf3 showed AQE run-to-run 'plan luck' — at
+    sf1 AQE sometimes rewrote the join into a BROADCAST of the
+    8×-replicated dim, measured 3× slower than the shuffle join).
+    salted_join now pins the SMJ with a merge hint (a broadcastable
+    dim needs no salt), so the shape asserted here holds under the
+    DEFAULT confs, no threshold override: a sort-merge join whose
+    BOTH sides exchange on (key, _salt) — the 8-way hot-key spread
+    that is the operator's whole point — with the dim replication
+    (Generate explode) MAP-SIDE beneath its exchange, and exactly 3
+    exchanges total (join side ×2 + the final priority rollup)."""
+    df = QUERIES["orders_salted_join"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "SortMergeJoin" in plan, plan
     assert "Broadcast" not in plan, plan
     salted_exchanges = [
         ln for ln in plan.splitlines()
