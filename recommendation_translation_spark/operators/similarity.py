@@ -37,6 +37,8 @@ __all__ = [
     "ivf_topk",
     "ivf_topk_multi",
     "centroid_literal_array",
+    "centroid_rows",
+    "centroid_rows_literal",
     "assign_lists",
     "semdedup_keep",
     "centroids_by_label",
@@ -353,13 +355,14 @@ def embedding_cosine_pairs(
     )
 
 
-def centroid_literal_array(emb: DataFrame, label_col: str = "label",
-                           vec_col: str = "embedding") -> Column:
-    """Per-label mean centroids inlined as ONE literal array column of
-    (l, cv, cn) structs — the zero-shuffle assignment input shared by
-    ivf_topk and semdedup_keep.  Lists × dim doubles: always
-    driver-safe; centroid norms fold left-to-right driver-side,
-    bit-identical to an in-plan fold."""
+def centroid_rows(emb: DataFrame, label_col: str = "label",
+                  vec_col: str = "embedding") -> list:
+    """Per-label mean centroids collected driver-side as
+    (label, vector, norm) tuples, label-ascending.  Lists × dim
+    doubles: always driver-safe; norms fold left-to-right, bit-identical
+    to an in-plan fold.  The raw form exists so an index BUILD can
+    persist the centroids as a JSON manifest and a later SEARCH can
+    rebuild the identical literal (q_emb_ivf_persisted_topk)."""
     import math
 
     cent_long = centroids_by_label(emb, label_col=label_col, vec_col=vec_col)
@@ -373,6 +376,12 @@ def centroid_literal_array(emb: DataFrame, label_col: str = "label",
         for x in vec:
             s += x * x
         cents.append((lbl, vec, math.sqrt(s)))
+    return cents
+
+
+def centroid_rows_literal(cents: list) -> Column:
+    """(label, vector, norm) tuples → ONE literal array column of
+    (l, cv, cn) structs — assign_lists' zero-shuffle input."""
     return F.array(*[
         F.struct(
             F.lit(lbl).alias("l"),
@@ -381,6 +390,16 @@ def centroid_literal_array(emb: DataFrame, label_col: str = "label",
         )
         for lbl, vec, nrm in cents
     ])
+
+
+def centroid_literal_array(emb: DataFrame, label_col: str = "label",
+                           vec_col: str = "embedding") -> Column:
+    """Per-label mean centroids inlined as ONE literal array column of
+    (l, cv, cn) structs — the zero-shuffle assignment input shared by
+    ivf_topk and semdedup_keep.  Lists × dim doubles: always
+    driver-safe; centroid norms fold left-to-right driver-side,
+    bit-identical to an in-plan fold."""
+    return centroid_rows_literal(centroid_rows(emb, label_col, vec_col))
 
 
 def assign_lists(df: DataFrame, cent_arr: Column, out_id: str,

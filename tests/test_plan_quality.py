@@ -1107,3 +1107,38 @@ def test_pq_persisted_search_scans_codes_not_vectors(spark):
     # non-equi, and 80 rows broadcast is exactly right) — the corpus
     # codes side must never shuffle for it
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_persisted_search_prunes_partitions(spark):
+    """The persisted-IVF search (round-8) must make nprobe PHYSICAL:
+    the lists table is written partitioned by list_label, and the
+    broadcast probe join on that partition column must plant a
+    dynamic-partition-pruning subquery on the lists scan — at 100 TB
+    that is the difference between reading nprobe/L of the index and
+    reading all of it.  The lists scan must also carry the persisted
+    (cvec, cnrm) columns and never the raw embedding column: a
+    regression that re-reads the embeddings table on the candidate
+    side would both lose the pruning and re-pay the norm fold."""
+    df = QUERIES["emb_ivf_persisted_topk"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "dynamicpruning" in plan, (
+        "no dynamic-partition-pruning subquery on the lists scan:\n" + plan
+    )
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    lists_scans = [s for s in scans if "cnrm" in s]
+    vec_scans = [s for s in scans if "embedding" in s]
+    assert lists_scans, "no persisted-lists scan in the plan"
+    for s in lists_scans:
+        assert "embedding" not in s, (
+            "candidate side re-reads the raw embedding column:\n" + s
+        )
+    # the only raw-vector read is the bounded strided query panel,
+    # filters pushed into the scan
+    assert vec_scans, "query panel scan missing"
+    for s in vec_scans:
+        assert "% 50" in s and "< 4000" in s, (
+            "raw-vector scan without the panel filter pushed down:\n" + s
+        )
+    # the probe side broadcasts; the partitioned lists side never
+    # shuffles for the join
+    assert "BroadcastHashJoin" in plan, plan
