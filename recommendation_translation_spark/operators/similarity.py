@@ -45,6 +45,8 @@ __all__ = [
     "sq8_quantize",
     "sq8_topk",
     "pq_codebooks",
+    "pq_lut_expr",
+    "pq_adc_from_lut",
     "pq_det_codebooks",
     "pq_code_expr",
     "pq_adc_expr",
@@ -842,6 +844,41 @@ def pq_adc_expr(vec: Column, code: Column, codebooks: list) -> Column:
         sub = F.slice(vec, s * d_sub + 1, d_sub)
         cv = F.element_at(_pq_cents_lit(codebooks, s), code[s] + 1)
         total = total + _l2sq_fold(sub, cv)
+    return total
+
+
+def pq_lut_expr(vec: Column, codebooks: list) -> Column:
+    """Per-QUERY ADC lookup table — LUT[s][j] = ||q_sub_s − c_sj||²,
+    an array<array<double>> computed ONCE per query row (m·k folds).
+    This is ADC as Jégou et al. actually run it: the query pays the
+    table build once, and every candidate pair is then m array
+    lookups instead of m·d_sub multiply-adds (pq_adc_from_lut).  Each
+    entry is the SAME _l2sq_fold over the same elements in the same
+    order as pq_adc_expr's inline form, so selecting LUT[s][code_s]
+    is bit-identical to computing the term per pair — the oracle SQL
+    (_pq_adc_sql) needs no change."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+
+    # one-arg closure per subspace: a two-parameter lambda would be
+    # treated by Spark as the (element, index) form, hijacking ``s``
+    def _sub_dists(s: int):
+        sub = F.slice(vec, s * d_sub + 1, d_sub)
+        return lambda cv: _l2sq_fold(sub, cv)
+
+    return F.array(*[
+        F.transform(_pq_cents_lit(codebooks, s), _sub_dists(s))
+        for s in range(m)
+    ])
+
+
+def pq_adc_from_lut(lut: Column, code: Column, m: int) -> Column:
+    """ADC from a precomputed per-query LUT: Σ_s LUT[s][code_s],
+    partials added left-to-right — the pair-scoring half of
+    pq_lut_expr, bit-identical to pq_adc_expr."""
+    total = F.lit(0.0)
+    for s in range(m):
+        total = total + F.element_at(lut[s], code[s] + 1)
     return total
 
 

@@ -2475,37 +2475,46 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     training quality lives in q_emb_pq_train_report), and each panel
     query ranks candidates by asymmetric distance: the query's RAW
     vector against each candidate's RECONSTRUCTED code, per-subspace
-    lookup terms summed left-to-right (pq_adc_expr).  The oracle
-    rebuilds codes and distances bit-for-bit from the same literals
-    (_pq_topk_sql), so the driver hash covers quantization, code
-    assignment tie-breaks, the LUT indexing, AND the final ranking.
+    lookup terms summed left-to-right.  ADC runs as Jégou et al. run
+    it: each query builds its m·k lookup table ONCE (pq_lut_expr,
+    before the broadcast), and every candidate pair is then m array
+    lookups (pq_adc_from_lut) — bit-identical to the inline per-pair
+    fold, ~d_sub× fewer flops per pair.  The oracle rebuilds codes
+    and distances bit-for-bit from the same literals (_pq_topk_sql),
+    so the driver hash covers quantization, code assignment
+    tie-breaks, the LUT indexing, AND the final ranking.
 
     Scale shape: encode is a zero-shuffle projection over literal
-    codebooks; the bounded query panel broadcasts; candidates stream
-    through one codegen'd stage carrying 4 small ints instead of 64
-    floats — the PQ promise (scan codes, not vectors) made literal.
-    Output: (query_id, cand_id, adc, rk ≤ 5), ADC ascending,
-    cand_id tie-break."""
+    codebooks; the bounded query panel broadcasts its precomputed
+    LUTs; candidates stream through one stage carrying 4 small ints
+    instead of 64 floats — the PQ promise (scan codes, not vectors)
+    made literal.  Output: (query_id, cand_id, adc, rk ≤ 5), ADC
+    ascending, cand_id tie-break."""
     from .operators.similarity import (
         _as_double,
-        pq_adc_expr,
+        pq_adc_from_lut,
         pq_code_expr,
         pq_det_codebooks,
+        pq_lut_expr,
     )
 
-    cb = pq_det_codebooks()
+    m = 4
+    cb = pq_det_codebooks(m=m)
     emb = _t(spark, sf_dir, "embeddings")
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
         pq_code_expr(_as_double("embedding"), cb).alias("code"),
     )
     q = _queries_frame(emb).select(
-        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+        "query_id",
+        pq_lut_expr(
+            F.col("query_vec").cast("array<double>"), cb
+        ).alias("lut"),
     )
     scored = cand.join(
         F.broadcast(q), F.col("cand_id") != F.col("query_id")
     ).withColumn(
-        "adc", F.round(pq_adc_expr(F.col("qvec"), F.col("code"), cb), 6)
+        "adc", F.round(pq_adc_from_lut(F.col("lut"), F.col("code"), m), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("cand_id").asc()
@@ -2541,9 +2550,10 @@ def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.similarity import (
         _as_double,
-        pq_adc_expr,
+        pq_adc_from_lut,
         pq_code_expr,
         pq_det_codebooks,
+        pq_lut_expr,
     )
     from .sources.writers import write_parquet
 
@@ -2573,12 +2583,15 @@ def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_loaded = manifest["codebooks"]
     cand = spark.read.parquet(codes_path)
     q = _queries_frame(emb).select(
-        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+        "query_id",
+        pq_lut_expr(
+            F.col("query_vec").cast("array<double>"), cb_loaded
+        ).alias("lut"),
     )
     scored = cand.join(
         F.broadcast(q), F.col("cand_id") != F.col("query_id")
     ).withColumn(
-        "adc", F.round(pq_adc_expr(F.col("qvec"), F.col("code"), cb_loaded), 6)
+        "adc", F.round(pq_adc_from_lut(F.col("lut"), F.col("code"), m), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("cand_id").asc()
@@ -2688,6 +2701,71 @@ def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC — the COMBINED coarse+fine ANN tier (Jégou et al. 2011
+    §IV; FAISS IndexIVFPQ with by_residual=False): candidates are
+    pruned to the query's nprobe=2 coarse lists (the emb_ivf_topk
+    literal-centroid assignment, zero shuffle), then ranked by
+    asymmetric distance between the RAW query vector and each
+    candidate's PQ code (the emb_pq_topk deterministic codebooks and
+    LUT fold).  Composing the two verified mechanisms — rather than
+    residual-encoding against the coarse centroid — keeps every
+    distance bit-reconstructable in SQL, so the driver hash covers
+    coarse assignment, code assignment, LUT indexing, list pruning,
+    AND the final ranking in one relation.
+
+    This is the shape a 100 TB ANN service actually runs: both the
+    list assignment and the 4-ints-per-vector encode are one-pass
+    zero-shuffle projections (written once, scanned thereafter — the
+    persisted variants of each half exist as emb_ivf_persisted_topk /
+    emb_pq_persisted_topk); the search scans nprobe/L of the codes,
+    carries 4 small ints per candidate instead of 64 floats, and the
+    bounded query panel broadcasts into an equi-join on list_label —
+    no shuffle of the corpus side at all.
+    Output: (query_id, cand_id, adc, rk ≤ 5), ADC ascending, cand_id
+    tie-break; oracle _ivfpq_topk_sql."""
+    from .operators.similarity import (
+        _as_double,
+        assign_lists,
+        centroid_literal_array,
+        l2_norm,
+        pq_adc_from_lut,
+        pq_code_expr,
+        pq_det_codebooks,
+        pq_lut_expr,
+    )
+
+    nprobe, k_nn, m = 2, 5, 4
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_det_codebooks(m=m)
+    cent_arr = centroid_literal_array(emb)
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cvec")
+    ).withColumn("nrm", l2_norm(F.col("cvec")))
+    cand_codes = assign_lists(cand, cent_arr, "cand_id", "cvec", 1).select(
+        "cand_id", "list_label", pq_code_expr(F.col("cvec"), cb).alias("code")
+    )
+    q = _queries_frame(emb).select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    ).withColumn("nrm", l2_norm(F.col("qvec")))
+    q_lists = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).select(
+        "query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut"), "list_label"
+    )
+    scored = (
+        cand_codes.join(F.broadcast(q_lists), "list_label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("adc", F.round(pq_adc_from_lut(F.col("lut"), F.col("code"), m), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_nn)
+        .select("query_id", "cand_id", "adc", F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -3732,6 +3810,78 @@ def _pq_topk_sql(k_nn: int = 5, m: int = 4, k: int = 16, d_sub: int = 16) -> str
     """
 
 
+def _ivfpq_topk_sql(k_nn: int = 5, nprobe: int = 2, dim: int = 64,
+                    m: int = 4, k: int = 16, d_sub: int = 16) -> str:
+    """IVF-ADC oracle: the _ivf_topk_sql coarse assignment CTEs feed
+    the _pq_topk_sql code/ADC expressions — candidates rank by ADC
+    within the query's nprobe probed lists only."""
+    from .operators.similarity import pq_det_codebooks
+
+    cb = pq_det_codebooks(m=m, k=k, d_sub=d_sub)
+    cdot = ("list_sum(list_transform(list_zip(CAST({v} AS DOUBLE[]), {c}), t -> t[1] * t[2]))")
+    code_cols = ", ".join(
+        f"{_pq_code_sql('embedding', s, cb, k, d_sub)} AS c{s}" for s in range(m)
+    )
+    return f"""
+        WITH cent AS (
+          SELECT list_label, list(c ORDER BY pos) AS cvec
+          FROM (
+            SELECT CAST(label AS INT) AS list_label, i AS pos,
+                   ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 8) AS c
+            FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) t
+            GROUP BY 1, 2
+          ) GROUP BY list_label
+        ),
+        centn AS (
+          SELECT list_label, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm2
+          FROM cent
+        ),
+        cand AS (
+          SELECT vec_id AS cand_id, embedding, {_norm_sql('embedding', dim)} AS nrm
+          FROM embeddings
+        ),
+        cassign AS (
+          SELECT cand_id, embedding, list_label FROM (
+            SELECT c.cand_id, c.embedding, n.list_label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.cand_id
+                     ORDER BY ROUND({cdot.format(v='c.embedding', c='n.cvec')} / (c.nrm * n.cnorm2), 6) DESC,
+                              n.list_label
+                   ) AS crn
+            FROM cand c CROSS JOIN centn n
+          ) WHERE crn = 1
+        ),
+        codes AS (
+          SELECT cand_id, list_label, {code_cols} FROM cassign
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding, {_norm_sql('embedding', dim)} AS nrm
+          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
+        ),
+        qassign AS (
+          SELECT query_id, embedding AS qv, list_label FROM (
+            SELECT qq.query_id, qq.embedding, qq.nrm, n.list_label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY qq.query_id
+                     ORDER BY ROUND({cdot.format(v='qq.embedding', c='n.cvec')} / (qq.nrm * n.cnorm2), 6) DESC,
+                              n.list_label
+                   ) AS crn
+            FROM q qq CROSS JOIN centn n
+          ) WHERE crn <= {nprobe}
+        ),
+        scored AS (
+          SELECT qa.query_id, codes.cand_id,
+                 ROUND({_pq_adc_sql('qv', 'c', cb, m, k, d_sub)}, 6) AS adc
+          FROM qassign qa JOIN codes
+            ON qa.list_label = codes.list_label AND codes.cand_id <> qa.query_id
+        )
+        SELECT query_id, cand_id, adc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS BIGINT) AS rk
+        FROM scored QUALIFY rk <= {k_nn}
+    """
+
+
 def _cosine_topk_sql(k: int = 5, decimals: int = 8) -> str:
     return f"""
         WITH q AS (
@@ -4197,6 +4347,7 @@ ORACLES: dict[str, str] = {
     "emb_ann_lsh": _ann_lsh_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
     "emb_ivf_persisted_topk": _ivf_topk_sql(),
+    "emb_ivfpq_topk": _ivfpq_topk_sql(),
     "dedup_emb_cosine": _emb_cosine_pairs_sql(),
     "events_stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "events_stream_stateful": """
@@ -7135,6 +7286,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_ivf_persisted_topk": q_emb_ivf_persisted_topk,
+    "emb_ivfpq_topk": q_emb_ivfpq_topk,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_cosine_topk_np": q_emb_cosine_topk_np,
     "dedup_emb_cosine": q_dedup_emb_cosine,
@@ -7418,6 +7570,7 @@ _R8_WINDOW = [
     "tpch_q9_profit",
     "emb_pq_persisted_topk",
     "emb_ivf_persisted_topk",
+    "emb_ivfpq_topk",
     "corpus_interleave",
     "dedup_emb_cosine",
     "corpus_stratified_sample",
