@@ -1039,3 +1039,38 @@ def test_pq_encode_decode_adc_identities(spark):
         ).alias("d")
     ).collect()[0]
     assert r.d < 1e-12
+
+
+@SETTINGS
+@given(
+    vec=st.lists(st.floats(min_value=-2.0, max_value=2.0, allow_nan=False,
+                           width=32),
+                 min_size=8, max_size=8),
+    code=st.lists(st.integers(min_value=0, max_value=3),
+                  min_size=2, max_size=2),
+)
+def test_pq_lut_adc_bit_identical_to_inline(spark, vec, code):
+    """The per-query ADC lookup table (pq_lut_expr + pq_adc_from_lut,
+    the round-8 scoring rewrite) must equal the inline per-pair fold
+    (pq_adc_expr) BIT-FOR-BIT — each LUT entry is the same _l2sq_fold
+    over the same elements in the same order, and the oracle SQL
+    (_pq_adc_sql) mirrors that order, so any reassociation here would
+    surface as a driver hash mismatch at 6dp rounding boundaries."""
+    from recommendation_translation_spark.operators.similarity import (
+        pq_adc_expr,
+        pq_adc_from_lut,
+        pq_det_codebooks,
+        pq_lut_expr,
+    )
+
+    cb = pq_det_codebooks(m=2, k=4, d_sub=4)
+    df = spark.createDataFrame(
+        [(vec, code)], "v array<double>, code array<int>"
+    )
+    row = df.select(
+        pq_adc_expr(F.col("v"), F.col("code"), cb).alias("inline"),
+        pq_adc_from_lut(
+            pq_lut_expr(F.col("v"), cb), F.col("code"), 2
+        ).alias("lut"),
+    ).collect()[0]
+    assert row.inline == row.lut  # exact float equality, not approx
