@@ -44,6 +44,7 @@ __all__ = [
     "ngram_rep_edges",
     "minhash_signatures",
     "minhash_bands",
+    "minhash_bands_rowlocal",
     "minhash_bands_wide",
     "band_collision_pairs",
     "first_collision_claim",
@@ -280,6 +281,83 @@ def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
         for i in range(k)
     ]
     return base.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands_rowlocal(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`minhash_bands` as a PURE PROJECTION — bit-identical
+    (id, band, band_hash) rows (pinned by
+    test_minhash_bands_rowlocal_equals_batch), zero shuffle, and
+    therefore STREAM-legal: the batch path's explode + groupBy(min)
+    is a streaming aggregation (append mode refuses it without a
+    watermark), while this one computes each signature as an
+    ``array_min`` over the row's own shingle array.
+
+    min over exploded shingle ROWS equals min over the row's shingle
+    ARRAY (duplicates cannot change a min — array_distinct kept only
+    to shrink the transform), and the K-M affine combine runs on the
+    same (x1, x2) digest halves, so every sig_i — and hence every
+    xxhash64 band digest — matches the batch path exactly.  Documents
+    with fewer than ``n`` tokens vanish (no shingles), exactly like
+    the batch path's size filter; callers that must emit every doc
+    restore them with a left join (q_docs_stream_dedup_gate).
+
+    The batch path stays preferred for batch plans: one md5 per
+    DISTINCT (doc, shingle) post-shuffle vs per shingle occurrence
+    here.  For a stream the trade flips — no state, no shuffle, each
+    arriving document priced independently."""
+    from .text import cross_engine_hash_hi
+
+    assert k % bands == 0
+    rows = k // bands
+    toks = tokens(normalize_text(text_col))
+    parts = ", ".join(f"t[i + {j}]" for j in range(n))
+    shingles = F.expr(
+        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))"
+    )
+    hx = F.transform(
+        F.array_distinct(shingles),
+        lambda s: F.struct(
+            cross_engine_hash(s, seed="mh").alias("x1"),
+            cross_engine_hash_hi(s, seed="mh").alias("x2"),
+        ),
+    )
+    base = (
+        df.select(F.col(id_col), toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(F.col(id_col), hx.alias("hx"))
+    )
+    # one-arg closure per i: a two-parameter lambda would be treated
+    # by Spark as the (element, index) form, hijacking ``i``
+    def _perm(i: int):
+        return lambda h: (h["x1"] + F.lit(i) * h["x2"]) % F.lit(_MH_P)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("hx"), _perm(i))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    wide = base.select(F.col(id_col), *sig_cols)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(
+                "_",
+                *[F.col(f"sig_{bi * rows + j}").cast("string") for j in range(rows)],
+            )
+        ).alias(f"band_{bi}")
+        for bi in range(bands)
+    ]
+    return wide.select(F.col(id_col), *band_cols).selectExpr(
+        id_col,
+        "stack({}, {}) AS (band, band_hash)".format(
+            bands, ", ".join(f"'{bi}', band_{bi}" for bi in range(bands))
+        ),
+    )
 
 
 def minhash_bands(

@@ -6054,6 +6054,43 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup gate
+    (streaming.events_stream.stream_docs_dedup_gate): the incoming
+    'test'-split documents replay as a STREAM, MinHash-band against
+    the static corpus band table in a left-outer stream-static join,
+    and the one stateful operator (dropDuplicates on the pair) emits
+    each (new doc, corpus candidate) once.  The drained pairs roll up
+    per document in batch: (doc_id, n_cand_corpus, is_clean) — every
+    batch doc present, clean ones with 0 (documents shorter than n
+    tokens emit no bands in-stream and re-enter through the left join
+    below, mirroring the oracle's all-batch-docs frame).  Same banding
+    operating point as dedup_incremental (k=16, bands=8, n=3);
+    candidates only, exact-Jaccard verification is the downstream
+    batch job by design."""
+    from .streaming.events_stream import run_stream_to_memory, stream_docs_dedup_gate
+
+    pairs = run_stream_to_memory(
+        stream_docs_dedup_gate(spark, sf_dir), output_mode="append"
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count("old_id").alias("n_hit")
+    )
+    all_batch = (
+        hash_split(_t(spark, sf_dir, "documents"))
+        .filter(F.col("split") == "test")
+        .select("doc_id")
+    )
+    return (
+        all_batch.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_cand_corpus"),
+        )
+        .withColumn("is_clean", F.col("n_cand_corpus") == 0)
+    )
+
+
 def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 + S3 CSV option semantics under the driver's hash check.
 
@@ -6194,6 +6231,30 @@ ORACLES["dedup_incremental"] = f"""
            COALESCE(a.n_dup_corpus, 0) + COALESCE(a.n_dup_batch, 0) = 0
              AS is_new
     FROM lab l LEFT JOIN agg a ON a.new_id = l.doc_id
+    WHERE l.part = 'batch'
+"""
+
+
+ORACLES["docs_stream_dedup_gate"] = f"""
+    WITH {_minhash_stacked_sql(16, 8)},
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_sql("CAST(doc_id AS VARCHAR)", seed="split")}
+                       % 100 >= 90
+                  THEN 'batch' ELSE 'corpus' END AS part
+      FROM documents),
+    st AS (SELECT s.doc_id, s.band, s.band_hash, lab.part
+           FROM stacked s JOIN lab USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT nw.doc_id AS doc_id, old.doc_id AS old_id
+      FROM st nw JOIN st old
+        ON nw.band = old.band AND nw.band_hash = old.band_hash
+      WHERE nw.part = 'batch' AND old.part = 'corpus'),
+    agg AS (SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY 1)
+    SELECT l.doc_id,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_cand_corpus,
+           COALESCE(a.n, 0) = 0 AS is_clean
+    FROM lab l LEFT JOIN agg a ON a.doc_id = l.doc_id
     WHERE l.part = 'batch'
 """
 
@@ -7352,6 +7413,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "tsv_roundtrip": q_tsv_roundtrip,
     "dedup_incremental": q_dedup_incremental,
+    "docs_stream_dedup_gate": q_docs_stream_dedup_gate,
     "supplier_pareto": _qa.q_supplier_pareto,
     "events_ewma": _qa.q_events_ewma,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -7571,6 +7633,7 @@ _R8_WINDOW = [
     "emb_pq_persisted_topk",
     "emb_ivf_persisted_topk",
     "emb_ivfpq_topk",
+    "docs_stream_dedup_gate",
     "corpus_interleave",
     "dedup_emb_cosine",
     "corpus_stratified_sample",

@@ -29,6 +29,7 @@ __all__ = [
     "stream_user_stats_tws",
     "stream_join_then_agg",
     "stream_dedup_counts",
+    "stream_docs_dedup_gate",
     "run_stream_to_memory",
     "drop_memory_sink_tables",
     "stream_events_to_parquet",
@@ -386,6 +387,72 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the documents parquet as a stream — the
+    ``_events_stream`` pattern (batch schema peek + pathGlobFilter)
+    pointed at the corpus table, for the ingest-side curation
+    operators."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_docs_dedup_gate(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 8, n: int = 3
+) -> DataFrame:
+    """Streaming ingest DEDUP GATE: incoming documents near-dup-checked
+    against the static corpus AT INGEST TIME — the stream-side half of
+    ``operators.dedup.incremental_dedup_flags`` (crawl lands as a
+    stream; the N-billion-doc corpus contributes only its precomputed
+    band table).
+
+    Mechanics, all stream-legal: MinHash banding runs as the
+    row-local projection twin (``minhash_bands_rowlocal`` — the batch
+    path's groupBy(min) is a streaming aggregation, refused in append
+    mode; the projection computes bit-identical band digests with
+    zero shuffle); the corpus band table joins as the STATIC
+    side of a left-outer stream-static join (clean documents survive
+    with a null match); ``dropDuplicates`` on (doc_id, old_id) — the
+    query's one stateful operator — collapses multi-band collisions of
+    the same pair so a corpus doc counts once no matter how many bands
+    it shares.  Emits the deduped candidate PAIRS in append mode; the
+    per-document rollup (candidate count, clean flag) is a batch
+    aggregation over the drained sink — gate semantics: candidates are
+    flagged in-stream, exact-Jaccard verification stays a downstream
+    batch job (``dedup_incremental``).
+
+    Production posture: with an ingest-time column the dedup state
+    would be ``dropDuplicatesWithinWatermark`` (as in
+    ``stream_dedup_counts``); the bounded replay keeps plain
+    dropDuplicates so the result is exactly the batch relation the
+    oracle states."""
+    from ..operators.curation import hash_split
+    from ..operators.dedup import minhash_bands, minhash_bands_rowlocal
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = (
+        hash_split(docs).filter(F.col("split") != "test").select("doc_id", "text")
+    )
+    corpus_bands = minhash_bands(corpus, k=k, bands=bands, n=n).select(
+        F.col("doc_id").alias("old_id"), "band", "band_hash"
+    )
+    batch_stream = (
+        hash_split(_docs_stream(spark, sf_dir))
+        .filter(F.col("split") == "test")
+        .select("doc_id", "text")
+    )
+    # row-local banding: the batch path's explode + groupBy(min) is a
+    # streaming aggregation (append mode refuses it); the projection
+    # twin emits bit-identical bands with ZERO shuffle and no state
+    new_bands = minhash_bands_rowlocal(batch_stream, k=k, bands=bands, n=n)
+    cand = new_bands.join(corpus_bands, ["band", "band_hash"], "left_outer")
+    return cand.select("doc_id", "old_id").dropDuplicates(["doc_id", "old_id"])
 
 
 def stream_events_to_parquet(spark: SparkSession, sf_dir: str,

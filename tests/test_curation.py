@@ -576,3 +576,41 @@ def test_simhash_clusters_collapsed_equals_direct(spark):
             map(tuple, simhash_clusters_collapsed(corpus, max_hamming=2).collect())
         )
         assert a == b
+
+
+def test_minhash_bands_rowlocal_equals_batch(spark):
+    """minhash_bands_rowlocal must emit EXACTLY minhash_bands' (id,
+    band, band_hash) rows — it exists so the streaming dedup gate can
+    band documents without the batch path's groupBy (a streaming
+    aggregation, refused in append mode), and the stream-static
+    candidate join is only correct if both sides' band digests come
+    from the same signature values.  Checked on the real corpus and
+    on a short-doc edge frame (docs under n tokens must vanish from
+    BOTH paths)."""
+    from recommendation_translation_spark.operators.dedup import (
+        minhash_bands,
+        minhash_bands_rowlocal,
+    )
+
+    from .conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for frame in (
+        docs,
+        spark.createDataFrame(
+            [(1, "one two"), (2, ""), (3, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        ),
+    ):
+        a = sorted(
+            map(tuple, minhash_bands(frame, k=16, bands=8, n=3).collect())
+        )
+        b = sorted(
+            map(tuple, minhash_bands_rowlocal(frame, k=16, bands=8, n=3).collect())
+        )
+        assert a == b
+        if frame is not docs:
+            # the two short docs produced no bands at all
+            assert {r[0] for r in a} == {3}

@@ -769,6 +769,7 @@ _BUILD_HEAVY = {
     "events_stream_sessionize", "events_stream_join",
     "events_stream_stateful", "events_stream_dedup", "pysource_stream",
     "events_stream_rocksdb", "events_stream_chained",
+    "docs_stream_dedup_gate",
     # integer PageRank runs its 6 iterations eagerly (per-round
     # localCheckpoint, O(1) lineage); the returned frame is a
     # checkpoint scan.  Its per-iteration shape (edge equi-join + node
