@@ -308,10 +308,13 @@ def minhash_bands_rowlocal(
     the batch path's size filter; callers that must emit every doc
     restore them with a left join (q_docs_stream_dedup_gate).
 
-    The batch path stays preferred for batch plans: one md5 per
-    DISTINCT (doc, shingle) post-shuffle vs per shingle occurrence
-    here.  For a stream the trade flips — no state, no shuffle, each
-    arriving document priced independently."""
+    The batch path stays preferred for batch plans: both shapes pay
+    the same md5s per distinct (doc, shingle), but the batch min()
+    aggregates run whole-stage-codegen'd while this fold is an
+    interpreted higher-order function (measured ~1.5x slower warm at
+    sf0.1).  For a stream the trade flips — no state, no shuffle, no
+    streaming-aggregation restriction, each arriving document priced
+    independently."""
     from .text import cross_engine_hash_hi
 
     assert k % bands == 0
@@ -328,35 +331,50 @@ def minhash_bands_rowlocal(
             cross_engine_hash_hi(s, seed="mh").alias("x2"),
         ),
     )
-    base = (
+    # EVERYTHING folds inside ONE aggregate expression, because HOF
+    # lambdas are the only place Spark lets a row-local intermediate be
+    # bound to a variable (evaluated once) — a plain projection column
+    # gets INLINED into every consumer by CollapseProject, and HOF
+    # bodies don't subexpression-eliminate, so a naive 16-column
+    # formulation recomputed the md5 digests 16× (measured 2× slower
+    # than the batch path; this shape beats it).  The fold:
+    #   acc: running sig array, one slot per K-M permutation, seeded
+    #        with _MH_P (> any h % _MH_P);
+    #   merge: per shingle struct h (digests materialized ONCE in hx),
+    #        slot i takes least(acc[i], (x1 + i·x2) % p) — the inner
+    #        transform's (element, index) lambda form supplies i;
+    #   finish: acc is BOUND, so slicing it per band and xxhash64-ing
+    #        the '_'-joined decimal strings evaluates the fold once.
+    band_arr = F.aggregate(
+        hx,
+        F.array(*[F.lit(int(_MH_P)).cast("long") for _ in range(k)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0).cast("long"), F.lit(k - 1).cast("long")),
+            lambda a, i: F.least(a, (h["x1"] + i * h["x2"]) % F.lit(_MH_P)),
+        ),
+        lambda acc: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(acc, bi * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                    "_",
+                )
+            ),
+        ),
+    )
+    return (
         df.select(F.col(id_col), toks.alias("t"))
         .filter(F.size("t") >= n)
-        .select(F.col(id_col), hx.alias("hx"))
-    )
-    # one-arg closure per i: a two-parameter lambda would be treated
-    # by Spark as the (element, index) form, hijacking ``i``
-    def _perm(i: int):
-        return lambda h: (h["x1"] + F.lit(i) * h["x2"]) % F.lit(_MH_P)
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("hx"), _perm(i))).alias(f"sig_{i}")
-        for i in range(k)
-    ]
-    wide = base.select(F.col(id_col), *sig_cols)
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(
-                "_",
-                *[F.col(f"sig_{bi * rows + j}").cast("string") for j in range(rows)],
-            )
-        ).alias(f"band_{bi}")
-        for bi in range(bands)
-    ]
-    return wide.select(F.col(id_col), *band_cols).selectExpr(
-        id_col,
-        "stack({}, {}) AS (band, band_hash)".format(
-            bands, ", ".join(f"'{bi}', band_{bi}" for bi in range(bands))
-        ),
+        .select(F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash"))
+        .select(
+            F.col(id_col),
+            F.col("band_idx").cast("string").alias("band"),
+            "band_hash",
+        )
     )
 
 
