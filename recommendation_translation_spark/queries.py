@@ -7621,12 +7621,15 @@ QUERIES = {
 # -- Round-8 driver window: leads with (a) the LAST two stale rows —
 # tpch_q8_share / tpch_q9_profit, whose newest driver hash is still r3
 # (they sat at slots 51-52 of the round-7 window, just past the 50-row
-# cutoff) — (b) this round's new/changed queries (the persisted-PQ
-# index path; corpus_interleave's overflow-safe mix_rank rearrangement;
-# dedup_emb_cosine's footer-metadata sizing), and (c) the 45 queries
-# whose newest hard signal is r4, oldest-first — so after this window
-# every catalog query's latest green row is r5+ and the two r3 rows
-# are finally swept.  Relative order of everything else is kept. --
+# cutoff) — (b) this round's new/changed queries (the persisted-PQ and
+# persisted-IVF index paths, the combined IVF-ADC tier, the streaming
+# ingest dedup gate; corpus_interleave's overflow-safe mix_rank
+# rearrangement; dedup_emb_cosine's footer-metadata sizing), and
+# (c) the queries whose newest hard signal is r4, oldest-first.  The
+# four late-round additions push the list to 53 for a 50-row window,
+# so the last three r4 rows (tpch_q19/q20/q21) stay r4-signal one more
+# round — pytest parity covers them; new/changed queries outrank
+# re-stamping already-green rows.  Relative order otherwise kept. --
 _R8_WINDOW = [
     "tpch_q8_share",
     "tpch_q9_profit",
