@@ -330,8 +330,12 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
     Each row's virtual position is ``(rank_within_source − 1) · SCALE
     div weight`` in *integer floor division* (both Spark ``div`` and
     the DuckDB oracle's ``//`` truncate identically, so the result is
-    exact and engine-independent).  Weights must be positive integers
-    that DIVIDE SCALE: divisibility makes every source's positions
+    exact and engine-independent).  Weights that DIVIDE SCALE (every
+    ratio <= 16, and 240 divisors beyond) take the closed-form rank
+    below; other positive integer weights <= SCALE fall back to the
+    exact range-partitioned global ordering (no overflow-prone
+    product, one extra sampling pass).  Divisibility makes every
+    source's positions
     exact multiples of an integer ``step = SCALE / weight``, which (a)
     keeps per-source positions strictly increasing (the closed-form
     rank's premise — weights above SCALE would collapse consecutive
@@ -362,15 +366,15 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
     (mixing labels)."""
     scale = 720720
     weight = F.lit(1)
+    divisor_form = True
     for k, v in sorted(weights.items()):
-        if not (isinstance(v, int) and 0 < v <= scale and scale % v == 0):
+        if not (isinstance(v, int) and 0 < v <= scale):
             raise ValueError(
-                f"weights must be positive integer divisors of {scale}, "
-                f"got {k}={v!r} (the closed-form mix_rank needs strictly "
-                "increasing per-source positions at exact integer steps, "
-                "which requires weight <= SCALE and weight | SCALE; every "
-                "weight <= 16 qualifies)"
+                f"weights must be positive integers <= {scale}, got {k}={v!r} "
+                "(weights above SCALE would collapse consecutive per-source "
+                "ranks onto one virtual position)"
             )
+        divisor_form = divisor_form and scale % v == 0
         weight = F.when(F.col(source_col) == k, F.lit(v)).otherwise(weight)
     rn = F.row_number().over(Window.partitionBy(source_col).orderBy(id_col))
     out = (
@@ -378,6 +382,25 @@ def interleave_sources(df: DataFrame, source_col: str, weights: dict[str, int],
         .withColumn("_rn", rn)
         .withColumn("vpos", F.expr(f"(CAST(_rn AS BIGINT) - 1) * {scale} div _w"))
     )
+    if not divisor_form:
+        # NON-divisor weights (e.g. 17, 100 — round-8 review restored
+        # them): positions are floor-multiples, not exact integer
+        # steps, so the ceil(vpos/step) strictly-below count doesn't
+        # hold and the general closed form needs the vpos*weight
+        # product the round-7 advisor flagged for int64 wrap.  Take
+        # the exact, product-free path instead: the global
+        # (vpos, source, id) order via the range-partitioned two-pass
+        # ordering (no Exchange SinglePartition; identical values to
+        # a global window, pinned in test_properties).  Divisor
+        # weights — every sane mixing ratio — keep the cheaper
+        # closed form below.
+        from .ordering import range_partitioned_row_number
+
+        return range_partitioned_row_number(
+            out,
+            [F.col("vpos"), F.col(source_col), F.col(id_col)],
+            out_col="mix_rank",
+        ).drop("_rn", "_w")
     # per-source row counts as a broadcast 1-row map — part of the SAME
     # action (no driver collect, no extra job): at any corpus size this
     # is a scan + bounded agg feeding a |sources|-entry broadcast

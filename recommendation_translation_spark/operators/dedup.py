@@ -61,6 +61,20 @@ def normalize_text(text_col: str = "text") -> F.Column:
     return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 
 
+def _shingle_array_expr(n: int) -> F.Column:
+    """Word n-gram shingles of the token array column ``t`` as ONE
+    array expression — the single definition of "shingle" shared by
+    the exploded batch path (word_shingles) and the row-local
+    streaming path (minhash_bands_rowlocal), whose stream-static
+    band join is only correct while the two stay bit-identical.
+    Callers must filter ``size(t) >= n`` first (the sequence stop
+    bound must be ≥ 0)."""
+    parts = ", ".join(f"t[i + {j}]" for j in range(n))
+    return F.expr(
+        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))"
+    )
+
+
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
@@ -69,11 +83,7 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     array expressions, no UDF, no extra shuffle before the explode.
     """
     toks = tokens(normalize_text(text_col))
-    parts = ", ".join(f"t[i + {j}]" for j in range(n))
-    # the size filter precedes the sequence, so the stop bound is ≥ 0
-    shingles = F.expr(
-        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))"
-    )
+    shingles = _shingle_array_expr(n)
     # spread the RAW rows across the cluster before tokenization —
     # normalize/tokenize/explode amplify work ~|tokens|×, and a corpus
     # arriving in few input splits would otherwise run all of it in as
@@ -315,15 +325,10 @@ def minhash_bands_rowlocal(
     sf0.1).  For a stream the trade flips — no state, no shuffle, no
     streaming-aggregation restriction, each arriving document priced
     independently."""
-    from .text import cross_engine_hash_hi
-
     assert k % bands == 0
     rows = k // bands
     toks = tokens(normalize_text(text_col))
-    parts = ", ".join(f"t[i + {j}]" for j in range(n))
-    shingles = F.expr(
-        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))"
-    )
+    shingles = _shingle_array_expr(n)
     hx = F.transform(
         F.array_distinct(shingles),
         lambda s: F.struct(
@@ -942,13 +947,19 @@ def simhash_clusters_collapsed(
     collect."""
     from .curation import dup_clusters
 
-    member = docs.select(
+    # only signature-ELIGIBLE docs participate: simhash emits no row
+    # for zero-token texts, so the full graph can never pair them —
+    # including them here would invent hamming-0 twin clusters for
+    # byte-identical punctuation-only/empty docs the direct path
+    # (and the oracle) never emit
+    eligible = docs.filter(F.size(tokens(normalize_text(text_col))) > 0)
+    member = eligible.select(
         F.col(id_col), F.sha2(F.col(text_col), 256).alias("_fp")
     )
     reps = member.groupBy("_fp").agg(
         F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
     )
-    rep_docs = docs.join(
+    rep_docs = eligible.join(
         reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
     rep_pairs = simhash_pairs(

@@ -47,6 +47,8 @@ __all__ = [
     "pq_codebooks",
     "pq_lut_expr",
     "pq_adc_from_lut",
+    "pq_adc_rank",
+    "ivf_rank_topk",
     "pq_det_codebooks",
     "pq_code_expr",
     "pq_adc_expr",
@@ -612,21 +614,7 @@ def ivf_topk(
     q = queries.select(F.col("query_id"), F.col("query_vec").cast("array<double>").alias("qvec"))
     q = q.withColumn("nrm", l2_norm(F.col("qvec")))
     q_lists = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).withColumnRenamed("nrm", "qnrm")
-
-    scored = (
-        cand_lists.join(F.broadcast(q_lists), "list_label")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(dot(F.col("qvec"), F.col("cvec2")) / (F.col("qnrm") * F.col("cnrm")), 8),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", "cosine", F.col("rk").alias("rk"))
-    )
+    return ivf_rank_topk(cand_lists, q_lists, k=k, cand_vec="cvec2")
 
 
 def centroids_by_label(emb: DataFrame, label_col: str = "label",
@@ -880,6 +868,67 @@ def pq_adc_from_lut(lut: Column, code: Column, m: int) -> Column:
     for s in range(m):
         total = total + F.element_at(lut[s], code[s] + 1)
     return total
+
+
+def pq_adc_rank(cand: DataFrame, q_lut: DataFrame, m: int, k_nn: int = 5,
+                on: str | None = None) -> DataFrame:
+    """The PQ SEARCH half, shared by every ADC query so ranking
+    semantics (6dp round, ADC ascending, cand_id tie-break) exist
+    exactly once: broadcast the per-query LUT panel onto the codes
+    relation, score each pair with m lookups, keep each query's
+    top-k.  ``on=None`` joins the full panel (non-equi self-exclusion
+    → BroadcastNestedLoopJoin, right for a bounded panel);
+    ``on="list_label"`` is the IVF-pruned equi-join form.
+    ``cand``: (cand_id, code [, on]); ``q_lut``: (query_id, lut [, on]).
+    Output: (query_id, cand_id, adc, rk ≤ k_nn)."""
+    if on is None:
+        joined = cand.join(
+            F.broadcast(q_lut), F.col("cand_id") != F.col("query_id")
+        )
+    else:
+        joined = cand.join(F.broadcast(q_lut), on).filter(
+            F.col("cand_id") != F.col("query_id")
+        )
+    scored = joined.withColumn(
+        "adc", F.round(pq_adc_from_lut(F.col("lut"), F.col("code"), m), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_nn)
+        .select("query_id", "cand_id", "adc", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ivf_rank_topk(cand_lists: DataFrame, q_lists: DataFrame, k: int = 5,
+                  cand_vec: str = "cvec", q_vec: str = "qvec") -> DataFrame:
+    """The IVF SEARCH half, shared by ivf_topk (in-flight assignment)
+    and the persisted-lists query: broadcast the probed query panel
+    onto the inverted lists, exact cosine within matching lists,
+    per-query top-k (8dp round, cosine descending, cand_id
+    tie-break).  ``cand_lists``: (cand_id, <cand_vec>, cnrm,
+    list_label); ``q_lists``: (query_id, <q_vec>, qnrm, list_label)."""
+    scored = (
+        cand_lists.join(F.broadcast(q_lists), "list_label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col(q_vec), F.col(cand_vec)) / (F.col("qnrm") * F.col("cnrm")),
+                8,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
 
 
 def pq_decode_expr(code: Column, codebooks: list) -> Column:

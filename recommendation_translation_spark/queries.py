@@ -2492,7 +2492,7 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending, cand_id tie-break."""
     from .operators.similarity import (
         _as_double,
-        pq_adc_from_lut,
+        pq_adc_rank,
         pq_code_expr,
         pq_det_codebooks,
         pq_lut_expr,
@@ -2505,25 +2505,13 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         pq_code_expr(_as_double("embedding"), cb).alias("code"),
     )
-    q = _queries_frame(emb).select(
+    q_lut = _queries_frame(emb).select(
         "query_id",
         pq_lut_expr(
             F.col("query_vec").cast("array<double>"), cb
         ).alias("lut"),
     )
-    scored = cand.join(
-        F.broadcast(q), F.col("cand_id") != F.col("query_id")
-    ).withColumn(
-        "adc", F.round(pq_adc_from_lut(F.col("lut"), F.col("code"), m), 6)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("query_id", "cand_id", "adc", F.col("rk").cast("long").alias("rk"))
-    )
+    return pq_adc_rank(cand, q_lut, m, k_nn=5)
 
 
 def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2550,7 +2538,7 @@ def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.similarity import (
         _as_double,
-        pq_adc_from_lut,
+        pq_adc_rank,
         pq_code_expr,
         pq_det_codebooks,
         pq_lut_expr,
@@ -2582,25 +2570,13 @@ def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest = json.load(f)
     cb_loaded = manifest["codebooks"]
     cand = spark.read.parquet(codes_path)
-    q = _queries_frame(emb).select(
+    q_lut = _queries_frame(emb).select(
         "query_id",
         pq_lut_expr(
             F.col("query_vec").cast("array<double>"), cb_loaded
         ).alias("lut"),
     )
-    scored = cand.join(
-        F.broadcast(q), F.col("cand_id") != F.col("query_id")
-    ).withColumn(
-        "adc", F.round(pq_adc_from_lut(F.col("lut"), F.col("code"), m), 6)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("query_id", "cand_id", "adc", F.col("rk").cast("long").alias("rk"))
-    )
+    return pq_adc_rank(cand, q_lut, m, k_nn=5)
 
 
 def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2636,7 +2612,7 @@ def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_lists,
         centroid_rows,
         centroid_rows_literal,
-        dot,
+        ivf_rank_topk,
         l2_norm,
     )
     from .sources.writers import write_parquet
@@ -2684,24 +2660,7 @@ def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "list_label",
         F.col("list_label").cast(lists.schema["list_label"].dataType),
     )
-    scored = (
-        lists.join(F.broadcast(q_lists), "list_label")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")), 8
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
-    )
+    return ivf_rank_topk(lists, q_lists, k=k)
 
 
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2732,7 +2691,7 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_lists,
         centroid_literal_array,
         l2_norm,
-        pq_adc_from_lut,
+        pq_adc_rank,
         pq_code_expr,
         pq_det_codebooks,
         pq_lut_expr,
@@ -2751,22 +2710,13 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries_frame(emb).select(
         "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
     ).withColumn("nrm", l2_norm(F.col("qvec")))
-    q_lists = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).select(
-        "query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut"), "list_label"
-    )
-    scored = (
-        cand_codes.join(F.broadcast(q_lists), "list_label")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("adc", F.round(pq_adc_from_lut(F.col("lut"), F.col("code"), m), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k_nn)
-        .select("query_id", "cand_id", "adc", F.col("rk").cast("long").alias("rk"))
-    )
+    # the LUT builds ONCE per query (before the nprobe explode), then
+    # rides the probe rows through a panel-sized equi-join
+    q_lut = q.select("query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut"))
+    q_probe = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).select(
+        "query_id", "list_label"
+    ).join(q_lut, "query_id")
+    return pq_adc_rank(cand_codes, q_probe, m, k_nn=k_nn, on="list_label")
 
 
 def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,7 @@ pushdown/pruning.  Scale notes:
 from __future__ import annotations
 
 import functools as _functools
+import hashlib as _hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -295,10 +296,25 @@ def table_row_count(sf_dir: str, name: str) -> int:
     "table stats" path a real catalog provides: parquet stores the
     exact row count in each file footer, so the count costs one
     metadata read per file, never a data scan.  Memoized per
-    (path, mtime, size) so repeated plan builds over the same files
-    cost nothing and a rewritten file is never served a stale count."""
+    (path, fingerprint) so repeated plan builds over the same files
+    cost nothing and a rewrite is never served a stale count — for a
+    DIRECTORY table the fingerprint hashes every member file's
+    (relpath, mtime, size), because an in-place part-file rewrite or
+    a new file inside an existing partition subdir does not touch the
+    top directory's own stat (round-8 review)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     st = os.stat(path)
+    if os.path.isdir(path):
+        h = _hashlib.sha256()
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    fst = os.stat(os.path.join(root, f))
+                    h.update(
+                        f"{os.path.relpath(os.path.join(root, f), path)}"
+                        f":{fst.st_mtime_ns}:{fst.st_size};".encode()
+                    )
+        return _footer_row_count(path, int.from_bytes(h.digest()[:8], "big"), 0)
     return _footer_row_count(path, st.st_mtime_ns, st.st_size)
 
 

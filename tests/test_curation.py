@@ -494,10 +494,32 @@ def test_interleave_rejects_weights_beyond_scale(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
     with pytest.raises(ValueError, match="720720"):
         interleave_sources(df, "src", {"a": 1_000_000})
-    # non-divisors of SCALE are rejected too: the overflow-safe
-    # ceil(vpos/step) rank needs an exact integer step per source
-    with pytest.raises(ValueError, match="divisor"):
-        interleave_sources(df, "src", {"a": 17})
+
+
+def test_interleave_non_divisor_weights_equal_global_window(spark):
+    """Non-divisor weights (17, 100) must produce EXACTLY the global
+    (vpos, source, id) window order — they take the range-partitioned
+    fallback (round-8 review restored them; the closed form needs
+    divisor steps, the general form needs the overflow-prone
+    vpos*weight product).  A divisor config run through the same
+    comparison pins the closed form to the identical definition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.operators.curation import (
+        interleave_sources,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    for weights in ({"a": 17, "b": 100, "c": 3}, {"a": 4, "b": 16, "c": 1}):
+        out = interleave_sources(df, "src", weights)
+        w = Window.orderBy("vpos", "src", "doc_id")
+        expect = out.select(
+            "doc_id", F.row_number().over(w).alias("want"), "mix_rank"
+        )
+        bad = expect.filter(F.col("want") != F.col("mix_rank")).count()
+        assert bad == 0, f"{weights}: {bad} mismatches"
     # the boundary itself is legal: weight == SCALE keeps per-source
     # positions strictly increasing (positions are exactly 0,1,2,...)
     df3 = spark.createDataFrame(
@@ -568,7 +590,19 @@ def test_simhash_clusters_collapsed_equals_direct(spark):
     tiled = docs.union(
         docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     )
-    for corpus in (docs, tiled):
+    # zero-token exact duplicates (empty text): simhash emits no
+    # signature for them, so the direct path can never pair them —
+    # the collapse's twin rule must not invent clusters for them
+    # (round-8 review).  The one-token "..!!" twins are the control:
+    # signature-eligible exact dups must still cluster in both paths.
+    degenerate = docs.union(
+        spark.createDataFrame(
+            [(2_000_000, ""), (2_000_001, ""), (2_000_002, "..!!"),
+             (2_000_003, "..!!")],
+            "doc_id long, text string",
+        )
+    )
+    for corpus in (docs, tiled, degenerate):
         a = sorted(
             map(tuple, dup_clusters(simhash_pairs(corpus, max_hamming=2)).collect())
         )
@@ -576,6 +610,10 @@ def test_simhash_clusters_collapsed_equals_direct(spark):
             map(tuple, simhash_clusters_collapsed(corpus, max_hamming=2).collect())
         )
         assert a == b
+        if corpus is degenerate:
+            ids = {r[0] for r in b}
+            assert 2_000_000 not in ids and 2_000_001 not in ids
+            assert 2_000_002 in ids and 2_000_003 in ids
 
 
 def test_minhash_bands_rowlocal_equals_batch(spark):

@@ -183,3 +183,27 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
     want = {(r.id, r.bucket, round(r.score, 2)) for r in df.collect()}
     got = {(r["id"], r["bucket"], round(r["score"], 2)) for r in rows}
     assert got == want
+
+
+def test_table_row_count_directory_rewrite_not_stale(tmp_path):
+    """table_row_count must refresh when a DIRECTORY table changes
+    underneath it — an in-place part rewrite or a new part file does
+    not touch the top directory's own stat, so the memo key must
+    fingerprint member files (round-8 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recommendation_translation_spark.sources.readers import table_row_count
+
+    d = tmp_path / "docs.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1, 2, 3]}), d / "part-0.parquet")
+    assert table_row_count(str(tmp_path), "docs") == 3
+    # add a part file; the parent dir mtime may or may not move —
+    # force the ambiguous case by pinning the dir's stat times
+    import os
+
+    st = os.stat(d)
+    pq.write_table(pa.table({"x": [4, 5]}), d / "part-1.parquet")
+    os.utime(d, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert table_row_count(str(tmp_path), "docs") == 5
