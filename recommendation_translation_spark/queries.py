@@ -2663,6 +2663,93 @@ def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_rank_topk(lists, q_lists, k=k)
 
 
+def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted IVFPQ index — the FAISS IndexIVFPQ on-disk
+    layout re-expressed as a lakehouse table: one BUILD pass assigns
+    every vector its coarse list AND encodes it to m=4 PQ ints, then
+    writes (cand_id, code) PARTITIONED BY list_label with a combined
+    JSON manifest (centroids + codebooks).  SEARCH touches only the
+    persisted form and gets BOTH scale levers at once: the broadcast
+    probe join on the partition column plants the dynamic-partition-
+    pruning subquery (read nprobe/L of the index as a directory skip,
+    as in emb_ivf_persisted_topk) and the rows it does read carry
+    4 small ints instead of 64 floats (as in emb_pq_persisted_topk).
+    Plan-asserted in pytest: dynamicpruning on the codes scan, no
+    float-vector column anywhere on the candidate side.
+
+    Same panel, nprobe, deterministic codebooks, ranking, and oracle
+    (_ivfpq_topk_sql) as emb_ivfpq_topk, so index-build loss, manifest
+    skew, or over-pruning is a hash mismatch."""
+    import json
+    import os
+
+    from .operators.similarity import (
+        _as_double,
+        assign_lists,
+        centroid_rows,
+        centroid_rows_literal,
+        l2_norm,
+        pq_adc_rank,
+        pq_code_expr,
+        pq_det_codebooks,
+        pq_lut_expr,
+    )
+    from .sources.writers import write_parquet
+
+    nprobe, k_nn, m = 2, 5, 4
+    d = _run_dir("ivfpq_index", sf_dir)
+    codes_path = os.path.join(d, "codes")
+    manifest_path = os.path.join(d, "index_manifest.json")
+    emb = _t(spark, sf_dir, "embeddings")
+    # ---- BUILD: one pass — coarse-assign + PQ-encode + persist ----
+    cents = centroid_rows(emb)
+    cb = pq_det_codebooks(m=m)
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cvec")
+    ).withColumn("nrm", l2_norm(F.col("cvec")))
+    cand_lists = assign_lists(cand, centroid_rows_literal(cents), "cand_id", "cvec", 1)
+    write_parquet(
+        cand_lists.select(
+            "cand_id", pq_code_expr(F.col("cvec"), cb).alias("code"), "list_label"
+        ),
+        codes_path,
+        partition_by=["list_label"],
+    )
+    with open(manifest_path, "w") as f:
+        json.dump(
+            {"metric": "adc_l2sq", "nlist": len(cents), "m": m,
+             "centroids": [
+                 {"label": lbl, "vec": vec, "norm": nrm}
+                 for lbl, vec, nrm in cents
+             ],
+             "codebooks": cb},
+            f,
+        )
+    # ---- SEARCH: only the persisted index from here on ----
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    cent_arr = centroid_rows_literal([
+        (int(c["label"]), [float(x) for x in c["vec"]], float(c["norm"]))
+        for c in manifest["centroids"]
+    ])
+    cb_loaded = manifest["codebooks"]
+    codes = spark.read.parquet(codes_path)
+    q = _queries_frame(emb).select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    ).withColumn("nrm", l2_norm(F.col("qvec")))
+    q_lut = q.select(
+        "query_id", pq_lut_expr(F.col("qvec"), cb_loaded).alias("lut")
+    )
+    q_probe = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).select(
+        "query_id", "list_label"
+    ).join(q_lut, "query_id")
+    q_probe = q_probe.withColumn(
+        "list_label",
+        F.col("list_label").cast(codes.schema["list_label"].dataType),
+    )
+    return pq_adc_rank(codes, q_probe, m, k_nn=k_nn, on="list_label")
+
+
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ADC — the COMBINED coarse+fine ANN tier (Jégou et al. 2011
     §IV; FAISS IndexIVFPQ with by_residual=False): candidates are
@@ -4298,6 +4385,7 @@ ORACLES: dict[str, str] = {
     "emb_ivf_topk": _ivf_topk_sql(),
     "emb_ivf_persisted_topk": _ivf_topk_sql(),
     "emb_ivfpq_topk": _ivfpq_topk_sql(),
+    "emb_ivfpq_persisted_topk": _ivfpq_topk_sql(),
     "dedup_emb_cosine": _emb_cosine_pairs_sql(),
     "events_stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "events_stream_stateful": """
@@ -7298,6 +7386,7 @@ QUERIES = {
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_ivf_persisted_topk": q_emb_ivf_persisted_topk,
     "emb_ivfpq_topk": q_emb_ivfpq_topk,
+    "emb_ivfpq_persisted_topk": q_emb_ivfpq_persisted_topk,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_cosine_topk_np": q_emb_cosine_topk_np,
     "dedup_emb_cosine": q_dedup_emb_cosine,
@@ -7576,9 +7665,9 @@ QUERIES = {
 # ingest dedup gate; corpus_interleave's overflow-safe mix_rank
 # rearrangement; dedup_emb_cosine's footer-metadata sizing), and
 # (c) the queries whose newest hard signal is r4, oldest-first.  The
-# four late-round additions push the list to 53 for a 50-row window,
-# so the last three r4 rows (tpch_q19/q20/q21) stay r4-signal one more
-# round — pytest parity covers them; new/changed queries outrank
+# five late-round additions push the list to 54 for a 50-row window,
+# so the last four r4 rows (tpch_q18/q19/q20/q21) stay r4-signal one
+# more round — pytest parity covers them; new/changed queries outrank
 # re-stamping already-green rows.  Relative order otherwise kept. --
 _R8_WINDOW = [
     "tpch_q8_share",
@@ -7586,6 +7675,7 @@ _R8_WINDOW = [
     "emb_pq_persisted_topk",
     "emb_ivf_persisted_topk",
     "emb_ivfpq_topk",
+    "emb_ivfpq_persisted_topk",
     "docs_stream_dedup_gate",
     "corpus_interleave",
     "dedup_emb_cosine",

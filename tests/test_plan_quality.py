@@ -1143,3 +1143,28 @@ def test_ivf_persisted_search_prunes_partitions(spark):
     # the probe side broadcasts; the partitioned lists side never
     # shuffles for the join
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivfpq_persisted_search_prunes_and_scans_codes(spark):
+    """The full persisted IVFPQ index (round-8) must deliver BOTH
+    scale levers in the plan: the codes scan carries a
+    dynamic-partition-pruning subquery on list_label (read nprobe/L
+    of the index as a directory skip) AND no scan on the candidate
+    side reads a float-vector column — the rows that survive the skip
+    are 4 small ints.  The only raw-embedding read is the bounded
+    strided query panel."""
+    df = QUERIES["emb_ivfpq_persisted_topk"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "dynamicpruning" in plan, plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    code_scans = [s for s in scans if "code" in s and "embedding" not in s]
+    assert code_scans, "no persisted-codes scan in the plan"
+    for s in code_scans:
+        assert "cvec" not in s, "candidate side re-reads float vectors:\n" + s
+    vec_scans = [s for s in scans if "embedding" in s]
+    assert vec_scans, "query panel scan missing"
+    for s in vec_scans:
+        assert "% 50" in s and "< 4000" in s, (
+            "raw-vector scan without the panel filter pushed down:\n" + s
+        )
+    assert "BroadcastHashJoin" in plan, plan
