@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Per-round sf1 regression fence (round-6 verdict #4): the 32-query
+"""Per-round sf1 regression fence (round-6 verdict #4): the 34-query
 expensive panel, promoted from a one-shot curve (SCALE.md round 6) to a
 repeatable sidecar with the quiet-host best-of protocol and a 2x guard.
 
