@@ -38,6 +38,7 @@ __all__ = [
     "ivf_topk_multi",
     "centroid_literal_array",
     "centroid_rows",
+    "centroids_from_manifest",
     "centroid_rows_literal",
     "assign_lists",
     "semdedup_keep",
@@ -381,6 +382,18 @@ def centroid_rows(emb: DataFrame, label_col: str = "label",
             s += x * x
         cents.append((lbl, vec, math.sqrt(s)))
     return cents
+
+
+def centroids_from_manifest(manifest: dict) -> list:
+    """Rebuild centroid_rows' (label, vector, norm) tuples from a
+    persisted JSON index manifest — the reload half shared by every
+    persisted-index SEARCH (q_emb_ivf_persisted_topk /
+    q_emb_ivfpq_persisted_topk).  Python JSON float round-trip is
+    exact, so the rebuilt literals are bit-identical to the build's."""
+    return [
+        (int(c["label"]), [float(x) for x in c["vec"]], float(c["norm"]))
+        for c in manifest["centroids"]
+    ]
 
 
 def centroid_rows_literal(cents: list) -> Column:

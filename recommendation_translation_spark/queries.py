@@ -2579,6 +2579,15 @@ def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_rank(cand, q_lut, m, k_nn=5)
 
 
+def _align_partition_key(probe: DataFrame, table: DataFrame, col: str) -> DataFrame:
+    """Cast ``probe[col]`` to the partition column's read-back type so
+    the dynamic-pruning subquery lands on the BARE partition column —
+    partition discovery infers its own (usually narrower) type, and a
+    cast on the scan side would defeat DPP.  Shared by the persisted
+    IVF/IVFPQ searches."""
+    return probe.withColumn(col, F.col(col).cast(table.schema[col].dataType))
+
+
 def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index PERSIST-then-SEARCH: the list-partitioned layout that
     makes nprobe PHYSICAL at 100 TB.  BUILD assigns every corpus
@@ -2612,6 +2621,7 @@ def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_lists,
         centroid_rows,
         centroid_rows_literal,
+        centroids_from_manifest,
         ivf_rank_topk,
         l2_norm,
     )
@@ -2643,10 +2653,7 @@ def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- SEARCH: only the persisted index from here on ----
     with open(manifest_path) as f:
         manifest = json.load(f)
-    cent_arr = centroid_rows_literal([
-        (int(c["label"]), [float(x) for x in c["vec"]], float(c["norm"]))
-        for c in manifest["centroids"]
-    ])
+    cent_arr = centroid_rows_literal(centroids_from_manifest(manifest))
     lists = spark.read.parquet(lists_path)
     q = _queries_frame(emb).select(
         "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
@@ -2654,12 +2661,7 @@ def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_lists = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).withColumnRenamed(
         "nrm", "qnrm"
     )
-    # align the probe key to the partition column's read-back type so
-    # the dynamic-pruning subquery lands on the bare partition column
-    q_lists = q_lists.withColumn(
-        "list_label",
-        F.col("list_label").cast(lists.schema["list_label"].dataType),
-    )
+    q_lists = _align_partition_key(q_lists, lists, "list_label")
     return ivf_rank_topk(lists, q_lists, k=k)
 
 
@@ -2688,6 +2690,7 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_lists,
         centroid_rows,
         centroid_rows_literal,
+        centroids_from_manifest,
         l2_norm,
         pq_adc_rank,
         pq_code_expr,
@@ -2728,10 +2731,7 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- SEARCH: only the persisted index from here on ----
     with open(manifest_path) as f:
         manifest = json.load(f)
-    cent_arr = centroid_rows_literal([
-        (int(c["label"]), [float(x) for x in c["vec"]], float(c["norm"]))
-        for c in manifest["centroids"]
-    ])
+    cent_arr = centroid_rows_literal(centroids_from_manifest(manifest))
     cb_loaded = manifest["codebooks"]
     codes = spark.read.parquet(codes_path)
     q = _queries_frame(emb).select(
@@ -2743,10 +2743,7 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_probe = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).select(
         "query_id", "list_label"
     ).join(q_lut, "query_id")
-    q_probe = q_probe.withColumn(
-        "list_label",
-        F.col("list_label").cast(codes.schema["list_label"].dataType),
-    )
+    q_probe = _align_partition_key(q_probe, codes, "list_label")
     return pq_adc_rank(codes, q_probe, m, k_nn=k_nn, on="list_label")
 
 

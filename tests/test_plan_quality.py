@@ -1160,7 +1160,12 @@ def test_ivfpq_persisted_search_prunes_and_scans_codes(spark):
     code_scans = [s for s in scans if "code" in s and "embedding" not in s]
     assert code_scans, "no persisted-codes scan in the plan"
     for s in code_scans:
-        assert "cvec" not in s, "candidate side re-reads float vectors:\n" + s
+        # the surviving rows must be the 4-int codes, never floats:
+        # assert on the scan's ReadSchema, not on column names that
+        # could never appear in a codes-only table
+        assert "array<int>" in s and "array<double>" not in s, (
+            "codes scan does not read 4-int rows:\n" + s
+        )
     vec_scans = [s for s in scans if "embedding" in s]
     assert vec_scans, "query panel scan missing"
     for s in vec_scans:
