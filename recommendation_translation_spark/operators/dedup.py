@@ -587,6 +587,7 @@ def incremental_dedup_flags(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: flag each NEW (batch) document
     that near-duplicates the EXISTING corpus or a lower-id document in
@@ -620,8 +621,14 @@ def incremental_dedup_flags(
     (``hash_split`` partitions are disjoint); external callers must
     re-key one side first.
     """
-    stacked_c = minhash_bands(corpus, k=k, bands=bands, n=n,
-                              text_col=text_col, id_col=id_col)
+    # ``corpus_bands`` injects the PRE-COMPUTED (id, band, band_hash)
+    # table the docstring promises ("computed once at ingest and
+    # stored") — q_dedup_incremental_persisted passes the parquet
+    # read-back, so the corpus text is never re-shingled for banding;
+    # it is still read for the candidate-only Jaccard verification,
+    # which is proportional to the batch by the semi-join below.
+    stacked_c = corpus_bands if corpus_bands is not None else minhash_bands(
+        corpus, k=k, bands=bands, n=n, text_col=text_col, id_col=id_col)
     stacked_b = minhash_bands(batch, k=k, bands=bands, n=n,
                               text_col=text_col, id_col=id_col)
     # narrow band joins + distinct, not first-colliding-band claiming —

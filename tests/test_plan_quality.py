@@ -1173,3 +1173,24 @@ def test_ivfpq_persisted_search_prunes_and_scans_codes(spark):
             "raw-vector scan without the panel filter pushed down:\n" + s
         )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_persisted_band_join_scans_index_not_text(spark):
+    """The persisted-band incremental dedup (round-8) must get its
+    candidate join's corpus side from the 3-column persisted band
+    table: exactly one FileScan reads the minhash_band_index parquet
+    (narrow: doc_id/band/band_hash, no text), and every scan of the
+    documents table that feeds BANDING is the batch side — the corpus
+    text is read only for the candidate-semi-joined verification.
+    A regression that re-bands the corpus in-flight would re-tokenize
+    every corpus document per arriving batch at 100 TB."""
+    df = QUERIES["dedup_incremental_persisted"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    # the corpus band side is a PARQUET SCAN of (doc_id, band,
+    # band_hash) — if the corpus were re-banded in flight, band_hash
+    # would come from expressions and no such scan would exist
+    index_scans = [s for s in scans if "band_hash" in s]
+    assert index_scans, plan
+    for s in index_scans:
+        assert "text" not in s, "band-table scan reads text:\n" + s

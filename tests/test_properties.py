@@ -1074,3 +1074,30 @@ def test_pq_lut_adc_bit_identical_to_inline(spark, vec, code):
         ).alias("lut"),
     ).collect()[0]
     assert row.inline == row.lut  # exact float equality, not approx
+
+
+@SETTINGS
+@given(
+    vec=st.lists(st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+                 min_size=4, max_size=4),
+    label=st.integers(min_value=0, max_value=99),
+)
+def test_centroid_manifest_roundtrip_exact(vec, label):
+    """The persisted-index manifests rely on Python JSON float
+    round-trips being EXACT — centroids_from_manifest must rebuild
+    centroid_rows' tuples bit-for-bit, or the reloaded assignment
+    literals would drift from the build's and the driver hash with
+    them."""
+    import json
+
+    from recommendation_translation_spark.operators.similarity import (
+        centroids_from_manifest,
+    )
+
+    cents = [(label, vec, sum(x * x for x in vec) ** 0.5)]
+    manifest = json.loads(json.dumps({
+        "centroids": [
+            {"label": lbl, "vec": v, "norm": nrm} for lbl, v, nrm in cents
+        ]
+    }))
+    assert centroids_from_manifest(manifest) == cents
