@@ -232,9 +232,13 @@ def main() -> int:
                        "queries": timings, "remeasured": sorted(reruns),
                        "best": best},
                       fh, indent=1, sort_keys=True)
-    # The stdout line now carries the FULL per-query map (round-4
-    # verdict #7): ~160 entries is ~4 KB compact JSON, inside the
-    # driver's tail capture now that stderr carries the chatter.
+    # Full per-query map to stdout first (round-4 verdict #7) for human
+    # runs — but the 193-query map is ~6 KB, past the driver's 2,000-char
+    # tail capture, which left BENCH_r07/r08 with "parsed": null
+    # (round-8 verdict #2).  So a compact, parse-guaranteed SUMMARY line
+    # prints LAST: bounded keys only (over_2x capped at 10 names), well
+    # under the capture window, while the committed BENCH_QUERIES.json
+    # sidecar carries the full data.
     print(
         json.dumps(
             {
@@ -250,7 +254,60 @@ def main() -> int:
             separators=(",", ":"),
         )
     )
+    base = _baseline_map()
+    ratios = {
+        k: round(v / base[k], 3)
+        for k, v in timings.items()
+        if v > 0 and base.get(k)
+    }
+    over_2x = sorted(k for k, r in ratios.items() if r > 2.0)
+    worst = max(ratios, key=ratios.get) if ratios else None
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "schema_version": 3,
+                "summary_line": True,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for v in timings.values() if v < 0),
+                "loop_wall_sec": loop_wall,
+                "n_remeasured": len(reruns),
+                "n_with_baseline": len(ratios),
+                "max_vs_baseline": ratios.get(worst),
+                "max_vs_baseline_query": worst,
+                "n_over_2x": len(over_2x),
+                "over_2x": over_2x[:10],
+                "full_map": "BENCH_QUERIES.json",
+            },
+            separators=(",", ":"),
+        )
+    )
     return 0
+
+
+def _baseline_map() -> dict[str, float]:
+    """Per-query BASELINE.md anchors: every ``| name | sec | ...``
+    table row, FIRST occurrence winning (the anchor is the first
+    recorded run; later tables re-list queries informationally)."""
+    out: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.md")) as fh:
+            for line in fh:
+                m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
+                if m and m.group(1) not in out:
+                    try:
+                        v = float(m.group(2))
+                    except ValueError:
+                        continue
+                    if v > 0:
+                        out[m.group(1)] = v
+    except OSError:
+        pass
+    return out
 
 
 if __name__ == "__main__":

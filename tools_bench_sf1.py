@@ -10,6 +10,14 @@ Protocol:
   bench.py uses; any query measuring > 1.5x its reference (or > 2x,
   the guard bound) is re-run once and the min recorded — co-tenant CPU
   bursts don't fail the fence, real regressions reproduce;
+- load context (round-8 verdict #6): ``os.getloadavg()`` is recorded
+  beside every measurement (the 1-min average at measurement START),
+  so a future reader can adjudicate contention from the artifact alone
+  — the round-8 closing run violated 2 anchors 4.3x while executing
+  concurrently with the driver's own bench, and nothing in the JSON
+  showed it.  A still-violating query after the first re-measure gets
+  ONE more attempt after a 10 s backoff (a co-tenant burst outlasting
+  one immediate retry usually doesn't outlast the backoff too);
 - reference: ``BENCH_SF1_BASELINE.json`` (seeded from the round-6
   SCALE.md curve, post-ANN-panel-fix values; overwritten only
   deliberately).  A query > 2x its reference is a FENCE VIOLATION,
@@ -53,6 +61,7 @@ def main() -> int:
 
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
+    loadavg: dict[str, float] = {}
     violations: list[str] = []
     reruns: list[str] = []
     # Same ordering rule as bench.py: ml_train_rmse runs BEFORE the
@@ -81,6 +90,7 @@ def main() -> int:
         )
 
         drop_memory_sink_tables(spark)
+        loadavg[name] = round(os.getloadavg()[0], 2)
         t0 = time.perf_counter()
         try:
             n = fn(spark, sf_dir).count()
@@ -97,31 +107,45 @@ def main() -> int:
         # would mask a training-cost regression (same NEVER_REMEASURE
         # rule as bench.py)
         if t > 1.5 * ref and name != "ml_train_rmse":
-            # clear again so the re-run measures under the same cold
-            # protocol as every first run — otherwise re-measured rows
-            # record warm-cache minimums and the 2x guard is
-            # systematically looser for exactly the flagged queries
-            # (memory-sink tables included — round-7 advisor)
-            spark.catalog.clearCache()
-            drop_memory_sink_tables(spark)
-            t1 = time.perf_counter()
-            try:
-                fn(spark, sf_dir).count()
-                t = min(t, round(time.perf_counter() - t1, 2))
-            except Exception:
-                pass
+            # first re-measure immediately; if STILL over the 2x guard,
+            # one more after a 10 s backoff (round-8 verdict #6: the
+            # contended closing run's burst outlasted the immediate
+            # retry — best-of-2 back-to-back samples the same burst).
+            # Each re-run records its own start loadavg (min wins).
+            for backoff in (0.0, 10.0):
+                if t <= 2.0 * ref and backoff:
+                    break
+                time.sleep(backoff)
+                # clear again so the re-run measures under the same cold
+                # protocol as every first run — otherwise re-measured
+                # rows record warm-cache minimums and the 2x guard is
+                # systematically looser for exactly the flagged queries
+                # (memory-sink tables included — round-7 advisor)
+                spark.catalog.clearCache()
+                drop_memory_sink_tables(spark)
+                la = round(os.getloadavg()[0], 2)
+                t1 = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).count()
+                    t2 = round(time.perf_counter() - t1, 2)
+                except Exception:
+                    continue
+                if t2 < t:
+                    t = t2
+                    loadavg[name] = la
             reruns.append(name)
         timings[name] = t
         status = "VIOLATION" if t > 2.0 * ref else "ok"
         if status == "VIOLATION":
             violations.append(name)
-        print(f"# {name}: {t}s (ref {ref}s, rows={n}) {status}",
-              file=sys.stderr)
+        print(f"# {name}: {t}s (ref {ref}s, rows={n}, load {loadavg[name]}) "
+              f"{status}", file=sys.stderr)
     out = {
         "sf": 1.0,
-        "schema_version": 2,
+        "schema_version": 3,
         "sum_query_sec": round(sum(v for v in timings.values() if v > 0), 2),
         "queries": timings,
+        "loadavg_1min": loadavg,
         "remeasured": sorted(reruns),
         "violations_2x": sorted(violations),
     }
