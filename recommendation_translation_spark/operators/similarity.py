@@ -36,6 +36,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "ivf_topk",
     "ivf_topk_multi",
+    "ivfpq_topk_multi",
     "centroid_literal_array",
     "centroid_rows",
     "centroids_from_manifest",
@@ -521,6 +522,94 @@ def ivf_topk_multi(
                 "query_id", "cand_id", "cosine", F.col("rk").alias("rk"),
             )
         )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def ivfpq_topk_multi(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    ms: tuple[int, ...] = (4, 8),
+    dim: int = 64,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The IVF-ADC search (q_emb_ivfpq_topk's composition) evaluated at
+    EVERY (m, nprobe) setting for the cost of ONE corpus pass — the
+    ivf_topk_multi audit-sweep pattern extended to the combined tier:
+    the corpus is coarse-assigned once and PQ-encoded once per m (all
+    code columns in the same projection, still zero shuffle); each
+    panel query carries its probe ranks up to max(nprobes) and one
+    precomputed ADC LUT per m; ONE broadcast equi-join on list_label
+    scores every candidate pair under every m simultaneously; then
+    each (m, nprobe) slice is a filter (probe_rank <= n) plus its own
+    top-k window over the checkpointed scores.  Per-slice output is
+    EXACTLY the ivfpq search at that setting (m=4, nprobe=2 equals
+    emb_ivfpq_topk — pinned by a parity test); rows carry leading
+    (m, nprobe) columns."""
+    assert all(dim % m == 0 for m in ms)
+    cent_arr = centroid_literal_array(emb, label_col=label_col, vec_col=vec_col)
+    cbs = {m: pq_det_codebooks(m=m, k=n_codes, d_sub=dim // m) for m in ms}
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec")
+    ).withColumn("nrm", l2_norm(F.col("cvec")))
+    cand_codes = assign_lists(cand, cent_arr, "cand_id", "cvec", 1).select(
+        "cand_id",
+        "list_label",
+        *[pq_code_expr(F.col("cvec"), cbs[m]).alias(f"code{m}") for m in ms],
+    )
+    q = queries.select(
+        F.col("query_id"), F.col("query_vec").cast("array<double>").alias("qvec")
+    ).withColumn("nrm", l2_norm(F.col("qvec")))
+    q_probe = assign_lists(
+        q, cent_arr, "query_id", "qvec", max(nprobes), with_rank=True
+    ).select("query_id", "list_label", "probe_rank")
+    q_lut = q.select(
+        "query_id",
+        *[pq_lut_expr(F.col("qvec"), cbs[m]).alias(f"lut{m}") for m in ms],
+    )
+    panel = q_probe.join(q_lut, "query_id")
+    scored = (
+        cand_codes.join(F.broadcast(panel), "list_label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "probe_rank",
+            *[
+                F.round(
+                    pq_adc_from_lut(F.col(f"lut{m}"), F.col(f"code{m}"), m), 6
+                ).alias(f"adc{m}")
+                for m in ms
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    legs = []
+    for m in ms:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(f"adc{m}").asc(), F.col("cand_id").asc()
+        )
+        for n in nprobes:
+            legs.append(
+                scored.filter(F.col("probe_rank") <= n)
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k)
+                .select(
+                    F.lit(m).cast("long").alias("m"),
+                    F.lit(n).cast("long").alias("nprobe"),
+                    "query_id",
+                    "cand_id",
+                    F.col(f"adc{m}").alias("adc"),
+                    F.col("rk").cast("long").alias("rk"),
+                )
+            )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)

@@ -6746,6 +6746,184 @@ def _ivf_recall_leg_sql(nprobe: int) -> str:
     """
 
 
+#: (m, nprobe) grid for the IVFPQ recall audit — m=4 is the production
+#: emb_ivfpq_topk setting; m=8 doubles the code budget; nprobe sweeps
+#: the coarse-pruning recall/cost trade.
+_IVFPQ_AUDIT_NPROBES = (1, 2, 4)
+_IVFPQ_AUDIT_MS = (4, 8)
+
+
+def q_emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit of the COMBINED IVF-ADC tier against
+    exact brute-force cosine ground truth (round-8 verdict #4): recall@5
+    of the emb_ivfpq_topk composition at every (m, nprobe) in the audit
+    grid — the one question a user of IVFADC asks before trusting it
+    (how much recall does m=4/nprobe=2 cost?), answered as a measured
+    CURVE over both levers (code budget m and coarse pruning nprobe),
+    not a single point.  One row per setting: (m, nprobe, truth pairs,
+    approx pairs, hits, recall).
+
+    Everything in both legs is deterministic (md5-derived codebooks,
+    literal centroids, fixed panel), so unlike the ML graduations this
+    needs NO invariant envelope: the oracle recomputes the exact same
+    recall numbers bit-for-bit and the driver hash covers the whole
+    audit.  Cost discipline matches emb_ivf_recall_report: the truth
+    relation is checkpointed once and ALL SIX settings come from ONE
+    corpus pass (similarity.ivfpq_topk_multi — coarse-assign once,
+    both m's codes in one projection, one broadcast join scores every
+    pair under every m; each setting is then a filter + window).
+    At 100 TB the audit runs on a query sample while production serves
+    the chosen operating point."""
+    from .operators.similarity import ivfpq_topk_multi
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_frame(emb)
+    truth = (
+        cosine_topk(emb, q, k=5)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
+    s_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    multi = ivfpq_topk_multi(
+        emb, q, k=5, nprobes=_IVFPQ_AUDIT_NPROBES, ms=_IVFPQ_AUDIT_MS
+    ).localCheckpoint(eager=False)
+    legs = []
+    for m in _IVFPQ_AUDIT_MS:
+        for nprobe in _IVFPQ_AUDIT_NPROBES:
+            approx = multi.filter(
+                (F.col("m") == m) & (F.col("nprobe") == nprobe)
+            ).select("query_id", "cand_id")
+            hit = truth.join(approx, ["query_id", "cand_id"], "left_semi")
+            s_a = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+            s_h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+            legs.append(
+                s_t.crossJoin(F.broadcast(s_a))
+                .crossJoin(F.broadcast(s_h))
+                .select(
+                    F.lit(m).cast("long").alias("m"),
+                    F.lit(nprobe).cast("long").alias("nprobe"),
+                    "n_truth",
+                    "n_approx",
+                    "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_truth"), 6).alias(
+                        "recall_at_5"
+                    ),
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _ivfpq_recall_report_sql(k_nn: int = 5, dim: int = 64,
+                             n_codes: int = 16) -> str:
+    """Exact oracle for the IVFPQ recall grid: the _ivfpq_topk_sql
+    coarse-assignment CTEs shared once, BOTH m's code columns in one
+    codes CTE, the per-m ADC scored once over the max-nprobe probe set
+    (probe_rank carried), and each (m, nprobe) leg reduced to counts
+    against the brute-force truth — the same one-pass discipline as
+    the Spark plan, in SQL."""
+    from .operators.similarity import pq_det_codebooks
+
+    nprobes, ms = _IVFPQ_AUDIT_NPROBES, _IVFPQ_AUDIT_MS
+    cdot = ("list_sum(list_transform(list_zip(CAST({v} AS DOUBLE[]), {c}), t -> t[1] * t[2]))")
+    cbs = {m: pq_det_codebooks(m=m, k=n_codes, d_sub=dim // m) for m in ms}
+    code_cols = ", ".join(
+        f"{_pq_code_sql('embedding', s, cbs[m], n_codes, dim // m)} AS c{m}_{s}"
+        for m in ms
+        for s in range(m)
+    )
+    scored_ctes = ",\n".join(
+        f"""sc{m} AS MATERIALIZED (
+          SELECT qa.query_id, codes.cand_id, qa.probe_rank,
+                 ROUND({_pq_adc_sql('qv', f'c{m}_', cbs[m], m, n_codes, dim // m)}, 6) AS adc
+          FROM qassign qa JOIN codes
+            ON qa.list_label = codes.list_label AND codes.cand_id <> qa.query_id
+        )"""
+        for m in ms
+    )
+    ap_ctes = ",\n".join(
+        f"""ap{m}_{n} AS MATERIALIZED (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc, cand_id) AS rk
+            FROM sc{m} WHERE probe_rank <= {n}
+          ) WHERE rk <= {k_nn})"""
+        for m in ms
+        for n in nprobes
+    )
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({m} AS BIGINT) AS m, CAST({n} AS BIGINT) AS nprobe,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM ap{m}_{n}) AS n_approx,
+           (SELECT COUNT(*) FROM truth t JOIN ap{m}_{n} a
+             ON t.query_id = a.query_id AND t.cand_id = a.cand_id) AS n_hit,
+           ROUND((SELECT COUNT(*) FROM truth t JOIN ap{m}_{n} a
+                   ON t.query_id = a.query_id AND t.cand_id = a.cand_id)
+                 / (SELECT COUNT(*) FROM truth)::DOUBLE, 6) AS recall_at_5"""
+        for m in ms
+        for n in nprobes
+    )
+    return f"""
+        WITH cent AS (
+          SELECT list_label, list(c ORDER BY pos) AS cvec
+          FROM (
+            SELECT CAST(label AS INT) AS list_label, i AS pos,
+                   ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 8) AS c
+            FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) t
+            GROUP BY 1, 2
+          ) GROUP BY list_label
+        ),
+        centn AS (
+          SELECT list_label, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm2
+          FROM cent
+        ),
+        cand AS (
+          SELECT vec_id AS cand_id, embedding, {_norm_sql('embedding', dim)} AS nrm
+          FROM embeddings
+        ),
+        cassign AS (
+          SELECT cand_id, embedding, list_label FROM (
+            SELECT c.cand_id, c.embedding, n.list_label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.cand_id
+                     ORDER BY ROUND({cdot.format(v='c.embedding', c='n.cvec')} / (c.nrm * n.cnorm2), 6) DESC,
+                              n.list_label
+                   ) AS crn
+            FROM cand c CROSS JOIN centn n
+          ) WHERE crn = 1
+        ),
+        codes AS MATERIALIZED (
+          SELECT cand_id, list_label, {code_cols} FROM cassign
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding, {_norm_sql('embedding', dim)} AS nrm
+          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
+        ),
+        qassign AS MATERIALIZED (
+          SELECT query_id, embedding AS qv, list_label, crn AS probe_rank FROM (
+            SELECT qq.query_id, qq.embedding, qq.nrm, n.list_label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY qq.query_id
+                     ORDER BY ROUND({cdot.format(v='qq.embedding', c='n.cvec')} / (qq.nrm * n.cnorm2), 6) DESC,
+                              n.list_label
+                   ) AS crn
+            FROM q qq CROSS JOIN centn n
+          ) WHERE crn <= {max(nprobes)}
+        ),
+        truth AS MATERIALIZED (SELECT query_id, cand_id FROM ({_cosine_topk_sql()}) t),
+        {scored_ctes},
+        {ap_ctes}
+        {legs}
+    """
+
+
+ORACLES["emb_ivfpq_recall_report"] = _ivfpq_recall_report_sql()
+
+
 def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table
     (operators.similarity.semdedup_keep): cluster-bucketed semantic
@@ -7504,6 +7682,7 @@ QUERIES = {
     "lineitem_zorder_pruning": q_lineitem_zorder_pruning,
     "orders_bucketed_join": q_orders_bucketed_join,
     "emb_ivf_recall_report": q_emb_ivf_recall_report,
+    "emb_ivfpq_recall_report": q_emb_ivfpq_recall_report,
     "orders_capped_balance": q_orders_capped_balance,
     "dedup_semdedup": q_dedup_semdedup,
     "docs_schema_evolution": q_docs_schema_evolution,

@@ -741,6 +741,35 @@ def test_ivf_topk_multi_slices_equal_single_nprobe(spark):
         assert got == want, f"nprobe={n}"
 
 
+def test_ivfpq_topk_multi_slice_equals_ivfpq_topk(spark):
+    # the (m=4, nprobe=2) slice of the one-pass audit sweep must equal
+    # the production emb_ivfpq_topk composition exactly — same coarse
+    # assignment, codes, LUT folds, ranking and tie-breaks
+    from recommendation_translation_spark.operators.similarity import (
+        ivfpq_topk_multi,
+    )
+    from recommendation_translation_spark.queries import (
+        _queries_frame,
+        q_emb_ivfpq_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _queries_frame(emb)
+    multi = ivfpq_topk_multi(emb, q, k=5, nprobes=(1, 2, 4), ms=(4, 8))
+    got = {
+        (r.query_id, r.cand_id, r.adc, r.rk)
+        for r in multi.filter(
+            (F.col("m") == 4) & (F.col("nprobe") == 2)
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.cand_id, r.adc, r.rk)
+        for r in q_emb_ivfpq_topk(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_duplicate_span_removal_hand_built(spark):
     # A and B share the 8-gram "a..h": those 8 tokens vanish from BOTH
     # (span-coverage removal), the unique tails survive verbatim; C and
