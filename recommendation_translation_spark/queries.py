@@ -2747,6 +2747,117 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_rank(codes, q_probe, m, k_nn=k_nn, on="list_label")
 
 
+def q_emb_ivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index APPEND for the persisted IVFPQ path (round-8 verdict #5):
+    a NEW embedding batch is encoded against the PERSISTED manifest and
+    its codes are appended to the list-partitioned table — no rebuild —
+    then the search scans base + appended codes as one index.  The ANN
+    twin of dedup_incremental_persisted's write-once story: at 100 TB
+    the index is built once, each arriving batch pays only its own
+    coarse-assign + encode (both zero-shuffle projections over the
+    manifest's literal centroids/codebooks, with the batch predicate
+    pushed into the scan), and the nightly append is an additive
+    partition-directory write (``mode=append`` under
+    PARTITIONED BY list_label — existing files are never rewritten,
+    new files land inside the matching list directories).
+
+    BUILD uses the BASE split only (vec_id % 10 != 7): its centroids
+    are the base's per-label means, which is the honest append
+    semantic — appending must NOT retrain the coarse quantizer, or
+    every previously written code would be invalidated.  The batch
+    (vec_id % 10 == 7) is encoded purely from the reloaded manifest.
+    SEARCH is byte-identical to emb_ivfpq_persisted_topk's half and
+    keeps both scale levers (plan-asserted in pytest: dynamicpruning
+    on the codes scan, the scan reading base AND appended files, no
+    float-vector column on the candidate side).
+
+    The oracle recomputes the same relation with base-only centroids
+    (cent_where) over the FULL corpus — base and batch assignments are
+    the same deterministic function of the manifest, so a batch row
+    lost by the append, a manifest skew, or an accidental centroid
+    retrain is a hash mismatch."""
+    import json
+    import os
+
+    from .operators.similarity import (
+        _as_double,
+        assign_lists,
+        centroid_rows,
+        centroid_rows_literal,
+        centroids_from_manifest,
+        l2_norm,
+        pq_adc_rank,
+        pq_code_expr,
+        pq_det_codebooks,
+        pq_lut_expr,
+    )
+    from .sources.writers import write_parquet
+
+    nprobe, k_nn, m = 2, 5, 4
+    d = _run_dir("ivfpq_append_index", sf_dir)
+    codes_path = os.path.join(d, "codes")
+    manifest_path = os.path.join(d, "index_manifest.json")
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    # ---- BUILD (base only): coarse-assign + encode + persist ----
+    cents = centroid_rows(base)
+    cb = pq_det_codebooks(m=m)
+    bcand = base.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cvec")
+    ).withColumn("nrm", l2_norm(F.col("cvec")))
+    base_lists = assign_lists(bcand, centroid_rows_literal(cents), "cand_id", "cvec", 1)
+    write_parquet(
+        base_lists.select(
+            "cand_id", pq_code_expr(F.col("cvec"), cb).alias("code"), "list_label"
+        ),
+        codes_path,
+        partition_by=["list_label"],
+    )
+    with open(manifest_path, "w") as f:
+        json.dump(
+            {"metric": "adc_l2sq", "nlist": len(cents), "m": m,
+             "centroids": [
+                 {"label": lbl, "vec": vec, "norm": nrm}
+                 for lbl, vec, nrm in cents
+             ],
+             "codebooks": cb},
+            f,
+        )
+    # ---- APPEND: the new batch sees ONLY the persisted manifest ----
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    cent_arr = centroid_rows_literal(centroids_from_manifest(manifest))
+    cb_loaded = manifest["codebooks"]
+    ncand = batch.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cvec")
+    ).withColumn("nrm", l2_norm(F.col("cvec")))
+    batch_lists = assign_lists(ncand, cent_arr, "cand_id", "cvec", 1)
+    write_parquet(
+        batch_lists.select(
+            "cand_id",
+            pq_code_expr(F.col("cvec"), cb_loaded).alias("code"),
+            "list_label",
+        ),
+        codes_path,
+        mode="append",
+        partition_by=["list_label"],
+    )
+    # ---- SEARCH: base + appended codes as one persisted index ----
+    codes = spark.read.parquet(codes_path)
+    q = _queries_frame(emb).select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    ).withColumn("nrm", l2_norm(F.col("qvec")))
+    q_lut = q.select(
+        "query_id", pq_lut_expr(F.col("qvec"), cb_loaded).alias("lut")
+    )
+    q_probe = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).select(
+        "query_id", "list_label"
+    ).join(q_lut, "query_id")
+    q_probe = _align_partition_key(q_probe, codes, "list_label")
+    return pq_adc_rank(codes, q_probe, m, k_nn=k_nn, on="list_label")
+
+
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ADC — the COMBINED coarse+fine ANN tier (Jégou et al. 2011
     §IV; FAISS IndexIVFPQ with by_residual=False): candidates are
@@ -3845,10 +3956,14 @@ def _pq_topk_sql(k_nn: int = 5, m: int = 4, k: int = 16, d_sub: int = 16) -> str
 
 
 def _ivfpq_topk_sql(k_nn: int = 5, nprobe: int = 2, dim: int = 64,
-                    m: int = 4, k: int = 16, d_sub: int = 16) -> str:
+                    m: int = 4, k: int = 16, d_sub: int = 16,
+                    cent_src: str = "embeddings") -> str:
     """IVF-ADC oracle: the _ivf_topk_sql coarse assignment CTEs feed
     the _pq_topk_sql code/ADC expressions — candidates rank by ADC
-    within the query's nprobe probed lists only."""
+    within the query's nprobe probed lists only.  ``cent_src`` is the
+    relation the coarse centroids average over — the append-path twin
+    (emb_ivfpq_append_topk) trains them on the base split only while
+    candidates/queries still span the full corpus."""
     from .operators.similarity import pq_det_codebooks
 
     cb = pq_det_codebooks(m=m, k=k, d_sub=d_sub)
@@ -3862,7 +3977,7 @@ def _ivfpq_topk_sql(k_nn: int = 5, nprobe: int = 2, dim: int = 64,
           FROM (
             SELECT CAST(label AS INT) AS list_label, i AS pos,
                    ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 8) AS c
-            FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) t
+            FROM {cent_src}, (SELECT unnest(range(1, {dim + 1})) AS i) t
             GROUP BY 1, 2
           ) GROUP BY list_label
         ),
@@ -4383,6 +4498,12 @@ ORACLES: dict[str, str] = {
     "emb_ivf_persisted_topk": _ivf_topk_sql(),
     "emb_ivfpq_topk": _ivfpq_topk_sql(),
     "emb_ivfpq_persisted_topk": _ivfpq_topk_sql(),
+    # append path: coarse centroids average the BASE split only (the
+    # quantizer must not retrain on append); candidates + queries span
+    # the full corpus, exactly base-build + batch-encode-and-append
+    "emb_ivfpq_append_topk": _ivfpq_topk_sql(
+        cent_src="(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)"
+    ),
     "dedup_emb_cosine": _emb_cosine_pairs_sql(),
     "events_stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "events_stream_stateful": """
@@ -7597,6 +7718,7 @@ QUERIES = {
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_ivf_persisted_topk": q_emb_ivf_persisted_topk,
     "emb_ivfpq_topk": q_emb_ivfpq_topk,
+    "emb_ivfpq_append_topk": q_emb_ivfpq_append_topk,
     "emb_ivfpq_persisted_topk": q_emb_ivfpq_persisted_topk,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_cosine_topk_np": q_emb_cosine_topk_np,
