@@ -884,30 +884,69 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
             band_keys.append(
                 F.shiftleft(blocks[i], widths[j]).bitwiseOR(blocks[j]).cast("long")
             )
-    # materialize the signatures once — the self-join references them on
-    # both sides, and without lineage truncation the 32-aggregate
-    # simhash computation (the expensive part) would run twice.  The
-    # signature frame is (id, 8-byte hash): tiny next to the corpus.
+    # materialize the signatures once — three consumers below (distinct
+    # signatures, both expansion sides, the twins self-join) and without
+    # lineage truncation the 32-aggregate simhash computation (the
+    # expensive part) would run once per consumer.  The signature frame
+    # is (id, 8-byte hash): tiny next to the corpus.
     s = simhash(df, bits=bits, text_col=text_col, id_col=id_col).localCheckpoint()
-    wide = s.select(
-        F.col(id_col), F.col("simhash"),
+    # SIGNATURE COLLAPSE (round-9, the dedup_clusters round-8 insight
+    # pushed down to the pair enumeration itself): the signature is a
+    # pure function of the text, so clone groups share one signature
+    # and the doc-level band join pays |A|·|B| collisions per colliding
+    # band — near-identical groups collide in EVERY C(m,2) band, ~10×
+    # the (already Θ(Σ|A|·|B|)) verified-pair volume in raw join output
+    # before claiming filters it (measured ~257M intermediate rows for
+    # 25.7M pairs at sf1's ×10 tiling, the fence panel's most
+    # schedule-sensitive row).  Banding therefore runs over DISTINCT
+    # signatures only (duplication-independent, tiny), and the doc
+    # pairs come back via two narrow expansion joins:
+    #   - cross groups: a rep-level pair (sig_a ≠ sig_b, hamming ≥ 1)
+    #     expands through both membership sides, (least, greatest)
+    #     restoring the a_id < b_id order;
+    #   - within groups: same-signature docs are hamming-0 pairs — one
+    #     equi-self-join on the signature, id-ordered.
+    # Every unordered pair is emitted exactly once (one signature per
+    # doc → one rep pair or the twins leg, never both) and the Manku
+    # completeness argument applies unchanged at the signature level,
+    # so the output SET is identical — pinned by the ORACLE, which is
+    # the brute-force all-pairs scan (queries.q_dedup_simhash_pairs):
+    # parity proves zero recall loss for the collapse, not just for
+    # the banding.
+    sigs = s.select("simhash").distinct()
+    wide = sigs.select(
+        F.col("simhash"),
         *[k.alias(f"band_{bi}") for bi, k in enumerate(band_keys)],
     )
-    # exact twins collide in EVERY C(m,2) band — first-colliding-band
-    # claiming (band_collision_pairs) runs the bit_count verify once
-    # per pair instead of once per collision and drops the distinct
-    return (
+    rep_pairs = (
         band_collision_pairs(
-            wide, bands=len(band_keys), id_col=id_col, carry=("simhash",)
+            wide, bands=len(band_keys), id_col="simhash",
+            a_name="a_sig", b_name="b_sig",
         )
-        .select(
-            "a_id", "b_id",
-            F.bit_count(
-                F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))
-            ).alias("hamming"),
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    ma = s.select(F.col("simhash").alias("a_sig"), F.col(id_col).alias("_x"))
+    mb = s.select(F.col("simhash").alias("b_sig"), F.col(id_col).alias("_y"))
+    cross = rep_pairs.join(ma, "a_sig").join(mb, "b_sig").select(
+        F.least("_x", "_y").alias("a_id"),
+        F.greatest("_x", "_y").alias("b_id"),
+        "hamming",
+    )
+    sa, sb = s.alias("sa"), s.alias("sb")
+    twins = (
+        sa.join(sb, "simhash")
+        .filter(F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
+        .select(
+            F.col(f"sa.{id_col}").alias("a_id"),
+            F.col(f"sb.{id_col}").alias("b_id"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(twins)
 
 
 def simhash_clusters_collapsed(
