@@ -8196,3 +8196,79 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R8_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)},
 }
+
+
+# -- Round-9 driver window (round-8 verdict #1): exactly 50 entries.
+# (a) queries whose implementation was rewritten in round 8 but whose
+# newest driver hash is r7, pre-rewrite (the hard signal must postdate
+# the code it certifies): dedup_clusters (simhash_clusters_collapsed)
+# and orders_salted_join (merge-hint pin); (b) rewritten THIS round:
+# the two simhash pair enumerations (signature collapse + expansion);
+# (c) the three round-9 additions (first driver rows); (d) the five
+# r4-stale tpch rows the r8 window listed past its 50-row cutoff;
+# (e) 38 of the 41 queries whose newest hard signal is r5 —
+# orders_month_spine / orders_pipe_sql / orders_pivot_unpivot_sql
+# (single-shape SQL-frontend rows, unchanged since r3, continuously
+# pinned by test_oracle_parity) spill to round 10 to hold the 50.
+# After this sweep every catalog signal is r6+ except those three. --
+_R9_WINDOW = [
+    # (a) rewritten r8, signal still r7
+    "dedup_clusters",
+    "orders_salted_join",
+    # (b) rewritten r9: signature-collapse pair enumeration
+    "dedup_simhash_pairs",
+    "dedup_simhash64_pairs",
+    # (c) new in r9
+    "emb_ivfpq_recall_report",
+    "emb_ivfpq_append_topk",
+    "docs_stream_dedup_verified",
+    # (d) r4-stale tail
+    "tpch_q17_small_qty",
+    "tpch_q18_bigorders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess",
+    "tpch_q21_waiting",
+    # (e) r5-stale sweep (alphabetical)
+    "corpus_pack_sequences",
+    "corpus_profile",
+    "corpus_source_quota",
+    "corpus_temperature_sample",
+    "corpus_weighted_sample",
+    "dedup_incremental",
+    "dedup_lsh_recall_report",
+    "dedup_ngram_jaccard",
+    "dedup_semdedup",
+    "doc_bm25_topk",
+    "doc_dup_span_fraction",
+    "doc_string_funcs",
+    "docs_compaction",
+    "docs_schema_evolution",
+    "emb_ivf_recall_report",
+    "events_anomaly_mad",
+    "events_approx_stats",
+    "events_ewma",
+    "events_first_last_touch",
+    "events_hll_merge",
+    "events_incremental_agg",
+    "events_median_arrow",
+    "events_reach_curve",
+    "events_sessionize_dynamic",
+    "events_sketch_stats",
+    "events_stream_chained",
+    "events_stream_rocksdb",
+    "events_time_rollup",
+    "lineitem_equidepth_histogram",
+    "lineitem_zorder_pruning",
+    "mm_audio_windows",
+    "orders_bucketed_join",
+    "orders_capped_balance",
+    "part_pagerank",
+    "part_skyline",
+    "supplier_fuzzy_pairs",
+    "supplier_pareto",
+    "tsv_roundtrip",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R9_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)},
+}
