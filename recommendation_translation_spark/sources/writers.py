@@ -19,6 +19,7 @@ __all__ = [
     "write_jsonl",
     "write_orc",
     "compact_parquet",
+    "compact_partitioned_parquet",
     "merge_upsert_parquet",
     "read_current_version",
     "list_versions",
@@ -129,6 +130,69 @@ def compact_parquet(spark, path: str, target_file_mb: int = 128) -> dict:
         "files_before": len(files),
         "files_after": len(after),
         "bytes": int(total_bytes),
+    }
+
+
+def compact_partitioned_parquet(spark, path: str, partition_cols: list[str],
+                                files_per_partition: int = 1) -> dict:
+    """Small-files compaction for a PARTITIONED parquet table,
+    preserving the partition directory layout — the maintenance half
+    of the index-append story (:func:`compact_parquet` reads partition
+    columns back as data columns and writes one flat directory, which
+    would silently destroy the layout dynamic partition pruning needs).
+
+    Every additive append (e.g. the nightly batch landing inside the
+    IVFPQ codes table's list directories) leaves one file per
+    partition per writing task; after N appends a scan pays N× the
+    open/footer cost per directory.  This rewrites the table in ONE
+    Spark job: ``repartition(partition_cols [+ a bounded salt])``
+    routes each partition's rows to ``files_per_partition`` tasks, the
+    partitioned write re-creates the directory tree with exactly that
+    many files per leaf, and the same staging-directory + rename swap
+    as :func:`compact_parquet` keeps readers on the old or the new
+    tree, never a mix.  (On a real deployment this is Delta/Iceberg
+    OPTIMIZE; parquet-only needs the swap protocol.)
+
+    Returns {"files_before", "files_after", "partitions"}."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as _F
+
+    def _files(p):
+        return [
+            f for f in _glob.glob(_os.path.join(p, "**", "*.parquet"),
+                                  recursive=True)
+            if _os.path.isfile(f)
+        ]
+
+    before = _files(path)
+    df = spark.read.parquet(path)
+    keys = [_F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        # bounded salt: spreads a hot partition over k files without
+        # letting a task mix partition values into 1-row leaf files
+        keys.append(
+            _F.pmod(_F.xxhash64(*df.columns), _F.lit(files_per_partition))
+        )
+    staged = path.rstrip("/") + "._compact_tmp"
+    (
+        df.repartition(*keys)
+        .write.mode("errorifexists")
+        .partitionBy(*partition_cols)
+        .parquet(staged)
+    )
+    old = path.rstrip("/") + "._compact_old"
+    _os.rename(path, old)
+    _os.rename(staged, path)
+    _shutil.rmtree(old)
+    after = _files(path)
+    n_parts = len({_os.path.dirname(f) for f in after})
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "partitions": n_parts,
     }
 
 

@@ -1248,6 +1248,75 @@ def test_ivfpq_append_batch_encode_touches_only_batch(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_compact_partitioned_preserves_layout_and_dpp(spark):
+    """compact_partitioned_parquet (round-9, the maintenance half of
+    the index-append story): after additive appends leave several
+    files per partition directory, compaction must (a) shrink the file
+    count to files_per_partition per leaf, (b) PRESERVE the partition
+    directory tree — compact_parquet would read the partition column
+    back as data and write one flat dir, silently destroying the
+    layout — (c) keep the rows identical, and (d) leave the REAL
+    consumer working: the IVFPQ search over the compacted index still
+    plants its dynamic-pruning subquery and returns the identical
+    relation.  (A synthetic createDataFrame probe does NOT qualify for
+    DPP — the planner wants a selective filter on the build side — so
+    the consumer-level assertion is also the honest one.)"""
+    import json
+    import os
+    import tempfile
+
+    from recommendation_translation_spark.operators.similarity import (
+        assign_lists,
+        centroid_rows_literal,
+        centroids_from_manifest,
+        l2_norm,
+        pq_adc_rank,
+        pq_lut_expr,
+    )
+    from recommendation_translation_spark.queries import (
+        _align_partition_key,
+        _queries_frame,
+    )
+    from recommendation_translation_spark.sources.writers import (
+        compact_partitioned_parquet,
+    )
+
+    # the append query leaves a codes table with base + appended files
+    # per list directory — exactly the small-files state to compact
+    before_df = QUERIES["emb_ivfpq_append_topk"](spark, SF_SMALL)
+    rows_before = sorted(map(tuple, before_df.collect()))
+    d = os.path.join(
+        tempfile.gettempdir(), "spark_graft_runs",
+        f"ivfpq_append_index_{os.path.basename(SF_SMALL)}",
+    )
+    codes_path = os.path.join(d, "codes")
+    stats = compact_partitioned_parquet(spark, codes_path, ["list_label"])
+    assert stats["files_after"] < stats["files_before"], stats
+    assert stats["files_after"] == stats["partitions"], stats
+    assert any(
+        e.startswith("list_label=") for e in os.listdir(codes_path)
+    ), "partition directory tree lost"
+    # re-run the SEARCH half against the compacted index
+    with open(os.path.join(d, "index_manifest.json")) as f:
+        manifest = json.load(f)
+    cent_arr = centroid_rows_literal(centroids_from_manifest(manifest))
+    cb = manifest["codebooks"]
+    codes = spark.read.parquet(codes_path)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = _queries_frame(emb).select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    ).withColumn("nrm", l2_norm(F.col("qvec")))
+    q_lut = q.select("query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut"))
+    q_probe = assign_lists(q, cent_arr, "query_id", "qvec", 2).select(
+        "query_id", "list_label"
+    ).join(q_lut, "query_id")
+    q_probe = _align_partition_key(q_probe, codes, "list_label")
+    after_df = pq_adc_rank(codes, q_probe, 4, k_nn=5, on="list_label")
+    plan = physical_plan(after_df, mode="simple")
+    assert "dynamicpruning" in plan, plan
+    assert sorted(map(tuple, after_df.collect())) == rows_before
+
+
 def test_incremental_persisted_band_join_scans_index_not_text(spark):
     """The persisted-band incremental dedup (round-8) must get its
     candidate join's corpus side from the 3-column persisted band
