@@ -825,6 +825,11 @@ _SCALAR_FOLD_OK = {
     # broadcast-panel BNLJ; its codes-only scan contract has its own
     # dedicated test below
     "emb_pq_persisted_topk",
+    # round 9: the IVFPQ recall audit folds six legs of 1-row count
+    # scalars (the emb_ivf_recall_report shape) and its brute-force
+    # TRUTH leg is cosine_topk's bounded-panel non-equi broadcast —
+    # the same BNLJ as emb_cosine_topk
+    "emb_ivfpq_recall_report",
 }
 
 
@@ -1055,16 +1060,23 @@ def test_mad_outliers_facts_never_shuffle(spark):
 
 
 def test_simhash_pairs_no_pair_distinct(spark):
-    # first-colliding-band claiming (dedup.band_collision_pairs): each
-    # unordered pair is enumerated exactly once, so the pair stream
-    # needs NO distinct.  The signature aggregation is truncated behind
-    # a localCheckpoint, so the remaining physical plan (explode ->
-    # band self-join -> claim filter -> hamming project) must contain
-    # zero aggregates — a reappearing HashAggregate means someone
-    # reintroduced the distinct and with it the bands-fold duplicate
-    # verification work.
+    # first-colliding-band claiming (dedup.band_collision_pairs) plus
+    # the round-9 signature collapse: each unordered pair is emitted
+    # exactly once (claimed rep pair expanded through its clone groups,
+    # or the hamming-0 twins leg), so the PAIR stream needs no
+    # distinct.  The one aggregate the plan MAY contain is the
+    # signature-collapse distinct itself — keyed on the 8-byte simhash
+    # over the checkpointed signature frame, duplication-bounded, never
+    # pair-scale.  A HashAggregate keyed on pair ids means someone
+    # reintroduced the pair distinct and with it the bands-fold
+    # duplicate verification work.
     df = QUERIES["dedup_simhash_pairs"](spark, SF_SMALL)
-    assert "HashAggregate" not in physical_plan(df)
+    plan = physical_plan(df, mode="simple")
+    for ln in plan.splitlines():
+        if "HashAggregate" in ln:
+            assert "keys=[simhash" in ln, (
+                "pair-scale aggregate reintroduced:\n" + ln
+            )
 
 
 def test_emb_cosine_pairs_no_pair_distinct(spark):
