@@ -1329,6 +1329,42 @@ def test_compact_partitioned_preserves_layout_and_dpp(spark):
     assert sorted(map(tuple, after_df.collect())) == rows_before
 
 
+def test_compact_partitioned_salted_file_budget(spark, tmp_path):
+    """files_per_partition > 1: the bounded salt must spread each
+    partition over AT MOST that many files (a hot list directory can
+    need more than one target-size file) without mixing partition
+    values into stray 1-row leaves, and rows survive exactly."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.sources.writers import (
+        compact_partitioned_parquet,
+        write_parquet,
+    )
+
+    p = str(tmp_path / "tbl")
+    df = spark.range(0, 3000).select(
+        "id", (F.col("id") % 3).cast("int").alias("part")
+    )
+    for offset in (0, 3000, 6000):
+        write_parquet(
+            df.withColumn("id", F.col("id") + offset).repartition(6),
+            p, mode="append" if offset else "errorifexists",
+            partition_by=["part"],
+        )
+    rows_before = sorted(r.id for r in spark.read.parquet(p).collect())
+    stats = compact_partitioned_parquet(
+        spark, p, ["part"], files_per_partition=2
+    )
+    assert stats["files_after"] < stats["files_before"], stats
+    for d in sorted(e for e in os.listdir(p) if e.startswith("part=")):
+        n = len(glob.glob(os.path.join(p, d, "*.parquet")))
+        assert 1 <= n <= 2, (d, n)
+    assert sorted(r.id for r in spark.read.parquet(p).collect()) == rows_before
+
+
 def test_incremental_persisted_band_join_scans_index_not_text(spark):
     """The persisted-band incremental dedup (round-8) must get its
     candidate join's corpus side from the 3-column persisted band
