@@ -2747,6 +2747,128 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_rank(codes, q_probe, m, k_nn=k_nn, on="list_label")
 
 
+def q_emb_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search WITH REFINEMENT (Jégou et al. 2011 §V, "IVFADC+R"):
+    ADC ranks the code table to a short list of R=50 candidates per
+    query, then the EXACT cosine re-ranks only those 50 to the final
+    top-5.  This is the production answer to the quantizer's recall
+    ceiling that emb_ivfpq_recall_report measures honestly (ADC@5 at
+    m=4/k=16 sits at 10-20% recall; the refined short list recovers
+    most of it — measured in SCALE.md): the corpus-wide scan still
+    touches only the 4-int codes, and the raw vectors are fetched for
+    |Q|·R rows ONLY — the bounded random-access read every refine
+    stage pays, here a broadcast of the 4k-row short list onto the
+    vectors scan (never a corpus shuffle).
+
+    Fully deterministic (det codebooks, ADC ties broken by cand_id
+    before the cut), so the oracle reproduces the short list AND the
+    re-rank bit-for-bit — recall gained by refinement is hash-covered,
+    not estimated.  Output: (query_id, cand_id, cosine, rk ≤ 5)."""
+    from .operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+        pq_adc_rank,
+        pq_code_expr,
+        pq_det_codebooks,
+        pq_lut_expr,
+    )
+
+    m, r_short, k_nn = 4, 50, 5
+    cb = pq_det_codebooks(m=m)
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        pq_code_expr(_as_double("embedding"), cb).alias("code"),
+    )
+    q = _queries_frame(emb).select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    ).withColumn("qnrm", l2_norm(F.col("qvec")))
+    q_lut = q.select(
+        "query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut")
+    )
+    coarse = pq_adc_rank(cand, q_lut, m, k_nn=r_short).select(
+        "query_id", "cand_id"
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cvec")
+    ).withColumn("cnrm", l2_norm(F.col("cvec")))
+    refined = (
+        vecs.join(F.broadcast(coarse), "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                8,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        refined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_nn)
+        .select(
+            "query_id", "cand_id", "cosine",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def _pq_refine_topk_sql(k_nn: int = 5, r_short: int = 50, m: int = 4,
+                        k: int = 16, d_sub: int = 16, dim: int = 64) -> str:
+    """Refined-PQ oracle: the _pq_topk_sql code/ADC expressions cut a
+    deterministic R-candidate short list (ADC asc, cand_id tie-break),
+    the exact cosine re-ranks it."""
+    from .operators.similarity import pq_det_codebooks
+
+    cb = pq_det_codebooks(m=m, k=k, d_sub=d_sub)
+    code_cols = ", ".join(
+        f"{_pq_code_sql('embedding', s, cb, k, d_sub)} AS c{s}" for s in range(m)
+    )
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS cand_id, {code_cols} FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 {_norm_sql('embedding', dim)} AS qnorm
+          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
+        ),
+        coarse AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc, cand_id) AS rk
+            FROM (
+              SELECT q.query_id, c.cand_id,
+                     ROUND({_pq_adc_sql('qv', 'c', cb, m, k, d_sub)}, 6) AS adc
+              FROM q JOIN c ON cand_id <> query_id
+            )
+          ) WHERE rk <= {r_short}
+        ),
+        v AS (
+          SELECT vec_id AS cand_id, embedding AS cv,
+                 {_norm_sql('embedding', dim)} AS cnorm
+          FROM embeddings
+        ),
+        refined AS (
+          SELECT co.query_id, co.cand_id,
+                 ROUND({_dot_sql('qv', 'cv', dim)} / (qnorm * cnorm), 8) AS cosine
+          FROM coarse co
+          JOIN v ON v.cand_id = co.cand_id
+          JOIN q ON q.query_id = co.query_id
+        )
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+        FROM refined QUALIFY rk <= {k_nn}
+    """
+
+
 def q_emb_ivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index APPEND for the persisted IVFPQ path (round-8 verdict #5):
     a NEW embedding batch is encoded against the PERSISTED manifest and
@@ -4492,6 +4614,7 @@ ORACLES: dict[str, str] = {
     # persisted-index search: same relation as the in-flight PQ search
     # (the sink round-trip and manifest reload must be value-invisible)
     "emb_pq_persisted_topk": _pq_topk_sql(),
+    "emb_pq_refine_topk": _pq_refine_topk_sql(),
     "emb_cosine_topk_np": _cosine_topk_sql(decimals=4),
     "emb_ann_lsh": _ann_lsh_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
@@ -7849,6 +7972,7 @@ QUERIES = {
     "emb_ivf_persisted_topk": q_emb_ivf_persisted_topk,
     "emb_ivfpq_topk": q_emb_ivfpq_topk,
     "emb_ivfpq_append_topk": q_emb_ivfpq_append_topk,
+    "emb_pq_refine_topk": q_emb_pq_refine_topk,
     "emb_ivfpq_persisted_topk": q_emb_ivfpq_persisted_topk,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_cosine_topk_np": q_emb_cosine_topk_np,
@@ -8222,6 +8346,7 @@ _R9_WINDOW = [
     "emb_ivfpq_recall_report",
     "emb_ivfpq_append_topk",
     "docs_stream_dedup_verified",
+    "emb_pq_refine_topk",
     # (d) r4-stale tail
     "tpch_q17_small_qty",
     "tpch_q18_bigorders",
@@ -8266,7 +8391,9 @@ _R9_WINDOW = [
     "part_skyline",
     "supplier_fuzzy_pairs",
     "supplier_pareto",
-    "tsv_roundtrip",
+    # tsv_roundtrip spills to round 10 for the late emb_pq_refine_topk
+    # addition (new rows need their first signal; the fixture round
+    # trip is r5-green, unchanged, and pinned by oracle parity)
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_WINDOW},

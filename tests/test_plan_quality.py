@@ -830,6 +830,10 @@ _SCALAR_FOLD_OK = {
     # TRUTH leg is cosine_topk's bounded-panel non-equi broadcast —
     # the same BNLJ as emb_cosine_topk
     "emb_ivfpq_recall_report",
+    # round 9: the refine stage's COARSE pass is the emb_pq_topk
+    # broadcast-panel BNLJ; the refine joins themselves are broadcast
+    # equi-joins of the bounded |Q|*R short list
+    "emb_pq_refine_topk",
 }
 
 
