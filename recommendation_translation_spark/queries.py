@@ -2818,6 +2818,165 @@ def q_emb_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pq_refine_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refinement WIN, hash-covered: recall@5 of raw ADC vs the
+    R=50-refined search against brute-force truth, ONE row — so the
+    claim 'refinement recovers the quantizer's recall' is a driver-hash
+    fact, not SCALE.md prose.  Everything is deterministic, so the
+    oracle recomputes all five numbers exactly.
+
+    One corpus pass serves both legs: the codes are encoded once, the
+    ADC ranking is cut at R=50 (checkpointed), ADC@5 is the HEAD of
+    that same ranked frame (rk ≤ 5 — by construction the top-5 of a
+    top-50 cut), and the refined leg exact-cosine-re-ranks the 50.
+    Same cost discipline as the other recall audits; at 100 TB this
+    runs on a query sample while production serves the refined path."""
+    from .operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+        pq_adc_rank,
+        pq_code_expr,
+        pq_det_codebooks,
+        pq_lut_expr,
+    )
+
+    m, r_short, k_nn = 4, 50, 5
+    cb = pq_det_codebooks(m=m)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_frame(emb).select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    ).withColumn("qnrm", l2_norm(F.col("qvec")))
+    truth = (
+        cosine_topk(emb, _queries_frame(emb), k=k_nn)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        pq_code_expr(_as_double("embedding"), cb).alias("code"),
+    )
+    q_lut = q.select("query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut"))
+    short = pq_adc_rank(cand, q_lut, m, k_nn=r_short).localCheckpoint(
+        eager=False
+    )
+    adc5 = short.filter(F.col("rk") <= k_nn).select("query_id", "cand_id")
+    vecs = emb.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cvec")
+    ).withColumn("cnrm", l2_norm(F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    refined5 = (
+        vecs.join(F.broadcast(short.select("query_id", "cand_id")), "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                8,
+            ),
+        )
+        .withColumn("rrk", F.row_number().over(w))
+        .filter(F.col("rrk") <= k_nn)
+        .select("query_id", "cand_id")
+    )
+    s_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    s_a = truth.join(adc5, ["query_id", "cand_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit_adc")
+    )
+    s_r = truth.join(refined5, ["query_id", "cand_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit_refined")
+    )
+    return (
+        s_t.crossJoin(F.broadcast(s_a))
+        .crossJoin(F.broadcast(s_r))
+        .select(
+            "n_truth",
+            "n_hit_adc",
+            F.round(F.col("n_hit_adc") / F.col("n_truth"), 6).alias(
+                "recall_adc_at_5"
+            ),
+            "n_hit_refined",
+            F.round(F.col("n_hit_refined") / F.col("n_truth"), 6).alias(
+                "recall_refined_at_5"
+            ),
+        )
+    )
+
+
+def _pq_refine_recall_sql(k_nn: int = 5, r_short: int = 50, m: int = 4,
+                          k: int = 16, d_sub: int = 16, dim: int = 64) -> str:
+    """Exact oracle for the refinement recall row: the
+    _pq_refine_topk_sql CTEs widened to keep the ADC rank, plus truth
+    and three count legs."""
+    from .operators.similarity import pq_det_codebooks
+
+    cb = pq_det_codebooks(m=m, k=k, d_sub=d_sub)
+    code_cols = ", ".join(
+        f"{_pq_code_sql('embedding', s, cb, k, d_sub)} AS c{s}" for s in range(m)
+    )
+    # outer CTE names deliberately avoid `c`/`q`: the nested
+    # _cosine_topk_sql defines its own WITH c/q, and DuckDB binds a
+    # same-named MATERIALIZED outer CTE in preference to the inner
+    # definition (observed: `cv` resolving against the codes table)
+    return f"""
+        WITH codes_t AS MATERIALIZED (
+          SELECT vec_id AS cand_id, {code_cols} FROM embeddings
+        ),
+        qpanel AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 {_norm_sql('embedding', dim)} AS qnorm
+          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
+        ),
+        short AS MATERIALIZED (
+          SELECT query_id, cand_id, rk FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc, cand_id) AS rk
+            FROM (
+              SELECT qpanel.query_id, codes_t.cand_id,
+                     ROUND({_pq_adc_sql('qv', 'c', cb, m, k, d_sub)}, 6) AS adc
+              FROM qpanel JOIN codes_t ON cand_id <> query_id
+            )
+          ) WHERE rk <= {r_short}
+        ),
+        adc5 AS (SELECT query_id, cand_id FROM short WHERE rk <= {k_nn}),
+        vtab AS (
+          SELECT vec_id AS cand_id, embedding AS cvv,
+                 {_norm_sql('embedding', dim)} AS cnorm
+          FROM embeddings
+        ),
+        refined5 AS (
+          SELECT query_id, cand_id FROM (
+            SELECT s.query_id, s.cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                      ORDER BY cosine DESC, s.cand_id) AS rrk
+            FROM (
+              SELECT s.query_id, s.cand_id,
+                     ROUND({_dot_sql('qv', 'cvv', dim)} / (qnorm * cnorm), 8) AS cosine
+              FROM short s
+              JOIN vtab ON vtab.cand_id = s.cand_id
+              JOIN qpanel ON qpanel.query_id = s.query_id
+            ) s
+          ) WHERE rrk <= {k_nn}
+        ),
+        truth AS MATERIALIZED (SELECT query_id, cand_id FROM ({_cosine_topk_sql()}) t)
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM truth t JOIN adc5 a
+                 ON t.query_id = a.query_id AND t.cand_id = a.cand_id) AS n_hit_adc,
+               ROUND((SELECT COUNT(*) FROM truth t JOIN adc5 a
+                       ON t.query_id = a.query_id AND t.cand_id = a.cand_id)
+                     / (SELECT COUNT(*) FROM truth)::DOUBLE, 6) AS recall_adc_at_5,
+               (SELECT COUNT(*) FROM truth t JOIN refined5 r
+                 ON t.query_id = r.query_id AND t.cand_id = r.cand_id) AS n_hit_refined,
+               ROUND((SELECT COUNT(*) FROM truth t JOIN refined5 r
+                       ON t.query_id = r.query_id AND t.cand_id = r.cand_id)
+                     / (SELECT COUNT(*) FROM truth)::DOUBLE, 6) AS recall_refined_at_5
+    """
+
+
 def _pq_refine_topk_sql(k_nn: int = 5, r_short: int = 50, m: int = 4,
                         k: int = 16, d_sub: int = 16, dim: int = 64) -> str:
     """Refined-PQ oracle: the _pq_topk_sql code/ADC expressions cut a
@@ -4615,6 +4774,7 @@ ORACLES: dict[str, str] = {
     # (the sink round-trip and manifest reload must be value-invisible)
     "emb_pq_persisted_topk": _pq_topk_sql(),
     "emb_pq_refine_topk": _pq_refine_topk_sql(),
+    "emb_pq_refine_recall_report": _pq_refine_recall_sql(),
     "emb_cosine_topk_np": _cosine_topk_sql(decimals=4),
     "emb_ann_lsh": _ann_lsh_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
@@ -7973,6 +8133,7 @@ QUERIES = {
     "emb_ivfpq_topk": q_emb_ivfpq_topk,
     "emb_ivfpq_append_topk": q_emb_ivfpq_append_topk,
     "emb_pq_refine_topk": q_emb_pq_refine_topk,
+    "emb_pq_refine_recall_report": q_emb_pq_refine_recall_report,
     "emb_ivfpq_persisted_topk": q_emb_ivfpq_persisted_topk,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_cosine_topk_np": q_emb_cosine_topk_np,
@@ -8347,6 +8508,7 @@ _R9_WINDOW = [
     "emb_ivfpq_append_topk",
     "docs_stream_dedup_verified",
     "emb_pq_refine_topk",
+    "emb_pq_refine_recall_report",
     # (d) r4-stale tail
     "tpch_q17_small_qty",
     "tpch_q18_bigorders",
@@ -8390,10 +8552,9 @@ _R9_WINDOW = [
     "part_pagerank",
     "part_skyline",
     "supplier_fuzzy_pairs",
-    "supplier_pareto",
-    # tsv_roundtrip spills to round 10 for the late emb_pq_refine_topk
-    # addition (new rows need their first signal; the fixture round
-    # trip is r5-green, unchanged, and pinned by oracle parity)
+    # supplier_pareto and tsv_roundtrip spill to round 10 for the late emb_pq_refine_topk
+    # additions (new rows need their first signal; both spilled rows
+    # are r5-green, unchanged, and pinned by oracle parity)
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_WINDOW},

@@ -834,6 +834,8 @@ _SCALAR_FOLD_OK = {
     # broadcast-panel BNLJ; the refine joins themselves are broadcast
     # equi-joins of the bounded |Q|*R short list
     "emb_pq_refine_topk",
+    # ... and its recall report folds three 1-row count scalars on top
+    "emb_pq_refine_recall_report",
 }
 
 
