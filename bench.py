@@ -254,37 +254,54 @@ def main() -> int:
             separators=(",", ":"),
         )
     )
-    base = _baseline_map()
-    ratios = {
-        k: round(v / base[k], 3)
-        for k, v in timings.items()
-        if v > 0 and base.get(k)
+    # The baseline comparison is only meaningful for the run the
+    # anchors were recorded for: full catalog at sf0.1 under the
+    # quiet-host protocol.  A scale-sweep (BENCH_ONCE at another SF)
+    # or a subset run would otherwise report a wall of false over-2x
+    # flags (sf1 timings divided by sf0.1 anchors), and the sidecar
+    # pointer would advertise a full map the run deliberately did not
+    # write.
+    full_sf01_run = (
+        not only
+        and sf == 0.1
+        and os.environ.get("SPARK_GRAFT_BENCH_ONCE") != "1"
+    )
+    summary = {
+        "metric": "sum_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "schema_version": 3,
+        "summary_line": True,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+        "loop_wall_sec": loop_wall,
+        "n_remeasured": len(reruns),
     }
-    over_2x = sorted(k for k, r in ratios.items() if r > 2.0)
-    worst = max(ratios, key=ratios.get) if ratios else None
-    print(
-        json.dumps(
+    if full_sf01_run:
+        base = _baseline_map()
+        ratios = {
+            k: round(v / base[k], 3)
+            for k, v in timings.items()
+            if v > 0 and base.get(k)
+        }
+        over_2x = sorted(k for k, r in ratios.items() if r > 2.0)
+        worst = max(ratios, key=ratios.get) if ratios else None
+        summary.update(
             {
-                "metric": "sum_query_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "schema_version": 3,
-                "summary_line": True,
-                "n_queries": len(timings),
-                "n_failed": sum(1 for v in timings.values() if v < 0),
-                "loop_wall_sec": loop_wall,
-                "n_remeasured": len(reruns),
                 "n_with_baseline": len(ratios),
                 "max_vs_baseline": ratios.get(worst),
                 "max_vs_baseline_query": worst,
                 "n_over_2x": len(over_2x),
                 "over_2x": over_2x[:10],
                 "full_map": "BENCH_QUERIES.json",
-            },
-            separators=(",", ":"),
+            }
         )
-    )
+    else:
+        summary["baseline_comparison"] = (
+            "skipped: anchors are full-catalog sf0.1 quiet-host runs"
+        )
+    print(json.dumps(summary, separators=(",", ":")))
     return 0
 
 

@@ -8489,13 +8489,18 @@ QUERIES = {
 # the code it certifies): dedup_clusters (simhash_clusters_collapsed)
 # and orders_salted_join (merge-hint pin); (b) rewritten THIS round:
 # the two simhash pair enumerations (signature collapse + expansion);
-# (c) the three round-9 additions (first driver rows); (d) the five
-# r4-stale tpch rows the r8 window listed past its 50-row cutoff;
-# (e) 38 of the 41 queries whose newest hard signal is r5 —
+# (c) the FIVE round-9 additions (first driver rows): the IVFPQ recall
+# grid, the index-append path, the verified streaming gate, and the
+# two late refine rows; (d) the five r4-stale tpch rows the r8 window
+# listed past its 50-row cutoff; (e) 36 of the 41 queries whose
+# newest hard signal is r5 — FIVE spill to round 10 to hold the 50:
 # orders_month_spine / orders_pipe_sql / orders_pivot_unpivot_sql
-# (single-shape SQL-frontend rows, unchanged since r3, continuously
-# pinned by test_oracle_parity) spill to round 10 to hold the 50.
-# After this sweep every catalog signal is r6+ except those three. --
+# (single-shape SQL-frontend rows, unchanged since r3) plus
+# supplier_pareto and tsv_roundtrip (bumped for the two late refine
+# additions; see the trailing note in the list).  All five are
+# continuously pinned by test_oracle_parity.  After this sweep every
+# catalog signal is r6+ except those five — sweep them FIRST in the
+# round-10 window. --
 _R9_WINDOW = [
     # (a) rewritten r8, signal still r7
     "dedup_clusters",

@@ -168,21 +168,36 @@ def compact_partitioned_parquet(spark, path: str, partition_cols: list[str],
         ]
 
     before = _files(path)
-    df = spark.read.parquet(path)
-    keys = [_F.col(c) for c in partition_cols]
-    if files_per_partition > 1:
-        # bounded salt: spreads a hot partition over k files without
-        # letting a task mix partition values into 1-row leaf files
-        keys.append(
-            _F.pmod(_F.xxhash64(*df.columns), _F.lit(files_per_partition))
+    # partition VALUES must survive verbatim: with type inference on
+    # (the default), a string partition like batch_id='0123' or a
+    # date-shaped one reads back as int/date and the rewrite would
+    # RENAME its directory (batch_id=123) and retype the column.
+    # Disabling inference for this read keeps the directory text
+    # exactly as written; post-compaction readers re-infer from the
+    # identical text, so their view is unchanged.  The conf is
+    # restored on every path — it is read at scan planning, which the
+    # write below triggers inside the try.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        keys = [_F.col(c) for c in partition_cols]
+        if files_per_partition > 1:
+            # bounded salt: spreads a hot partition over k files without
+            # letting a task mix partition values into 1-row leaf files
+            keys.append(
+                _F.pmod(_F.xxhash64(*df.columns), _F.lit(files_per_partition))
+            )
+        staged = path.rstrip("/") + "._compact_tmp"
+        (
+            df.repartition(*keys)
+            .write.mode("errorifexists")
+            .partitionBy(*partition_cols)
+            .parquet(staged)
         )
-    staged = path.rstrip("/") + "._compact_tmp"
-    (
-        df.repartition(*keys)
-        .write.mode("errorifexists")
-        .partitionBy(*partition_cols)
-        .parquet(staged)
-    )
+    finally:
+        spark.conf.set(infer_key, prev_infer)
     old = path.rstrip("/") + "._compact_old"
     _os.rename(path, old)
     _os.rename(staged, path)

@@ -1371,6 +1371,45 @@ def test_compact_partitioned_salted_file_budget(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(p).collect()) == rows_before
 
 
+def test_compact_partitioned_preserves_string_partition_values(spark, tmp_path):
+    """Partition VALUES must survive compaction verbatim: a string
+    partition that PARSES as a number ('0123') must not be retyped and
+    its directory renamed (batch_id=123) by the rewrite's read-back —
+    that would silently break every reader filtering on the original
+    string (the round-9 review's failure case)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.sources.writers import (
+        compact_partitioned_parquet,
+        write_parquet,
+    )
+
+    p = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit("0123"))
+        .otherwise(F.lit("2024-01-01"))
+        .alias("batch_id"),
+    )
+    write_parquet(df.repartition(3), p, partition_by=["batch_id"])
+    write_parquet(
+        df.withColumn("id", F.col("id") + 100).repartition(3),
+        p, mode="append", partition_by=["batch_id"],
+    )
+    compact_partitioned_parquet(spark, p, ["batch_id"])
+    dirs = sorted(e for e in os.listdir(p) if e.startswith("batch_id="))
+    assert dirs == ["batch_id=0123", "batch_id=2024-01-01"], dirs
+    # readers filtering on the original string values still see them
+    after = spark.read.parquet(p)
+    assert after.filter(F.col("batch_id") == "0123").count() == 100
+    # the inference conf was restored
+    assert spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled"
+    ) == "true"
+
+
 def test_incremental_persisted_band_join_scans_index_not_text(spark):
     """The persisted-band incremental dedup (round-8) must get its
     candidate join's corpus side from the 3-column persisted band
