@@ -306,14 +306,28 @@ def main() -> int:
 
 
 def _baseline_map() -> dict[str, float]:
-    """Per-query BASELINE.md anchors: every ``| name | sec | ...``
-    table row, FIRST occurrence winning (the anchor is the first
-    recorded run; later tables re-list queries informationally)."""
+    """Per-query BASELINE.md anchors: ``| name | sec | ...`` rows from
+    the anchor tables ONLY — tables whose header row is
+    ``| query | sec (sf0.1) | ...`` — FIRST occurrence winning (the
+    anchor is the first recorded run; later tables re-list queries
+    informationally).  Scoping to the anchor header (round-9 ADVICE
+    #2) keeps a future non-anchor table (sf1 fence rows, published
+    reference numbers, notes) from shadowing an anchor: parsing stops
+    at the next markdown heading after each anchor table."""
     out: dict[str, float] = {}
+    in_anchor = False
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BASELINE.md")) as fh:
             for line in fh:
+                if line.startswith("#"):
+                    in_anchor = False
+                    continue
+                if re.match(r"\|\s*query\s*\|\s*sec \(sf0\.1\)\s*\|", line):
+                    in_anchor = True
+                    continue
+                if not in_anchor:
+                    continue
                 m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
                 if m and m.group(1) not in out:
                     try:

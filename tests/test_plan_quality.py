@@ -9,6 +9,7 @@ when sf0.01 results still match.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from recommendation_translation_spark.plans.checks import (
@@ -1193,6 +1194,7 @@ def test_ivfpq_persisted_search_prunes_and_scans_codes(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+@pytest.mark.xdist_group("ivfpq_append_index")
 def test_ivfpq_append_search_scans_base_and_appended_codes(spark):
     """The append path (round-9): after BUILD(base) + APPEND(batch),
     the search must (a) keep both persisted-index levers — DPP on the
@@ -1266,9 +1268,16 @@ def test_ivfpq_append_batch_encode_touches_only_batch(spark):
     assert "Exchange" not in plan, plan
 
 
+@pytest.mark.xdist_group("ivfpq_append_index")
 def test_compact_partitioned_preserves_layout_and_dpp(spark):
     """compact_partitioned_parquet (round-9, the maintenance half of
-    the index-append story): after additive appends leave several
+    the index-append story) — same xdist group as the append-path plan
+    test: both reconstruct q_emb_ivfpq_append_topk's shared run dir by
+    naming convention, so under parallel workers one test's _run_dir
+    wipe or compaction could race the other's read (round-9 ADVICE
+    #3).
+
+    After additive appends leave several
     files per partition directory, compaction must (a) shrink the file
     count to files_per_partition per leaf, (b) PRESERVE the partition
     directory tree — compact_parquet would read the partition column

@@ -64,6 +64,7 @@ def main() -> int:
     loadavg: dict[str, float] = {}
     violations: list[str] = []
     reruns: list[str] = []
+    rerun_failures: dict[str, int] = {}
     # Same ordering rule as bench.py: ml_train_rmse runs BEFORE the
     # other ml_* rows so the shared one-time training cost lands on the
     # training row — in plain sorted order ml_als_recs/ml_cv_tuning
@@ -112,6 +113,13 @@ def main() -> int:
             # contended closing run's burst outlasted the immediate
             # retry — best-of-2 back-to-back samples the same burst).
             # Each re-run records its own start loadavg (min wins).
+            # Per-attempt outcomes are recorded (round-9 ADVICE #4):
+            # "remeasured" lists only queries with ≥1 SUCCESSFUL
+            # re-run; an attempt that raises lands in
+            # "remeasure_failed" instead, so the artifact never claims
+            # a hardened measurement it didn't get.
+            ok_reruns = 0
+            failed_reruns = 0
             for backoff in (0.0, 10.0):
                 if t <= 2.0 * ref and backoff:
                     break
@@ -129,11 +137,16 @@ def main() -> int:
                     fn(spark, sf_dir).count()
                     t2 = round(time.perf_counter() - t1, 2)
                 except Exception:
+                    failed_reruns += 1
                     continue
+                ok_reruns += 1
                 if t2 < t:
                     t = t2
                     loadavg[name] = la
-            reruns.append(name)
+            if ok_reruns:
+                reruns.append(name)
+            if failed_reruns:
+                rerun_failures[name] = failed_reruns
         timings[name] = t
         status = "VIOLATION" if t > 2.0 * ref else "ok"
         if status == "VIOLATION":
@@ -147,6 +160,7 @@ def main() -> int:
         "queries": timings,
         "loadavg_1min": loadavg,
         "remeasured": sorted(reruns),
+        "remeasure_failed": rerun_failures,
         "violations_2x": sorted(violations),
     }
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as fh:
