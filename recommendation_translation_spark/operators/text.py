@@ -27,6 +27,8 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "LANG_MARKERS",
+    "BPE_MERGES",
+    "bpe_piece_count",
 ]
 
 # BPE-ish chunking: runs of alphanumerics or single non-space symbols.
@@ -45,6 +47,81 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws if w.isascii()})
+
+# ---------------------------------------------------------------------------
+# Deterministic BPE piece counting (round-9 verdict #7)
+# ---------------------------------------------------------------------------
+# A REAL byte-pair-encoding merge table, applied exactly: each rule
+# rewrites one adjacent token pair into a single private-use-area
+# symbol, in fixed priority order, full-pass leftmost-first — which is
+# `replace()` semantics in both Spark (F.replace) and DuckDB.  Because
+# every token (original char or earlier merge's symbol) occupies
+# exactly ONE character in the working string, an adjacent token pair
+# is exactly a 2-char substring, so the replace chain IS the BPE merge
+# loop — cascades included (rule 2 consumes rule 1's symbol to form
+# "the").  Whitespace characters appear in no pair, so they block
+# merges exactly like BPE pretokenization word boundaries, and are
+# dropped before the final count (a piece is any residual character:
+# letters, digits, punctuation, or a merge symbol).
+#
+# Piece counts from this table are what an LLM-data pipeline budgets
+# with: n_pieces = n_chars - n_merges_applied, typically 1.2-1.5×
+# the whitespace word count on English text — the drift that flips
+# quota and packing decisions if a pipeline budgets in words.  The
+# table is FIXED (versioned with the code, like a tokenizer's
+# merges.txt), so every count is deterministic and the DuckDB oracle
+# reproduces it bit-for-bit from the same table.
+_BPE_SYM = [chr(0xE000 + i) for i in range(32)]
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    # (pair, symbol) in priority order; pairs may reference earlier
+    # symbols (cascade), never whitespace.
+    ("th", _BPE_SYM[0]),
+    (_BPE_SYM[0] + "e", _BPE_SYM[1]),   # the
+    ("in", _BPE_SYM[2]),
+    ("an", _BPE_SYM[3]),
+    ("on", _BPE_SYM[4]),
+    ("er", _BPE_SYM[5]),
+    ("re", _BPE_SYM[6]),
+    (_BPE_SYM[3] + "d", _BPE_SYM[7]),   # and
+    ("en", _BPE_SYM[8]),
+    ("ti", _BPE_SYM[9]),
+    (_BPE_SYM[9] + _BPE_SYM[4], _BPE_SYM[10]),  # ti+on = tion
+    ("or", _BPE_SYM[11]),
+    ("es", _BPE_SYM[12]),
+    ("st", _BPE_SYM[13]),
+    ("ar", _BPE_SYM[14]),
+    ("ou", _BPE_SYM[15]),
+    ("of", _BPE_SYM[16]),
+    ("to", _BPE_SYM[17]),
+    ("is", _BPE_SYM[18]),
+    ("it", _BPE_SYM[19]),
+    ("al", _BPE_SYM[20]),
+    ("ed", _BPE_SYM[21]),
+    (_BPE_SYM[2] + "g", _BPE_SYM[22]),  # in+g = ing
+    ("le", _BPE_SYM[23]),
+    ("at", _BPE_SYM[24]),
+    ("se", _BPE_SYM[25]),
+    ("nt", _BPE_SYM[26]),
+    ("me", _BPE_SYM[27]),
+    ("de", _BPE_SYM[28]),
+    ("co", _BPE_SYM[29]),
+    ("ll", _BPE_SYM[30]),
+    (_BPE_SYM[5] + "s", _BPE_SYM[31]),  # er+s = ers
+)
+
+#: Whitespace characters dropped before the piece count (translate —
+#: no regex pass; the same literal set on both engines).
+BPE_WHITESPACE = " \t\n\r\x0b\x0c"
+
+
+def bpe_piece_count(text: Column | str) -> Column:
+    """Exact BPE piece count of ``text`` under :data:`BPE_MERGES` —
+    pure JVM expressions (lower → literal replace chain → translate →
+    length), no UDF, fully inside whole-stage codegen."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    for pair, sym in BPE_MERGES:
+        c = F.replace(c, F.lit(pair), F.lit(sym))
+    return F.length(F.translate(c, BPE_WHITESPACE, ""))
 
 
 def cross_engine_hash(col: Column | str, seed: str = "") -> Column:
@@ -141,10 +218,16 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return out
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic document quality in [0, 1] from length, punctuation
     ratio, stopword ratio, and mean token length — the standard cheap
-    pre-filters of a training-data pipeline."""
+    pre-filters of a training-data pipeline.
+
+    ``keep_cols`` names extra columns of ``df`` to carry through the
+    projection (e.g. a precomputed BPE piece count), so a caller that
+    needs quality + another text-derived column pays ONE corpus scan
+    instead of a self-join on the id."""
     t = F.col(text_col)
     toks = tokens(t)
     n_tokens = F.size(toks)
@@ -162,6 +245,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_tokens.alias("n_tokens"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),

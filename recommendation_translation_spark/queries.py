@@ -568,6 +568,39 @@ def _queries_frame(emb: DataFrame) -> DataFrame:
     )
 
 
+#: Target sub-corpus size for the SAMPLED recall audits (round-9
+#: verdict #3).  At or below this many vectors the sample modulus is 1
+#: — the sampled audit IS the exact audit, so every driver/bench hash
+#: is bit-identical to the exact form's discipline; beyond it the
+#: audit corpus stays bounded at ~this size, which caps the
+#: brute-force truth leg (the only ∝N cost the exact audits carry).
+_AUDIT_SAMPLE_TARGET = 20_000
+
+
+def _audit_sample_modulus(sf_dir: str) -> int:
+    """Deterministic corpus-sample modulus s = ceil(n / target): the
+    audit sub-corpus is ``vec_id % s == 0``.  n comes from parquet
+    FOOTER metadata (sources.readers.table_row_count — no Spark job at
+    plan build, the dedup_emb_cosine discipline), and the DuckDB
+    oracle recomputes the identical s from COUNT(*) in SQL, so the
+    sample membership — hence every audited number — is bit-identical
+    across engines at any scale factor."""
+    from .sources.readers import table_row_count
+
+    n = table_row_count(sf_dir, "embeddings")
+    return max(1, -(-n // _AUDIT_SAMPLE_TARGET))
+
+
+def _audit_sample_cte(src: str = "embeddings") -> str:
+    """The oracle-side twin of :func:`_audit_sample_modulus`: a CTE
+    body selecting the deterministic audit sub-corpus."""
+    return (
+        f"SELECT * FROM {src} WHERE vec_id % (SELECT GREATEST(CAST("
+        f"CEIL(COUNT(*) / {_AUDIT_SAMPLE_TARGET}.0) AS BIGINT), 1) "
+        f"FROM {src}) = 0"
+    )
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, _queries_frame(emb), k=5)
@@ -1021,6 +1054,40 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = token_budget_sample(q, budget_tokens=100_000)
     return sel.select(
         "doc_id", "n_tokens", "quality", F.col("running_tokens").cast("long").alias("running_tokens")
+    )
+
+
+def q_corpus_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a global TOKENIZER-FAITHFUL
+    budget (round-9 verdict #7): the budget counts exact BPE pieces
+    under the fixed merge table (operators.text.BPE_MERGES), not
+    whitespace words — the unit an LLM training pipeline actually
+    budgets in, where the ~1.2-1.5× piece-to-word drift flips keep/cut
+    decisions near the boundary.  Same selection mechanism as
+    corpus_token_budget (two-pass range-partitioned running sum, no
+    SinglePartition window), with the piece count computed in the SAME
+    corpus scan as the quality score (quality_score keep_cols — no
+    id self-join), and the piece counter itself pure JVM expressions:
+    lower → 33-rule literal replace chain → translate → length, every
+    rule a real BPE merge (pair of tokens → one private-use symbol,
+    cascades included).  The oracle replays the identical chain in
+    DuckDB, so every count — and therefore the keep set — is
+    bit-exact."""
+    from .operators.text import bpe_piece_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_bpe_pieces", bpe_piece_count("text").cast("long")
+    )
+    q = quality_score(docs, keep_cols=("n_bpe_pieces",))
+    sel = token_budget_sample(
+        q, budget_tokens=50_000, tokens_col="n_bpe_pieces"
+    )
+    return sel.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_bpe_pieces",
+        "quality",
+        F.col("running_tokens").cast("long").alias("running_pieces"),
     )
 
 
@@ -2906,6 +2973,200 @@ def q_emb_pq_refine_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: Short-list sizes for the refinement R-sweep: 50 is the production
+#: emb_pq_refine_topk setting; 200 is the "size R with the corpus"
+#: operating point (round-9 verdict #4 — recall@5 at fixed R=50 drops
+#: 0.46 → 0.225 as the corpus grows 10×, so the production dial R ∝
+#: corpus/k needs a second measured, hash-checked point).
+_REFINE_R_GRID = (50, 200)
+
+
+def q_emb_pq_refine_r_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refinement DIAL, measured: recall@5 of the ADC+exact-re-rank
+    search at every short-list size R in the sweep grid — one row per
+    R with the raw-ADC leg carried for reference — so the production
+    guidance "size R with the corpus" rests on hash-checked numbers at
+    two operating points, not one fixed constant (round-9 verdict #4).
+
+    Cost discipline: ONE code-table ADC ranking cut at max(R)
+    (checkpointed), each R leg is a filter (rk ≤ R) + exact re-rank of
+    |Q|·R broadcast-fetched raw vectors; truth is computed once.  The
+    whole audit runs on the deterministic bounded sub-corpus of
+    :func:`_audit_sample_modulus` — inert (s=1, bit-exact full audit)
+    at every driver/bench SF, capped at ~20k vectors beyond sf1 so the
+    row's cost stops growing with the corpus (the round-9 verdict #3
+    posture, measured in SCALE.md)."""
+    from .operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+        pq_adc_rank,
+        pq_code_expr,
+        pq_det_codebooks,
+        pq_lut_expr,
+    )
+
+    m, k_nn = 4, 5
+    r_max = max(_REFINE_R_GRID)
+    cb = pq_det_codebooks(m=m)
+    s = _audit_sample_modulus(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % s == 0)
+    q = _queries_frame(emb).select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    ).withColumn("qnrm", l2_norm(F.col("qvec")))
+    truth = (
+        cosine_topk(emb, _queries_frame(emb), k=k_nn)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        pq_code_expr(_as_double("embedding"), cb).alias("code"),
+    )
+    q_lut = q.select("query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut"))
+    short = pq_adc_rank(cand, q_lut, m, k_nn=r_max).localCheckpoint(
+        eager=False
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cvec")
+    ).withColumn("cnrm", l2_norm(F.col("cvec")))
+    s_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    adc5 = short.filter(F.col("rk") <= k_nn).select("query_id", "cand_id")
+    s_a = truth.join(adc5, ["query_id", "cand_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit_adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    legs = []
+    for r in _REFINE_R_GRID:
+        refined5 = (
+            vecs.join(
+                F.broadcast(
+                    short.filter(F.col("rk") <= r).select(
+                        "query_id", "cand_id"
+                    )
+                ),
+                "cand_id",
+            )
+            .join(F.broadcast(q), "query_id")
+            .withColumn(
+                "cosine",
+                F.round(
+                    dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("qnrm") * F.col("cnrm")),
+                    8,
+                ),
+            )
+            .withColumn("rrk", F.row_number().over(w))
+            .filter(F.col("rrk") <= k_nn)
+            .select("query_id", "cand_id")
+        )
+        s_r = truth.join(refined5, ["query_id", "cand_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hit_refined")
+        )
+        legs.append(
+            s_t.crossJoin(F.broadcast(s_a))
+            .crossJoin(F.broadcast(s_r))
+            .select(
+                F.lit(r).cast("long").alias("r_short"),
+                "n_truth",
+                "n_hit_adc",
+                F.round(F.col("n_hit_adc") / F.col("n_truth"), 6).alias(
+                    "recall_adc_at_5"
+                ),
+                "n_hit_refined",
+                F.round(F.col("n_hit_refined") / F.col("n_truth"), 6).alias(
+                    "recall_refined_at_5"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _pq_refine_r_sweep_sql(rs: tuple = _REFINE_R_GRID, k_nn: int = 5,
+                           m: int = 4, k: int = 16, d_sub: int = 16,
+                           dim: int = 64) -> str:
+    """Exact oracle for the refinement R-sweep: _pq_refine_recall_sql's
+    CTEs over the deterministic audit sub-corpus (s from COUNT(*)),
+    the short list cut once at max(rs), one refined CTE per R, and one
+    count leg per R UNION ALL'd with the r_short column carried."""
+    from .operators.similarity import pq_det_codebooks
+
+    cb = pq_det_codebooks(m=m, k=k, d_sub=d_sub)
+    code_cols = ", ".join(
+        f"{_pq_code_sql('embedding', s, cb, k, d_sub)} AS c{s}" for s in range(m)
+    )
+    r_max = max(rs)
+    refined_ctes = ",\n".join(
+        f"""refined5_{r} AS (
+          SELECT query_id, cand_id FROM (
+            SELECT s.query_id, s.cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                      ORDER BY cosine DESC, s.cand_id) AS rrk
+            FROM (
+              SELECT s.query_id, s.cand_id,
+                     ROUND({_dot_sql('qv', 'cvv', dim)} / (qnorm * cnorm), 8) AS cosine
+              FROM short s
+              JOIN vtab ON vtab.cand_id = s.cand_id
+              JOIN qpanel ON qpanel.query_id = s.query_id
+              WHERE s.rk <= {r}
+            ) s
+          ) WHERE rrk <= {k_nn})"""
+        for r in rs
+    )
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS r_short,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM truth t JOIN adc5 a
+             ON t.query_id = a.query_id AND t.cand_id = a.cand_id) AS n_hit_adc,
+           ROUND((SELECT COUNT(*) FROM truth t JOIN adc5 a
+                   ON t.query_id = a.query_id AND t.cand_id = a.cand_id)
+                 / (SELECT COUNT(*) FROM truth)::DOUBLE, 6) AS recall_adc_at_5,
+           (SELECT COUNT(*) FROM truth t JOIN refined5_{r} r
+             ON t.query_id = r.query_id AND t.cand_id = r.cand_id) AS n_hit_refined,
+           ROUND((SELECT COUNT(*) FROM truth t JOIN refined5_{r} r
+                   ON t.query_id = r.query_id AND t.cand_id = r.cand_id)
+                 / (SELECT COUNT(*) FROM truth)::DOUBLE, 6) AS recall_refined_at_5"""
+        for r in rs
+    )
+    return f"""
+        WITH emb_s AS MATERIALIZED ({_audit_sample_cte()}),
+        codes_t AS MATERIALIZED (
+          SELECT vec_id AS cand_id, {code_cols} FROM emb_s
+        ),
+        qpanel AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 {_norm_sql('embedding', dim)} AS qnorm
+          FROM emb_s WHERE vec_id % 50 = 0 AND vec_id < 4000
+        ),
+        short AS MATERIALIZED (
+          SELECT query_id, cand_id, rk FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc, cand_id) AS rk
+            FROM (
+              SELECT qpanel.query_id, codes_t.cand_id,
+                     ROUND({_pq_adc_sql('qv', 'c', cb, m, k, d_sub)}, 6) AS adc
+              FROM qpanel JOIN codes_t ON cand_id <> query_id
+            )
+          ) WHERE rk <= {r_max}
+        ),
+        adc5 AS (SELECT query_id, cand_id FROM short WHERE rk <= {k_nn}),
+        vtab AS (
+          SELECT vec_id AS cand_id, embedding AS cvv,
+                 {_norm_sql('embedding', dim)} AS cnorm
+          FROM emb_s
+        ),
+        {refined_ctes},
+        truth AS MATERIALIZED (SELECT query_id, cand_id FROM ({_cosine_topk_sql(src='emb_s')}) t)
+        {legs}
+    """
+
+
 def _pq_refine_recall_sql(k_nn: int = 5, r_short: int = 50, m: int = 4,
                           k: int = 16, d_sub: int = 16, dim: int = 64) -> str:
     """Exact oracle for the refinement recall row: the
@@ -4312,15 +4573,16 @@ def _ivfpq_topk_sql(k_nn: int = 5, nprobe: int = 2, dim: int = 64,
     """
 
 
-def _cosine_topk_sql(k: int = 5, decimals: int = 8) -> str:
+def _cosine_topk_sql(k: int = 5, decimals: int = 8,
+                     src: str = "embeddings") -> str:
     return f"""
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS qv, {_norm_sql('embedding')} AS qnorm
-          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
+          FROM {src} WHERE vec_id % 50 = 0 AND vec_id < 4000
         ),
         c AS (
           SELECT vec_id AS cand_id, embedding AS cv, {_norm_sql('embedding')} AS cnorm
-          FROM embeddings
+          FROM {src}
         ),
         scored AS (
           SELECT query_id, cand_id,
@@ -4775,6 +5037,7 @@ ORACLES: dict[str, str] = {
     "emb_pq_persisted_topk": _pq_topk_sql(),
     "emb_pq_refine_topk": _pq_refine_topk_sql(),
     "emb_pq_refine_recall_report": _pq_refine_recall_sql(),
+    "emb_pq_refine_r_sweep": _pq_refine_r_sweep_sql(),
     "emb_cosine_topk_np": _cosine_topk_sql(decimals=4),
     "emb_ann_lsh": _ann_lsh_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
@@ -5112,6 +5375,42 @@ ORACLES["corpus_token_budget"] = f"""
     )
     SELECT doc_id, n_tokens, quality, CAST(running_tokens AS BIGINT) AS running_tokens
     FROM r WHERE running_tokens <= 100000 OR running_tokens = n_tokens
+"""
+
+
+def _bpe_count_sql(expr: str) -> str:
+    """DuckDB twin of operators.text.bpe_piece_count: the SAME merge
+    table expanded into the same lower → replace chain → translate →
+    length, generated from one source of truth so the engines cannot
+    drift."""
+    from .operators.text import BPE_MERGES, BPE_WHITESPACE
+
+    s = f"lower({expr})"
+    for pair, sym in BPE_MERGES:
+        s = f"replace({s}, '{pair}', '{sym}')"
+    ws = " || ".join(f"chr({ord(c)})" for c in BPE_WHITESPACE)
+    return f"length(translate({s}, {ws}, ''))"
+
+
+ORACLES["corpus_bpe_budget"] = f"""
+    WITH q AS ({_quality_sql()}),
+    b AS (
+      SELECT doc_id, {_bpe_count_sql('text')} AS n_bpe_pieces FROM documents
+    ),
+    j AS (
+      SELECT q.doc_id, q.n_tokens, b.n_bpe_pieces, q.quality
+      FROM q JOIN b ON q.doc_id = b.doc_id
+    ),
+    r AS (
+      SELECT doc_id, n_tokens, n_bpe_pieces, quality,
+             SUM(n_bpe_pieces) OVER (ORDER BY quality DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS running_pieces
+      FROM j
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_bpe_pieces AS BIGINT) AS n_bpe_pieces, quality,
+           CAST(running_pieces AS BIGINT) AS running_pieces
+    FROM r WHERE running_pieces <= 50000 OR running_pieces = n_bpe_pieces
 """
 
 
@@ -7306,11 +7605,17 @@ def q_emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass (similarity.ivfpq_topk_multi — coarse-assign once,
     both m's codes in one projection, one broadcast join scores every
     pair under every m; each setting is then a filter + window).
-    At 100 TB the audit runs on a query sample while production serves
-    the chosen operating point."""
+    At 100 TB the audit runs on a bounded sub-corpus —
+    emb_ivfpq_recall_sampled is that form, measured in SCALE.md."""
+    return _ivfpq_recall_grid_frame(_t(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_recall_grid_frame(emb: DataFrame) -> DataFrame:
+    """The (m, nprobe) recall grid over a given embeddings relation —
+    shared by the exact audit (full corpus) and the sampled audit
+    (deterministic bounded sub-corpus)."""
     from .operators.similarity import ivfpq_topk_multi
 
-    emb = _t(spark, sf_dir, "embeddings")
     q = _queries_frame(emb)
     truth = (
         cosine_topk(emb, q, k=5)
@@ -7351,13 +7656,16 @@ def q_emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_recall_report_sql(k_nn: int = 5, dim: int = 64,
-                             n_codes: int = 16) -> str:
+                             n_codes: int = 16, sampled: bool = False) -> str:
     """Exact oracle for the IVFPQ recall grid: the _ivfpq_topk_sql
     coarse-assignment CTEs shared once, BOTH m's code columns in one
     codes CTE, the per-m ADC scored once over the max-nprobe probe set
     (probe_rank carried), and each (m, nprobe) leg reduced to counts
     against the brute-force truth — the same one-pass discipline as
-    the Spark plan, in SQL."""
+    the Spark plan, in SQL.  With ``sampled`` the whole audit runs over
+    the deterministic bounded sub-corpus (:func:`_audit_sample_cte`) —
+    s is recomputed from COUNT(*) so membership matches the Spark
+    side's footer-count modulus bit-for-bit."""
     from .operators.similarity import pq_det_codebooks
 
     nprobes, ms = _IVFPQ_AUDIT_NPROBES, _IVFPQ_AUDIT_MS
@@ -7400,13 +7708,19 @@ def _ivfpq_recall_report_sql(k_nn: int = 5, dim: int = 64,
         for m in ms
         for n in nprobes
     )
+    src = "emb_s" if sampled else "embeddings"
+    sample_cte = (
+        f"emb_s AS MATERIALIZED ({_audit_sample_cte()}),\n        "
+        if sampled
+        else ""
+    )
     return f"""
-        WITH cent AS (
+        WITH {sample_cte}cent AS (
           SELECT list_label, list(c ORDER BY pos) AS cvec
           FROM (
             SELECT CAST(label AS INT) AS list_label, i AS pos,
                    ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 8) AS c
-            FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) t
+            FROM {src}, (SELECT unnest(range(1, {dim + 1})) AS i) t
             GROUP BY 1, 2
           ) GROUP BY list_label
         ),
@@ -7417,7 +7731,7 @@ def _ivfpq_recall_report_sql(k_nn: int = 5, dim: int = 64,
         ),
         cand AS (
           SELECT vec_id AS cand_id, embedding, {_norm_sql('embedding', dim)} AS nrm
-          FROM embeddings
+          FROM {src}
         ),
         cassign AS (
           SELECT cand_id, embedding, list_label FROM (
@@ -7435,7 +7749,7 @@ def _ivfpq_recall_report_sql(k_nn: int = 5, dim: int = 64,
         ),
         q AS (
           SELECT vec_id AS query_id, embedding, {_norm_sql('embedding', dim)} AS nrm
-          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 4000
+          FROM {src} WHERE vec_id % 50 = 0 AND vec_id < 4000
         ),
         qassign AS MATERIALIZED (
           SELECT query_id, embedding AS qv, list_label, crn AS probe_rank FROM (
@@ -7448,7 +7762,7 @@ def _ivfpq_recall_report_sql(k_nn: int = 5, dim: int = 64,
             FROM q qq CROSS JOIN centn n
           ) WHERE crn <= {max(nprobes)}
         ),
-        truth AS MATERIALIZED (SELECT query_id, cand_id FROM ({_cosine_topk_sql()}) t),
+        truth AS MATERIALIZED (SELECT query_id, cand_id FROM ({_cosine_topk_sql(src=src)}) t),
         {scored_ctes},
         {ap_ctes}
         {legs}
@@ -7456,6 +7770,31 @@ def _ivfpq_recall_report_sql(k_nn: int = 5, dim: int = 64,
 
 
 ORACLES["emb_ivfpq_recall_report"] = _ivfpq_recall_report_sql()
+
+
+def q_emb_ivfpq_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFPQ recall grid on a DETERMINISTIC BOUNDED sub-corpus —
+    the scale form of emb_ivfpq_recall_report (round-9 verdict #3: the
+    exact audit's brute-force truth leg is ∝N·|panel| by definition,
+    e≈0.94 through sf3, which is exactly the cost a 100 TB deployment
+    must not pay per audit).  The sub-corpus is ``vec_id % s == 0``
+    with s = ceil(n / {_AUDIT_SAMPLE_TARGET}) from parquet FOOTER
+    metadata: at every driver/bench SF (n ≤ 2,000) s = 1, so this
+    relation IS the exact audit and the driver hash covers the full
+    mechanism; beyond sf1 the audit corpus — truth leg included — is
+    capped at ~20k vectors, so the row's cost stops growing with the
+    corpus (measured in SCALE.md).  Sampling is the statistically
+    honest posture: recall@5 is an estimate over a query panel either
+    way, and a bounded random-but-deterministic sub-corpus estimates
+    the same curve at O(target²) instead of O(N·|panel|) — with the
+    estimate itself hash-checked, because the DuckDB oracle recomputes
+    s from COUNT(*) and audits the identical sub-corpus."""
+    s = _audit_sample_modulus(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % s == 0)
+    return _ivfpq_recall_grid_frame(emb)
+
+
+ORACLES["emb_ivfpq_recall_sampled"] = _ivfpq_recall_report_sql(sampled=True)
 
 
 def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8134,6 +8473,7 @@ QUERIES = {
     "emb_ivfpq_append_topk": q_emb_ivfpq_append_topk,
     "emb_pq_refine_topk": q_emb_pq_refine_topk,
     "emb_pq_refine_recall_report": q_emb_pq_refine_recall_report,
+    "emb_pq_refine_r_sweep": q_emb_pq_refine_r_sweep,
     "emb_ivfpq_persisted_topk": q_emb_ivfpq_persisted_topk,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_cosine_topk_np": q_emb_cosine_topk_np,
@@ -8221,6 +8561,7 @@ QUERIES = {
     "orders_bucketed_join": q_orders_bucketed_join,
     "emb_ivf_recall_report": q_emb_ivf_recall_report,
     "emb_ivfpq_recall_report": q_emb_ivfpq_recall_report,
+    "emb_ivfpq_recall_sampled": q_emb_ivfpq_recall_sampled,
     "orders_capped_balance": q_orders_capped_balance,
     "dedup_semdedup": q_dedup_semdedup,
     "docs_schema_evolution": q_docs_schema_evolution,
@@ -8249,6 +8590,7 @@ QUERIES = {
     "lineitem_skew_profile": q_lineitem_skew_profile,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
+    "corpus_bpe_budget": q_corpus_bpe_budget,
     "corpus_interleave": q_corpus_interleave,
     "doc_array_funcs": q_doc_array_funcs,
     "corpus_contamination": q_corpus_contamination,
@@ -8564,4 +8906,82 @@ _R9_WINDOW = [
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)},
+}
+
+# -- Round-10 driver window (first 50 entries get this round's driver
+# correctness rows).  Ordering: (a) the FIVE r5-stale rows the r9
+# window spilled (the round-9 verdict's #1 ask — S1/S3 TSV fidelity
+# and the SQL-frontend breadth rows); (b) the THREE round-10
+# additions needing their first signal (the sampled recall audits,
+# the refinement R-sweep, and the BPE budget row); (c) ml_als_recs,
+# touched this round (variance stabilization, round-9 verdict #2);
+# (d) 41 of the 48 remaining queries whose newest hard signal is r6
+# (alphabetical).  SEVEN r6 rows spill to round 11 to hold the 50 —
+# chosen as the rows whose correctness surface is ALSO re-pinned
+# every round outside the window: rank_normalized is entry(), smoke-
+# checked by the driver each round; predictions_fold is pinned by the
+# golden reference-TSV end-to-end test; the five ML/pipeline rows
+# (ml_train_rmse, ml_score_topk, ml_cv_tuning, ml_feature_importance,
+# pipeline_e2e_score) are invariant-pinned in pytest and run in full
+# in every suite pass.  Sweep those seven FIRST in the round-11
+# window. --
+_R10_WINDOW = [
+    # (a) r5-stale spill from round 9
+    "orders_month_spine",
+    "orders_pipe_sql",
+    "orders_pivot_unpivot_sql",
+    "supplier_pareto",
+    "tsv_roundtrip",
+    # (b) new in r10
+    "emb_ivfpq_recall_sampled",
+    "emb_pq_refine_r_sweep",
+    "corpus_bpe_budget",
+    # (c) touched in r10
+    "ml_als_recs",
+    # (d) r6-stale sweep (alphabetical)
+    "corpus_bloom_decontaminate",
+    "corpus_hash_split",
+    "customer_balance_merge",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_dup_span_maximal",
+    "doc_dup_span_removal",
+    "doc_fingerprint",
+    "doc_heavy_hitters",
+    "doc_lang_id",
+    "doc_pii_redact",
+    "doc_quality",
+    "doc_quality_classifier",
+    "doc_quality_flags",
+    "doc_repetition",
+    "doc_token_stats",
+    "emb_ann_lsh",
+    "emb_centroids",
+    "emb_cosine_topk",
+    "emb_cosine_topk_np",
+    "emb_ivf_topk",
+    "emb_kmeans_centroids",
+    "events_asof_join",
+    "events_orders_cogroup",
+    "events_range_join",
+    "events_resample_ffill",
+    "events_sessionize",
+    "events_sliding",
+    "events_stream_join",
+    "events_stream_sessionize",
+    "events_stream_stateful",
+    "events_stream_tumbling",
+    "events_tumbling",
+    "feature_pivot",
+    "median_crossing",
+    "mm_decode_meta",
+    "mm_media_meta",
+    "pricing_summary",
+    "topk_per_group",
+    "tpch_q3_shipping",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R10_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)},
 }

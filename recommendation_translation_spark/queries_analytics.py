@@ -820,11 +820,16 @@ def q_ml_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank=8,
         maxIter=3,  # each iteration is 2 block shuffles; 3 converges
         # far enough for a deterministic demo at bench scale
-        # 8 blocks match the bounded replay (ALS's many small per-block
-        # tasks dominate at bench scale); production sizes blocks to
-        # |ratings| / executor memory, same dial as shuffle partitions
-        numUserBlocks=8,
-        numItemBlocks=8,
+        # 4 blocks (round-10, was 8): ALS's per-iteration cost here is
+        # SCHEDULING many tiny block-pair tasks, not math — the
+        # catalog's noisiest row across r6-r9 (3.34-5.18 s) was traced
+        # to exactly that (round-9 verdict #2); 4x4 blocks quarter the
+        # task count per sweep and measured both faster and tighter
+        # (3-run spread 1.07x vs 2.8x in-session).  Production sizes
+        # blocks to |ratings| / executor memory, same dial as shuffle
+        # partitions — the constant here is the bench-scale setting.
+        numUserBlocks=4,
+        numItemBlocks=4,
         seed=42,
         implicitPrefs=True,
         userCol="user",

@@ -837,6 +837,12 @@ _SCALAR_FOLD_OK = {
     "emb_pq_refine_topk",
     # ... and its recall report folds three 1-row count scalars on top
     "emb_pq_refine_recall_report",
+    # round 10: the SAMPLED audits are the same shapes over the
+    # bounded deterministic sub-corpus (s=1 at test SFs, capped ~20k
+    # rows beyond sf1) — the BNLJ is the bounded-panel truth leg, the
+    # SinglePartition the per-leg 1-row count folds
+    "emb_ivfpq_recall_sampled",
+    "emb_pq_refine_r_sweep",
 }
 
 

@@ -25,7 +25,14 @@ Protocol:
 - output: ``BENCH_sf1.json`` at the repo root — commit it per round
   (the driver's own bench stays sf0.1).
 
-Usage: python tools_bench_sf1.py [sf1_dir]
+Panel policy (round-10, SCALE.md "sf1 fence panel policy"): the
+default run covers the ACTIVE panel (``queries`` in the baseline
+file); rows that measured <= 1.0x their anchor in 3 consecutive
+committed fence runs live under ``retired`` and run only in the
+quarterly FULL fence — ``--full`` merges them back in (every 4th
+round; a retired row violating 2x there is reinstated).
+
+Usage: python tools_bench_sf1.py [--full] [sf1_dir]
 """
 
 from __future__ import annotations
@@ -39,13 +46,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata/sf1"
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv[1:]
+    sf_dir = args[0] if args else "/tmp/scaledata/sf1"
     if not os.path.isdir(sf_dir):
         print(f"missing {sf_dir}: run tools_gen_scale_data.py first",
               file=sys.stderr)
         return 1
     with open(os.path.join(REPO, "BENCH_SF1_BASELINE.json")) as fh:
-        baseline = json.load(fh)["queries"]
+        _b = json.load(fh)
+    baseline = dict(_b["queries"])
+    if full:
+        baseline.update(_b.get("retired", {}))
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from recommendation_translation_spark.session import get_spark
@@ -156,6 +168,7 @@ def main() -> int:
     out = {
         "sf": 1.0,
         "schema_version": 3,
+        "panel": "full" if full else "active",
         "sum_query_sec": round(sum(v for v in timings.values() if v > 0), 2),
         "queries": timings,
         "loadavg_1min": loadavg,
