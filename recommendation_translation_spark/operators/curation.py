@@ -183,7 +183,8 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
 
 def token_budget_sample(df: DataFrame, budget_tokens: int,
                         quality_col: str = "quality", tokens_col: str = "n_tokens",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Select the highest-quality documents until a global token budget
     is reached: rank by (quality desc, id) and keep every document whose
     *running* token total stays within budget.
@@ -198,10 +199,20 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
     broadcasts it when small).  The first document is always kept (a
     budget below the best document's length yields that one document,
     not zero).
+
+    ``carry_cols`` names additional ``df`` columns to ride INSIDE the
+    ordering pass's narrow projection (and its checkpoint) instead of
+    being recomputed on the join-back side: when those columns are
+    expensive expressions over the document text (round-10: the
+    whitespace token count beside a BPE piece count), carrying them
+    means the corpus text is evaluated exactly ONCE — without it the
+    join-back side re-evaluates its surviving expression columns over
+    the WHOLE corpus just to keep ~budget/mean_len rows (measured 50.5
+    → ~19 s at sf3 on corpus_bpe_budget).
     """
     from .ordering import range_partitioned_running_sum
 
-    narrow = df.select(id_col, quality_col, tokens_col)
+    narrow = df.select(id_col, *carry_cols, quality_col, tokens_col)
     ranked = range_partitioned_running_sum(
         narrow,
         [F.col(quality_col).desc(), F.col(id_col)],
@@ -212,10 +223,11 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
         (F.col("running_tokens") <= budget_tokens)
         | (F.col("running_tokens") == F.col(tokens_col))  # first doc
     )
-    # quality/token columns come from the checkpointed selection, so the
-    # corpus side contributes only its remaining columns — a caller that
-    # projects narrow columns never recomputes the quality lineage.
-    return df.drop(quality_col, tokens_col).join(sel, id_col)
+    # quality/token/carried columns come from the checkpointed
+    # selection, so the corpus side contributes only its remaining
+    # columns — a caller that projects narrow columns never recomputes
+    # the quality lineage.
+    return df.drop(quality_col, tokens_col, *carry_cols).join(sel, id_col)
 
 
 def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",

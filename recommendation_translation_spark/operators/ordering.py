@@ -77,9 +77,17 @@ def _apply(
     except ValueError:  # e.g. "auto" on platforms that manage the conf
         n = 200
     range_keys = [F.col(c) for c in group_cols] + order_cols
-    ranged = df.repartitionByRange(n, *range_keys).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # Materialize the INPUT once too (round-10): callers pass narrow
+    # projections, but the projection's LINEAGE can be expensive —
+    # token_budget_sample's quality/piece-count expressions cost ~10 s
+    # per evaluation at sf3, and without this checkpoint the range
+    # sampler's reservoir pass and the shuffle's map pass each
+    # re-evaluate it (measured 52.9 s build vs ~13 s single-eval on
+    # corpus_bpe_budget).  The checkpoint stores only the narrow rows;
+    # the same fault-tolerance caveat as below applies.
+    ranged = df.localCheckpoint(eager=False).repartitionByRange(
+        n, *range_keys
+    ).withColumn("_pid", F.spark_partition_id())
     # Materialize the ranged layout once — the histogram job and the
     # final job would otherwise each recompute the full input lineage
     # (the classic hidden cost of zipWithIndex's two jobs).  A

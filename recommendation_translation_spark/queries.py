@@ -1080,7 +1080,13 @@ def q_corpus_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = quality_score(docs, keep_cols=("n_bpe_pieces",))
     sel = token_budget_sample(
-        q, budget_tokens=50_000, tokens_col="n_bpe_pieces"
+        q,
+        budget_tokens=50_000,
+        tokens_col="n_bpe_pieces",
+        # ride the whitespace count inside the ordering checkpoint: the
+        # join-back side then contributes only doc_id, so the corpus
+        # text is evaluated exactly once (sf3: 50.5 -> ~19 s)
+        carry_cols=("n_tokens",),
     )
     return sel.select(
         "doc_id",
