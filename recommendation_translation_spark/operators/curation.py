@@ -209,6 +209,16 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
     join-back side re-evaluates its surviving expression columns over
     the WHOLE corpus just to keep ~budget/mean_len rows (measured 50.5
     → ~19 s at sf3 on corpus_bpe_budget).
+
+    The ordering pass always materializes its input once
+    (``materialize_input=True``): this operator's input is by
+    construction an expensive text lineage (a quality score + token
+    count over the document bodies — regex-heavy expressions), and the
+    range sampler and the shuffle map pass would otherwise EACH
+    re-evaluate it (a 4× wall multiplier at sf3 on corpus_bpe_budget;
+    ~1.5× at sf0.1 on corpus_token_budget on a host with slow string
+    ops).  Cheap-lineage callers of the raw primitives keep the
+    default False, where the extra checkpoint costs more than it saves.
     """
     from .ordering import range_partitioned_running_sum
 
@@ -218,6 +228,7 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
         [F.col(quality_col).desc(), F.col(id_col)],
         tokens_col,
         out_col="running_tokens",
+        materialize_input=True,
     )
     sel = ranked.filter(
         (F.col("running_tokens") <= budget_tokens)
@@ -542,7 +553,14 @@ def pack_sequences(df: DataFrame, seq_len: int, tokens_col: str = "n_tokens",
     from .ordering import range_partitioned_running_sum
 
     out = range_partitioned_running_sum(
-        df, [F.col(id_col)], tokens_col, out_col="_run"
+        df,
+        [F.col(id_col)],
+        tokens_col,
+        out_col="_run",
+        # the token-count input is by construction a per-document text
+        # expression — evaluate it once, not once per ordering job
+        # (see token_budget_sample's rationale)
+        materialize_input=True,
     )
     # integer `div`, not float-division-and-cast: token offsets reach
     # ~10^14 at 100 TB where double rounding could misplace a boundary

@@ -39,6 +39,7 @@ __all__ = [
     "range_partitioned_row_number",
     "range_partitioned_running_sum",
     "range_partitioned_running_max",
+    "range_partitioned_measures",
 ]
 
 # Non-printable key separator for the (partition, group) offset map —
@@ -54,13 +55,39 @@ def _apply(
     out_col: str,
     group_cols: list[str] | None,
     combine: str = "sum",
+    materialize_input: bool = False,
+) -> DataFrame:
+    """Single-measure wrapper over :func:`_apply_multi` (the public
+    row-number / running-sum / running-max helpers each compute one
+    output column)."""
+    return _apply_multi(
+        df,
+        order_cols,
+        [(agg, window_fn, out_col, combine)],
+        group_cols,
+        materialize_input=materialize_input,
+    )
+
+
+def _apply_multi(
+    df: DataFrame,
+    order_cols: list[Column],
+    measures: list[tuple],
+    group_cols: list[str] | None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Shared two-pass skeleton: range partition → offset histogram →
-    offset ⊕ partition-local window.
+    offset ⊕ partition-local window — for one or MORE measures over
+    the SAME total ordering.
 
-    ``agg`` aggregates a partition's contribution (count / sum / max);
+    Each measure is ``(agg, window_fn, out_col, combine)``: ``agg``
+    aggregates a partition's contribution (count / sum / max);
     ``window_fn(w)`` produces the partition-local window Column over
-    the same ordering.  ``group_cols`` (small cardinality —
+    the same ordering.  All measures share ONE range shuffle, ONE
+    checkpoint, and ONE histogram job (the groupBy computes every
+    measure's partition aggregate in the same pass) — a caller needing
+    a global position AND a global running offset pays one exchange,
+    not one per measure.  ``group_cols`` (small cardinality —
     data-mixing sources, not user ids) restarts the numbering per
     group.  ``combine`` is the offset monoid: "sum" adds the preceding
     partitions' totals to the local window value; "max" takes the
@@ -77,17 +104,22 @@ def _apply(
     except ValueError:  # e.g. "auto" on platforms that manage the conf
         n = 200
     range_keys = [F.col(c) for c in group_cols] + order_cols
-    # Materialize the INPUT once too (round-10): callers pass narrow
-    # projections, but the projection's LINEAGE can be expensive —
-    # token_budget_sample's quality/piece-count expressions cost ~10 s
-    # per evaluation at sf3, and without this checkpoint the range
-    # sampler's reservoir pass and the shuffle's map pass each
-    # re-evaluate it (measured 52.9 s build vs ~13 s single-eval on
-    # corpus_bpe_budget).  The checkpoint stores only the narrow rows;
-    # the same fault-tolerance caveat as below applies.
-    ranged = df.localCheckpoint(eager=False).repartitionByRange(
-        n, *range_keys
-    ).withColumn("_pid", F.spark_partition_id())
+    # ``materialize_input`` checkpoints the INPUT too (round-10):
+    # callers pass narrow projections, but the projection's LINEAGE can
+    # be expensive — token_budget_sample's quality/piece-count
+    # expressions cost ~10 s per evaluation at sf3, and without this
+    # checkpoint the range sampler's reservoir pass and the shuffle's
+    # map pass each re-evaluate it (measured 52.9 s build vs ~13 s
+    # single-eval on corpus_bpe_budget).  It is OPT-IN because for a
+    # cheap lineage (a pruned parquet scan + light expressions) the
+    # trade inverts: 1×eval + write + 2×read costs more than 2×eval —
+    # an unconditional checkpoint regressed corpus_token_budget ~35%
+    # at sf0.1.  The checkpoint stores only the narrow rows; the same
+    # fault-tolerance caveat as below applies.
+    src = df.localCheckpoint(eager=False) if materialize_input else df
+    ranged = src.repartitionByRange(n, *range_keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
     # Materialize the ranged layout once — the histogram job and the
     # final job would otherwise each recompute the full input lineage
     # (the classic hidden cost of zipWithIndex's two jobs).  A
@@ -132,71 +164,88 @@ def _apply(
         mkey = F.col("_pid").cast("string")
 
     # Pass 1: one row per (partition[, group]) — bounded by conf ×
-    # group cardinality, never by data volume.  Driver-safe collect.
+    # group cardinality, never by data volume; EVERY measure's
+    # partition aggregate rides the same groupBy.  Driver-safe collect.
     hist = (
         ranged.groupBy(F.col("_pid"), mkey.alias("_mkey"))
-        .agg(agg.alias("_v"))
+        .agg(*[m[0].alias(f"_v{i}") for i, m in enumerate(measures)])
         .collect()
     )
     # Accumulate offsets in partition order within each group.  The
     # group part of the key is the Spark-computed _mkey with its
     # "<pid>\x1f" prefix stripped (empty string for the ungrouped
     # case) — Python never re-stringifies the group values.
-    by_group: dict[str, list[tuple[int, int | None, str]]] = {}
+    by_group: dict[str, list] = {}
     for r in hist:
         pid = r["_pid"]
         prefix_len = len(str(pid)) + (1 if group_cols else 0)
         gkey = r["_mkey"][prefix_len:]
-        by_group.setdefault(gkey, []).append((pid, r["_v"], r["_mkey"]))
-    entries: list[Column] = []
-    if combine == "sum":
-        for pids in by_group.values():
-            acc = 0
-            for _pid, v, collected_mkey in sorted(
-                pids, key=lambda t: t[0]
-            ):
-                entries.append(F.lit(collected_mkey))
-                entries.append(F.lit(acc))
-                acc += v or 0  # NULL partition sum contributes nothing
-    elif combine == "max":
-        for pids in by_group.values():
-            acc = None  # no preceding partition → no map entry → NULL
-            for _pid, v, collected_mkey in sorted(
-                pids, key=lambda t: t[0]
-            ):
-                if acc is not None:
+        by_group.setdefault(gkey, []).append((pid, r, r["_mkey"]))
+
+    folds: list[tuple[str, Column]] = []  # (out_col, final expression)
+    for i, (_agg, window_fn, out_col, combine) in enumerate(measures):
+        entries: list[Column] = []
+        if combine == "sum":
+            for pids in by_group.values():
+                acc = 0
+                for _pid, row, collected_mkey in sorted(
+                    pids, key=lambda t: t[0]
+                ):
                     entries.append(F.lit(collected_mkey))
                     entries.append(F.lit(acc))
-                # an all-NULL partition has NO max — skip it rather than
-                # coercing to 0 (which would wrongly dominate all-negative
-                # data); the offset chain carries the last real max past it
-                if v is not None:
-                    acc = v if acc is None else max(acc, v)
-    else:  # pragma: no cover
-        raise ValueError(f"unknown combine {combine!r}")
+                    # NULL partition sum contributes nothing
+                    acc += row[f"_v{i}"] or 0
+        elif combine == "max":
+            for pids in by_group.values():
+                acc = None  # no preceding partition → no map entry → NULL
+                for _pid, row, collected_mkey in sorted(
+                    pids, key=lambda t: t[0]
+                ):
+                    if acc is not None:
+                        entries.append(F.lit(collected_mkey))
+                        entries.append(F.lit(acc))
+                    # an all-NULL partition has NO max — skip it rather
+                    # than coercing to 0 (which would wrongly dominate
+                    # all-negative data); the offset chain carries the
+                    # last real max past it
+                    v = row[f"_v{i}"]
+                    if v is not None:
+                        acc = v if acc is None else max(acc, v)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown combine {combine!r}")
 
-    if combine == "sum":
-        if not entries:  # empty input — offsets are all zero
-            offset = F.lit(0).cast("long")
-        else:
-            offset = F.coalesce(
-                F.create_map(*entries)[mkey].cast("long"), F.lit(0).cast("long")
+        if combine == "sum":
+            if not entries:  # empty input — offsets are all zero
+                offset = F.lit(0).cast("long")
+            else:
+                offset = F.coalesce(
+                    F.create_map(*entries)[mkey].cast("long"),
+                    F.lit(0).cast("long"),
+                )
+            fold = (offset + window_fn(_window(group_cols, order_cols))).cast(
+                "long"
             )
-        fold = lambda local: (offset + local).cast("long")  # noqa: E731
-    else:
-        offset = (
-            F.create_map(*entries)[mkey].cast("long")
-            if entries
-            else F.lit(None).cast("long")
-        )
-        # greatest drops NULL operands; NULL only when BOTH are NULL
-        # (first row of the first partition under an exclusive frame)
-        fold = lambda local: F.greatest(offset, local).cast("long")  # noqa: E731
+        else:
+            offset = (
+                F.create_map(*entries)[mkey].cast("long")
+                if entries
+                else F.lit(None).cast("long")
+            )
+            # greatest drops NULL operands; NULL only when BOTH are NULL
+            # (first row of the first partition under an exclusive frame)
+            fold = F.greatest(
+                offset, window_fn(_window(group_cols, order_cols))
+            ).cast("long")
+        folds.append((out_col, fold))
 
     # Pass 2: partition-local window (hash exchange on _pid — parallel,
-    # never SinglePartition) ⊕ the baked-in offset.
-    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
-    return ranged.withColumn(out_col, fold(window_fn(w))).drop("_pid")
+    # never SinglePartition) ⊕ the baked-in offsets.  All measures share
+    # the same window ordering, so Catalyst plans ONE Window node.
+    return ranged.withColumns(dict(folds)).drop("_pid")
+
+
+def _window(group_cols: list[str], order_cols: list[Column]):
+    return Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
 
 
 def range_partitioned_row_number(
@@ -204,6 +253,7 @@ def range_partitioned_row_number(
     order_cols: list[Column],
     out_col: str = "rn",
     group_cols: list[str] | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Dense 1-based global row number over ``order_cols`` (restarting
     per ``group_cols`` when given) with no single-partition exchange.
@@ -211,7 +261,9 @@ def range_partitioned_row_number(
     Identical output to ``row_number().over(Window.orderBy(...))`` —
     the ordering must be total (include a unique tie-break column),
     otherwise rows equal on the full key get an arbitrary order in
-    both formulations.
+    both formulations.  ``materialize_input`` checkpoints the input
+    before the range shuffle — pass True when the input lineage is
+    expensive expressions (see ``_apply``).
     """
     return _apply(
         df,
@@ -220,6 +272,7 @@ def range_partitioned_row_number(
         lambda w: F.row_number().over(w),
         out_col,
         group_cols,
+        materialize_input=materialize_input,
     )
 
 
@@ -229,10 +282,14 @@ def range_partitioned_running_sum(
     value_col: str,
     out_col: str = "running",
     group_cols: list[str] | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Inclusive running sum of ``value_col`` over a total ordering,
     equal to ``sum(v).over(Window.orderBy(...).rowsBetween(unbounded
     preceding, current row))`` but with no single-partition exchange.
+    ``materialize_input`` checkpoints the input before the range
+    shuffle — pass True when the input lineage is expensive
+    expressions (see ``_apply``).
     """
     return _apply(
         df,
@@ -243,6 +300,7 @@ def range_partitioned_running_sum(
         ),
         out_col,
         group_cols,
+        materialize_input=materialize_input,
     )
 
 
@@ -253,6 +311,7 @@ def range_partitioned_running_max(
     out_col: str = "running_max",
     group_cols: list[str] | None = None,
     inclusive: bool = True,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Running maximum of ``value_col`` over a total ordering with no
     single-partition exchange.  ``inclusive=False`` gives the
@@ -271,4 +330,81 @@ def range_partitioned_running_max(
         out_col,
         group_cols,
         combine="max",
+        materialize_input=materialize_input,
+    )
+
+
+def range_partitioned_measures(
+    df: DataFrame,
+    order_cols: list[Column],
+    measures: list[tuple],
+    group_cols: list[str] | None = None,
+    materialize_input: bool = False,
+) -> DataFrame:
+    """Compute SEVERAL global ordered measures over ONE range shuffle.
+
+    ``measures`` is a list of specs sharing the same total ordering:
+
+    - ``("row_number", None, out_col)`` — dense 1-based global position;
+    - ``("running_sum", value_col, out_col)`` — inclusive running sum;
+    - ``("running_max", value_col, out_col)`` /
+      ``("running_max", value_col, out_col, False)`` — running maximum
+      (4th element False = strictly-preceding frame).
+
+    A caller that needs both a document's global training-order
+    position AND its global token offset (a shard-manifest writer)
+    would otherwise invoke two primitives — two range shuffles, two
+    checkpoints, two histogram jobs over the same corpus.  Here every
+    measure's partition aggregate rides one histogram groupBy and every
+    fold column rides one Window node, so the marginal measure costs
+    one aggregate expression, not one corpus pass — the difference
+    between O(measures) and O(1) exchanges at 100 TB.
+    """
+    specs: list[tuple] = []
+    for m in measures:
+        kind, value_col, out_col = m[0], m[1], m[2]
+        if kind == "row_number":
+            specs.append(
+                (
+                    F.count(F.lit(1)),
+                    lambda w: F.row_number().over(w),
+                    out_col,
+                    "sum",
+                )
+            )
+        elif kind == "running_sum":
+            specs.append(
+                (
+                    F.sum(value_col),
+                    # bind value_col per-measure (default arg, not closure)
+                    lambda w, c=value_col: F.sum(c).over(
+                        w.rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                    ),
+                    out_col,
+                    "sum",
+                )
+            )
+        elif kind == "running_max":
+            inclusive = m[3] if len(m) > 3 else True
+            end = Window.currentRow if inclusive else -1
+            specs.append(
+                (
+                    F.max(F.col(value_col).cast("long")),
+                    lambda w, c=value_col, e=end: F.max(
+                        F.col(c).cast("long")
+                    ).over(w.rowsBetween(Window.unboundedPreceding, e)),
+                    out_col,
+                    "max",
+                )
+            )
+        else:
+            raise ValueError(f"unknown measure kind {kind!r}")
+    return _apply_multi(
+        df,
+        order_cols,
+        specs,
+        group_cols,
+        materialize_input=materialize_input,
     )

@@ -1097,6 +1097,77 @@ def q_corpus_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shard count for the training-order manifest, shared by the Spark
+# query and its DuckDB oracle so retuning cannot desynchronize them.
+_MANIFEST_SHARDS = 16
+
+
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + shard manifest —
+    the step between curation and the training job: every document gets
+    a pseudo-random but REPRODUCIBLE order key (md5 of its id under a
+    fixed salt), a shard assignment derived from the same digest, its
+    1-based position within the shard, and its exclusive token offset
+    (where the doc starts if the shard is written as one token stream).
+    A shard writer needs exactly (shard, pos, offset); re-running on
+    the same corpus reproduces the same bytes.
+
+    Spark-first: both ordered measures — position AND running token
+    offset — come from ONE range shuffle via
+    ``operators.ordering.range_partitioned_measures`` (the multi-
+    measure form of the two-pass zipWithIndex formulation): no
+    ``Exchange SinglePartition``, no second corpus pass for the second
+    measure, and the per-shard ordering never funnels a shard through
+    one reducer the way a plain ``Window.partitionBy(shard)`` would at
+    16 shards × terabytes.  The md5 order key is the cross-engine hash
+    family (operators.text), so the DuckDB oracle reproduces order,
+    shards, and offsets bit-exactly.
+
+    No counterpart in the reference (its outputs are per-site CSVs,
+    JobRunner.scala:31-73); this is the LLM-pipeline extension's
+    shard-layout op."""
+    from .operators.ordering import range_partitioned_measures
+    from .operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    order_key = F.md5(
+        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+    )
+    # shard from the SAME digest's first 8 hex chars (the cross-engine
+    # 32-bit slice) — one md5 per doc serves both key and shard
+    shard = (
+        F.conv(F.substring(order_key, 1, 8), 16, 10).cast("long")
+        % _MANIFEST_SHARDS
+    )
+    narrow = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        order_key.alias("order_key"),
+        shard.alias("shard"),
+    )
+    out = range_partitioned_measures(
+        narrow,
+        [F.col("order_key"), F.col("doc_id")],
+        [
+            ("row_number", None, "pos"),
+            ("running_sum", "n_tokens", "_run_tokens"),
+        ],
+        group_cols=["shard"],
+        # the narrow lineage tokenizes every document body — evaluate
+        # it once, not once per ordering job (see token_budget_sample)
+        materialize_input=True,
+    )
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+        "n_tokens",
+        (F.col("_run_tokens") - F.col("n_tokens"))
+        .cast("long")
+        .alias("offset_tokens"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over SimHash near-dup pairs → (doc_id,
     cluster_id).  The Spark side is iterative pointer jumping
@@ -5419,6 +5490,35 @@ ORACLES["corpus_bpe_budget"] = f"""
     FROM r WHERE running_pieces <= 50000 OR running_pieces = n_bpe_pieces
 """
 
+# Training-order shuffle + shard manifest: the order key and shard come
+# from the same md5 as the Spark side (cross-engine hash family), so
+# order, shard assignment, positions, and token offsets are bit-exact.
+ORACLES["corpus_shard_manifest"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             md5(concat('shuffle:', CAST(doc_id AS VARCHAR))) AS order_key
+      FROM documents
+    ),
+    s AS (
+      SELECT *,
+             ('0x' || substr(order_key, 1, 8))::BIGINT % {_MANIFEST_SHARDS}
+               AS shard
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY order_key, doc_id
+           ) AS BIGINT) AS pos,
+           n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY order_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS offset_tokens
+    FROM s
+"""
+
 
 ORACLES["events_resample_ffill"] = """
     WITH hourly AS (
@@ -8597,6 +8697,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_bpe_budget": q_corpus_bpe_budget,
+    "corpus_shard_manifest": q_corpus_shard_manifest,
     "corpus_interleave": q_corpus_interleave,
     "doc_array_funcs": q_doc_array_funcs,
     "corpus_contamination": q_corpus_contamination,
@@ -8942,6 +9043,7 @@ _R10_WINDOW = [
     "emb_ivfpq_recall_sampled",
     "emb_pq_refine_r_sweep",
     "corpus_bpe_budget",
+    "corpus_shard_manifest",
     # (c) touched in r10
     "ml_als_recs",
     # (d) r6-stale sweep (alphabetical)

@@ -683,6 +683,22 @@ def test_token_budget_no_single_partition_exchange(spark):
     assert "SinglePartition" not in physical_plan(df)
 
 
+def test_shard_manifest_one_pass_no_single_partition(spark):
+    # both ordered measures (position + token offset) ride ONE range
+    # shuffle and ONE Window node — never a single-reducer sort, never
+    # a second corpus pass for the second measure
+    df = QUERIES["corpus_shard_manifest"](spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    # one Window node computes every fold column (same spec ⇒ Catalyst
+    # plans them together); a second node would mean a second pass.
+    # Count detail headers "(N) Window" — the formatted plan prints each
+    # node in both the tree and the details section.
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) <= 1
+
+
 def test_pack_sequences_no_single_partition_exchange(spark):
     # global token offsets via the two-pass range-partitioned running
     # sum — packing must not funnel the corpus through one reducer

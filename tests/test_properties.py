@@ -302,6 +302,67 @@ def test_range_partitioned_ordering_equals_global_window(spark, rows):
 
 @SETTINGS
 @given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                  st.integers(min_value=0, max_value=500),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=0, max_size=60),
+)
+def test_range_partitioned_measures_equals_separate_calls(spark, rows):
+    # the multi-measure form (one range shuffle for N measures) must be
+    # EXACTLY the per-measure primitives composed — row number, running
+    # sum, and exclusive running max together, grouped and ungrouped
+    from pyspark.sql import Window
+    from recommendation_translation_spark.operators.ordering import (
+        range_partitioned_measures,
+    )
+
+    uniq = {(g, i): v for g, i, v in rows}
+    df = spark.createDataFrame(
+        [(g, i, v) for (g, i), v in uniq.items()],
+        "grp string, id long, val long",
+    )
+    order = [F.col("id").desc(), F.col("grp")]
+
+    for group_cols in (None, ["grp"]):
+        got = {
+            (r.grp, r.id): (r.rn, r.run, r.rmax)
+            for r in range_partitioned_measures(
+                df,
+                order if group_cols is None else [F.col("id")],
+                [
+                    ("row_number", None, "rn"),
+                    ("running_sum", "val", "run"),
+                    ("running_max", "val", "rmax", False),
+                ],
+                group_cols=group_cols,
+            ).collect()
+        }
+        if group_cols is None:
+            w = Window.orderBy(*order)
+        else:
+            w = Window.partitionBy(*group_cols).orderBy("id")
+        want = {
+            (r.grp, r.id): (r.rn, r.run, r.rmax)
+            for r in df.withColumns(
+                {
+                    "rn": F.row_number().over(w),
+                    "run": F.sum("val").over(
+                        w.rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                    ),
+                    "rmax": F.max("val").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                }
+            ).collect()
+        }
+        assert got == want
+
+
+@SETTINGS
+@given(
     texts=st.lists(
         st.text(alphabet="abc de", min_size=1, max_size=30),
         min_size=2, max_size=12),
