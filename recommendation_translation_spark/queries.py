@@ -1126,25 +1126,38 @@ def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     No counterpart in the reference (its outputs are per-site CSVs,
     JobRunner.scala:31-73); this is the LLM-pipeline extension's
     shard-layout op."""
-    from .operators.ordering import range_partitioned_measures
+    docs = _t(spark, sf_dir, "documents")
+    return _shard_manifest_frame(_shard_keys_frame(docs))
+
+
+def _shard_keys_frame(docs: DataFrame) -> DataFrame:
+    """Narrow (doc_id, n_tokens, order_key, shard) projection shared by
+    the manifest queries: one md5 per doc serves both the training-
+    order key and (via its first 8 hex chars, the cross-engine 32-bit
+    slice) the shard assignment."""
     from .operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents")
     order_key = F.md5(
         F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
     )
-    # shard from the SAME digest's first 8 hex chars (the cross-engine
-    # 32-bit slice) — one md5 per doc serves both key and shard
     shard = (
         F.conv(F.substring(order_key, 1, 8), 16, 10).cast("long")
         % _MANIFEST_SHARDS
     )
-    narrow = docs.select(
+    return docs.select(
         "doc_id",
         F.size(tokens("text")).cast("long").alias("n_tokens"),
         order_key.alias("order_key"),
         shard.alias("shard"),
     )
+
+
+def _shard_manifest_frame(narrow: DataFrame) -> DataFrame:
+    """(doc_id, shard, pos, n_tokens, offset_tokens) from a
+    _shard_keys_frame projection: both ordered measures via ONE range
+    shuffle (range_partitioned_measures)."""
+    from .operators.ordering import range_partitioned_measures
+
     out = range_partitioned_measures(
         narrow,
         [F.col("order_key"), F.col("doc_id")],
@@ -1163,6 +1176,59 @@ def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         "n_tokens",
         (F.col("_run_tokens") - F.col("n_tokens"))
+        .cast("long")
+        .alias("offset_tokens"),
+    )
+
+
+def q_corpus_shard_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-manifest APPEND: extend an existing sharded corpus layout
+    with a new batch WITHOUT touching the base shards — the property a
+    production training-data store actually needs, because re-running
+    the full shuffle on corpus growth would rewrite every shard and
+    invalidate the training order already consumed.
+
+    Semantics (mirrors the emb_ivfpq_append_topk discipline — append
+    must not reshuffle what it extends): base docs (``doc_id % 10 !=
+    0``, standing in for the persisted corpus) keep their manifest
+    verbatim; batch docs (``% 10 == 0``) are ordered among THEMSELVES
+    by the same md5 key and appended after each shard's tail —
+    ``pos += base_count(shard)``, ``offset += base_tokens(shard)``.
+
+    The scale story is the cost shape: the ordering machinery (range
+    shuffle + window) runs over the BATCH ONLY, and the base corpus
+    contributes exactly one 16-row aggregate (count + token sum per
+    shard — at 100 TB that aggregate is a footer read of the persisted
+    manifest, not even a scan; here it is computed so the oracle can
+    pin the math).  Append cost ∝ batch, never ∝ corpus.  Output: the
+    batch's manifest rows with their global (shard, pos, offset)."""
+    docs = _t(spark, sf_dir, "documents")
+    keys = _shard_keys_frame(docs)
+    is_batch = F.col("doc_id") % 10 == 0
+    # per-shard tails of the base layout: a bounded 16-row relation —
+    # no ordering pass over the base (pos_max ≡ count; offset_end ≡
+    # token sum), broadcast onto the batch manifest
+    tails = (
+        keys.filter(~is_batch)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("_base_n"),
+            F.sum("n_tokens").alias("_base_tokens"),
+        )
+    )
+    batch = _shard_manifest_frame(keys.filter(is_batch))
+    out = batch.join(F.broadcast(tails), "shard", "left")
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        (F.col("pos") + F.coalesce(F.col("_base_n"), F.lit(0)))
+        .cast("long")
+        .alias("pos"),
+        "n_tokens",
+        (
+            F.col("offset_tokens")
+            + F.coalesce(F.col("_base_tokens"), F.lit(0))
+        )
         .cast("long")
         .alias("offset_tokens"),
     )
@@ -5519,6 +5585,47 @@ ORACLES["corpus_shard_manifest"] = f"""
     FROM s
 """
 
+# Append = the batch's own per-shard manifest shifted by the base
+# layout's per-shard tails (count ≡ max pos, token sum ≡ end offset) —
+# the base is never re-ordered, pinning the "append must not reshuffle
+# what it extends" contract in the hash.
+ORACLES["corpus_shard_append"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             md5(concat('shuffle:', CAST(doc_id AS VARCHAR))) AS order_key
+      FROM documents
+    ),
+    s AS (
+      SELECT *,
+             ('0x' || substr(order_key, 1, 8))::BIGINT % {_MANIFEST_SHARDS}
+               AS shard
+      FROM t
+    ),
+    tails AS (
+      SELECT shard, COUNT(*) AS base_n, SUM(n_tokens) AS base_tokens
+      FROM s WHERE doc_id % 10 != 0 GROUP BY shard
+    ),
+    m AS (
+      SELECT doc_id, shard, n_tokens,
+             row_number() OVER (
+               PARTITION BY shard ORDER BY order_key, doc_id
+             ) AS pos,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY order_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS off
+      FROM s WHERE doc_id % 10 = 0
+    )
+    SELECT m.doc_id,
+           CAST(m.shard AS BIGINT) AS shard,
+           CAST(m.pos + COALESCE(tails.base_n, 0) AS BIGINT) AS pos,
+           m.n_tokens,
+           CAST(m.off + COALESCE(tails.base_tokens, 0) AS BIGINT)
+             AS offset_tokens
+    FROM m LEFT JOIN tails ON m.shard = tails.shard
+"""
+
 
 ORACLES["events_resample_ffill"] = """
     WITH hourly AS (
@@ -8698,6 +8805,7 @@ QUERIES = {
     "corpus_token_budget": q_corpus_token_budget,
     "corpus_bpe_budget": q_corpus_bpe_budget,
     "corpus_shard_manifest": q_corpus_shard_manifest,
+    "corpus_shard_append": q_corpus_shard_append,
     "corpus_interleave": q_corpus_interleave,
     "doc_array_funcs": q_doc_array_funcs,
     "corpus_contamination": q_corpus_contamination,
@@ -9044,6 +9152,7 @@ _R10_WINDOW = [
     "emb_pq_refine_r_sweep",
     "corpus_bpe_budget",
     "corpus_shard_manifest",
+    "corpus_shard_append",
     # (c) touched in r10
     "ml_als_recs",
     # (d) r6-stale sweep (alphabetical)

@@ -652,3 +652,50 @@ def test_minhash_bands_rowlocal_equals_batch(spark):
         if frame is not docs:
             # the two short docs produced no bands at all
             assert {r[0] for r in a} == {3}
+
+
+def test_shard_append_composes_into_gapless_layout(spark):
+    # base manifest (doc_id % 10 != 0) + appended batch rows must form
+    # ONE consistent shard layout: per shard, positions are 1..n with
+    # no gap or overlap, every appended row lands strictly after the
+    # base tail, and offset(p) is exactly the token sum of positions
+    # < p — the invariant the append contract ("never reshuffle the
+    # base") exists to preserve.
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.queries import (
+        QUERIES,
+        _shard_keys_frame,
+        _shard_manifest_frame,
+        _t,
+    )
+    from .conftest import SF_SMALL
+
+    docs = _t(spark, SF_SMALL, "documents")
+    keys = _shard_keys_frame(docs)
+    base = _shard_manifest_frame(
+        keys.filter(F.col("doc_id") % 10 != 0)
+    ).collect()
+    appended = QUERIES["corpus_shard_append"](spark, SF_SMALL).collect()
+
+    base_max = {}
+    for r in base:
+        base_max[r.shard] = max(base_max.get(r.shard, 0), r.pos)
+    for r in appended:
+        assert r.pos > base_max.get(r.shard, 0), (
+            f"appended pos {r.pos} not after base tail in shard {r.shard}"
+        )
+
+    by_shard: dict[int, list] = {}
+    for r in list(base) + list(appended):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == docs.count()
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos)
+        run = 0
+        for i, r in enumerate(rows, start=1):
+            assert r.pos == i, f"gap/overlap at shard {shard} pos {r.pos} != {i}"
+            assert r.offset_tokens == run, (
+                f"offset mismatch at shard {shard} pos {i}"
+            )
+            run += r.n_tokens

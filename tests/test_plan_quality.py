@@ -699,6 +699,18 @@ def test_shard_manifest_one_pass_no_single_partition(spark):
     assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) <= 1
 
 
+def test_shard_append_broadcasts_tails_no_single_partition(spark):
+    # append cost must be ∝ batch: the base contributes a bounded
+    # 16-row tails aggregate joined by BROADCAST (never a shuffle of
+    # the batch against the base layout), and the ordering pass keeps
+    # the partitioned two-pass formulation
+    df = QUERIES["corpus_shard_append"](spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_pack_sequences_no_single_partition_exchange(spark):
     # global token offsets via the two-pass range-partitioned running
     # sum — packing must not funnel the corpus through one reducer
