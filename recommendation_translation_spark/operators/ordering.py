@@ -97,6 +97,12 @@ def _apply_multi(
     first partition has no offset entry at all, so the result is NULL
     exactly when no preceding row exists anywhere).
     """
+    if not measures:
+        raise ValueError("at least one measure is required")
+    out_names = [m[2] for m in measures]
+    if len(set(out_names)) != len(out_names):
+        # withColumns would silently keep only the last duplicate
+        raise ValueError(f"duplicate out_col names: {out_names}")
     spark = df.sparkSession
     group_cols = list(group_cols or [])
     try:

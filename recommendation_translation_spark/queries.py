@@ -6525,6 +6525,29 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "pack_id", "pack_offset", "n_spanned")
 
 
+def q_corpus_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing in TOKENIZER-FAITHFUL units: the contiguous-fill
+    concat-and-chunk layout of corpus_pack_sequences, but budgeted in
+    exact BPE pieces (operators.text.bpe_piece_count, the round-10
+    merge chain) instead of whitespace words — the packer's boundary
+    decisions are what a 1.2-1.5× piece-to-word drift actually moves,
+    so the training-shard layout must be computed in the unit the
+    model consumes.  Same two-pass range-partitioned running sum (no
+    SinglePartition window); the oracle replays the identical merge
+    chain, so every pack boundary is bit-exact."""
+    from .operators.curation import pack_sequences
+    from .operators.text import bpe_piece_count
+
+    docs = _t(spark, sf_dir, "documents")
+    narrow = docs.select(
+        "doc_id", bpe_piece_count("text").cast("long").alias("n_pieces")
+    )
+    out = pack_sequences(narrow, seq_len=512, tokens_col="n_pieces")
+    return out.select(
+        "doc_id", "n_pieces", "pack_id", "pack_offset", "n_spanned"
+    )
+
+
 def q_corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota cap (≤ 50 docs per source, longest-text-first) —
     the anti-domination guard of a data-mixing pipeline."""
@@ -6890,6 +6913,22 @@ ORACLES["corpus_pack_sequences"] = f"""
            CAST((run - n_tokens) % 512 AS BIGINT) AS pack_offset,
            CAST(CASE WHEN n_tokens <= 0 THEN 0
                      ELSE ((run - 1) // 512) - ((run - n_tokens) // 512) + 1
+                END AS BIGINT) AS n_spanned
+    FROM r
+"""
+
+ORACLES["corpus_bpe_pack"] = f"""
+    WITH t AS (SELECT doc_id, {_bpe_count_sql('text')} AS n_pieces
+               FROM documents),
+    r AS (SELECT doc_id, n_pieces,
+                 SUM(n_pieces) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS run
+          FROM t)
+    SELECT doc_id, CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST((run - n_pieces) // 512 AS BIGINT) AS pack_id,
+           CAST((run - n_pieces) % 512 AS BIGINT) AS pack_offset,
+           CAST(CASE WHEN n_pieces <= 0 THEN 0
+                     ELSE ((run - 1) // 512) - ((run - n_pieces) // 512) + 1
                 END AS BIGINT) AS n_spanned
     FROM r
 """
@@ -8806,6 +8845,7 @@ QUERIES = {
     "corpus_bpe_budget": q_corpus_bpe_budget,
     "corpus_shard_manifest": q_corpus_shard_manifest,
     "corpus_shard_append": q_corpus_shard_append,
+    "corpus_bpe_pack": q_corpus_bpe_pack,
     "corpus_interleave": q_corpus_interleave,
     "doc_array_funcs": q_doc_array_funcs,
     "corpus_contamination": q_corpus_contamination,
@@ -9153,6 +9193,7 @@ _R10_WINDOW = [
     "corpus_bpe_budget",
     "corpus_shard_manifest",
     "corpus_shard_append",
+    "corpus_bpe_pack",
     # (c) touched in r10
     "ml_als_recs",
     # (d) r6-stale sweep (alphabetical)
