@@ -71,6 +71,43 @@ def main() -> int:
     # whichever Python query sorts first (doc_chunks_udtf in r3).
     spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
 
+    # HOST PROBE (round-10): a deterministic, data-independent CPU
+    # fingerprint recorded in the sidecar, so cross-round ratio
+    # comparisons can be normalized by machine instead of adjudicated
+    # by prose.  Round 10's host measured ~2.5x slower on string/regex
+    # work than the r9 host at identical code + data
+    # (dedup_ngram_jaccard 1.59 -> 4.1 s); with the probe recorded, a
+    # future reader divides.  Two probes, both pure-JVM expressions
+    # over synthetic input (no I/O, no Python workers): md5-hash
+    # throughput (the dedup/shard hash family) and regex-extract
+    # throughput (the quality-gate family).  Seconds, lower = faster.
+    def _probe(df_builder) -> float:
+        df_builder().count()  # untimed: codegen for this shape
+        t0 = time.perf_counter()
+        df_builder().count()
+        return round(time.perf_counter() - t0, 3)
+
+    probe_md5 = _probe(
+        lambda: spark.range(2_000_000).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        ).filter("h is not null")
+    )
+    probe_regex = _probe(
+        lambda: spark.range(200_000).select(
+            F.size(
+                F.regexp_extract_all(
+                    F.concat(
+                        F.lit("the quick brown fox jumps over the lazy dog "),
+                        F.col("id").cast("string"),
+                    ),
+                    F.lit(r"\b\w{4,}\b"),
+                    F.lit(0),
+                )
+            ).alias("n")
+        ).filter("n >= 0")
+    )
+    host_probe = {"md5_2m_sec": probe_md5, "regex_200k_sec": probe_regex}
+
     qmap = entry_mod.queries()
     only = sys.argv[1:]  # optional subset: bench.py q1 q2 ...
     timings: dict[str, float] = {}
@@ -230,6 +267,7 @@ def main() -> int:
             json.dump({"sum_query_sec": total, "loop_wall_sec": loop_wall,
                        "schema_version": 2, "sf": sf,
                        "queries": timings, "remeasured": sorted(reruns),
+                       "host_probe": host_probe,
                        "best": best},
                       fh, indent=1, sort_keys=True)
     # Full per-query map to stdout first (round-4 verdict #7) for human
@@ -277,6 +315,7 @@ def main() -> int:
         "n_failed": sum(1 for v in timings.values() if v < 0),
         "loop_wall_sec": loop_wall,
         "n_remeasured": len(reruns),
+        "host_probe": host_probe,
     }
     if full_sf01_run:
         base = _baseline_map()
