@@ -71,6 +71,41 @@ def main() -> int:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
 
+    # same deterministic host probe bench.py records (round-10): the
+    # fence anchors are host-sensitive too, and the probe lets a reader
+    # normalize an anchor ratio by machine instead of by prose
+    from pyspark.sql import functions as F
+
+    def _probe(df_builder) -> float:
+        df_builder().count()  # untimed: codegen for this shape
+        t0 = time.perf_counter()
+        df_builder().count()
+        return round(time.perf_counter() - t0, 3)
+
+    host_probe = {
+        "md5_2m_sec": _probe(
+            lambda: spark.range(2_000_000).select(
+                F.md5(F.col("id").cast("string")).alias("h")
+            ).filter("h is not null")
+        ),
+        "regex_200k_sec": _probe(
+            lambda: spark.range(200_000).select(
+                F.size(
+                    F.regexp_extract_all(
+                        F.concat(
+                            F.lit(
+                                "the quick brown fox jumps over the lazy dog "
+                            ),
+                            F.col("id").cast("string"),
+                        ),
+                        F.lit(r"\b\w{4,}\b"),
+                        F.lit(0),
+                    )
+                ).alias("n")
+            ).filter("n >= 0")
+        ),
+    }
+
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
     loadavg: dict[str, float] = {}
@@ -103,6 +138,21 @@ def main() -> int:
         )
 
         drop_memory_sink_tables(spark)
+        # clearCache does NOT free localCheckpoint RDD blocks — those
+        # are released by the ContextCleaner only after the JVM GCs the
+        # RDD objects, which in a long single session lags tens of
+        # queries behind.  At sf1 the accumulated blocks are large
+        # enough to squeeze the iterative rows (part_pagerank measured
+        # 27 s in a fresh session vs 59 s as fence row 26-of-30, min of
+        # three attempts — same code, load 15).  Nudge both collectors
+        # so each row starts from a clean block store.
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass  # py4j surface changed — hygiene only, never fail the fence
         loadavg[name] = round(os.getloadavg()[0], 2)
         t0 = time.perf_counter()
         try:
@@ -172,6 +222,7 @@ def main() -> int:
         "sum_query_sec": round(sum(v for v in timings.values() if v > 0), 2),
         "queries": timings,
         "loadavg_1min": loadavg,
+        "host_probe": host_probe,
         "remeasured": sorted(reruns),
         "remeasure_failed": rerun_failures,
         "violations_2x": sorted(violations),
