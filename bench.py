@@ -70,6 +70,12 @@ def main() -> int:
     # ~1 s daemon spawn on their first use, which otherwise lands on
     # whichever Python query sorts first (doc_chunks_udtf in r3).
     spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
+    # ... and the Arrow driver-collection path (toPandas): the
+    # size-gated union-find in dup_clusters fetches its edge set this
+    # way, and the first Arrow collection in a session pays a multi-
+    # second serializer spin-up that would otherwise land on whichever
+    # CC consumer sorts first (corpus_dedup_report).
+    spark.range(10_000).toPandas()
 
     # HOST PROBE (round-10): a deterministic, data-independent CPU
     # fingerprint recorded in the sidecar, so cross-round ratio

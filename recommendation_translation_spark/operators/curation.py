@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import tokens
 
@@ -241,8 +242,23 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
     return df.drop(quality_col, tokens_col, *carry_cols).join(sel, id_col)
 
 
+# Below this many (symmetrized, distinct) edges, connected components
+# runs as a driver-side union-find instead of iterated distributed
+# joins: the iterative path costs ~5 Spark jobs PER ROUND regardless of
+# edge count, so a 240-edge graph pays ~2 s of pure scheduling for
+# microseconds of actual work.  20k edges fetch to well under a MB —
+# the same bounded-relation standard as a broadcast threshold — and
+# the distributed pointer-jumping path remains the plan above the
+# gate.  Measured A/B at sf0.1: 240 edges (corpus_keep_best) driver
+# path wins ~1.5-2 s; 75k edges (dedup_clusters' rep graph) is a wash
+# (the shared candidate pipeline dominates both), so the threshold
+# sits where the win is unambiguous rather than at the wash point.
+DRIVER_CC_MAX_EDGES = 20_000
+
+
 def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
-                 max_iter: int = 15) -> DataFrame:
+                 max_iter: int = 15,
+                 driver_threshold: int = DRIVER_CC_MAX_EDGES) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id,
     cluster_id = min id reachable) — the standard "keep one per
     cluster" step after MinHash/SimHash candidate generation.
@@ -263,6 +279,16 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
     alone does NOT truncate the logical plan).  Labels are
     monotonically non-increasing, so `min(new) < old` is the complete
     change test.
+
+    SIZE-ADAPTIVE (round-10): when the symmetrized edge set is at most
+    ``driver_threshold`` rows (a constant — bounded memory, the same
+    standard as a broadcast threshold), the components are computed by
+    an exact driver-side union-find over the already-checkpointed
+    edges instead: the iterative path's per-round scheduling floor
+    (~5 jobs × ~0.3 s on a busy host) dwarfs the actual work on small
+    graphs (measured 4.7 s → ~0.2 s on a 240-edge sf0.1 graph).  Both
+    paths produce identical labels (property-pinned); pass
+    ``driver_threshold=0`` to force the distributed path.
     """
     # symmetrize in ONE pass over `pairs` — a union of two selects would
     # recompute the (possibly expensive) candidate-pair pipeline twice
@@ -279,6 +305,45 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_threshold:
+        # exact union-find over the bounded, checkpointed edge set;
+        # min-id-per-component matches the distributed fixpoint
+        # exactly.  Arrow fetch, not collect(): row-based collect of
+        # 150k edge rows costs seconds through py4j — enough to erase
+        # the win — while toPandas moves the same batch in ~0.1 s.
+        pdf = edges.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        groups: dict = {}
+        for node in parent:
+            groups.setdefault(find(node), []).append(node)
+        rows = [
+            (node, min(members))
+            for members in groups.values()
+            for node in members
+        ]
+        utype = edges.schema["u"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", utype),
+                T.StructField("cluster_id", utype),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("minv"))

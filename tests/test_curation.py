@@ -31,8 +31,17 @@ def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 def _check(spark, pairs: list[tuple[int, int]]):
     df = spark.createDataFrame(pairs, ["a_id", "b_id"])
+    # default (size-gated driver union-find for small edge sets) AND
+    # the forced distributed pointer-jumping path must BOTH equal the
+    # reference union-find — the round-10 adaptive gate may never
+    # change labels, only job counts
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
     assert got == _union_find(pairs)
+    got_dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(df, driver_threshold=0).collect()
+    }
+    assert got_dist == _union_find(pairs)
 
 
 def test_clusters_chain(spark):
