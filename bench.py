@@ -77,42 +77,23 @@ def main() -> int:
     # CC consumer sorts first (corpus_dedup_report).
     spark.range(10_000).toPandas()
 
-    # HOST PROBE (round-10): a deterministic, data-independent CPU
-    # fingerprint recorded in the sidecar, so cross-round ratio
-    # comparisons can be normalized by machine instead of adjudicated
-    # by prose.  Round 10's host measured ~2.5x slower on string/regex
-    # work than the r9 host at identical code + data
-    # (dedup_ngram_jaccard 1.59 -> 4.1 s); with the probe recorded, a
-    # future reader divides.  Two probes, both pure-JVM expressions
-    # over synthetic input (no I/O, no Python workers): md5-hash
-    # throughput (the dedup/shard hash family) and regex-extract
-    # throughput (the quality-gate family).  Seconds, lower = faster.
-    def _probe(df_builder) -> float:
-        df_builder().count()  # untimed: codegen for this shape
-        t0 = time.perf_counter()
-        df_builder().count()
-        return round(time.perf_counter() - t0, 3)
+    # HOST PROBE (round-10; shared helper since round-11 — ADVICE #3):
+    # a deterministic, data-independent CPU fingerprint recorded in the
+    # sidecar AND fed into the ratio math (round-11 verdict #3): the 2x
+    # fence and the quiet-host re-measure trigger compare against
+    # anchors recorded on a specific machine class, so a slower host
+    # inflated every raw ratio (round 10: 48 re-measures, 1.685
+    # headline at unchanged code).  Ratios are now reported BOTH raw
+    # and probe-normalized; the over-2x fence uses the normalized one.
+    from recommendation_translation_spark.bench_common import (
+        host_probe as _host_probe,
+        probe_factor,
+        same_probe_class,
+    )
 
-    probe_md5 = _probe(
-        lambda: spark.range(2_000_000).select(
-            F.md5(F.col("id").cast("string")).alias("h")
-        ).filter("h is not null")
-    )
-    probe_regex = _probe(
-        lambda: spark.range(200_000).select(
-            F.size(
-                F.regexp_extract_all(
-                    F.concat(
-                        F.lit("the quick brown fox jumps over the lazy dog "),
-                        F.col("id").cast("string"),
-                    ),
-                    F.lit(r"\b\w{4,}\b"),
-                    F.lit(0),
-                )
-            ).alias("n")
-        ).filter("n >= 0")
-    )
-    host_probe = {"md5_2m_sec": probe_md5, "regex_200k_sec": probe_regex}
+    host_probe = _host_probe(spark)
+    # factor vs the BASELINE.md anchor class (clamped, see bench_common)
+    anchor_factor = probe_factor(host_probe)
 
     qmap = entry_mod.queries()
     only = sys.argv[1:]  # optional subset: bench.py q1 q2 ...
@@ -147,6 +128,8 @@ def main() -> int:
     # recording 0.36 s).
     NEVER_REMEASURE = {"ml_train_rmse"}
     prior: dict[str, float] = {}
+    prior_probe: dict[str, float] | None = None
+    prior_best_all: dict[str, float] = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_QUERIES.json")) as fh:
@@ -156,8 +139,28 @@ def main() -> int:
                 for k, v in (side.get("best") or side.get("queries", {})).items()
                 if isinstance(v, (int, float)) and v > 0
             }
+            prior_best_all = {
+                k: v
+                for k, v in (side.get("best_all_hosts") or side.get("best")
+                             or side.get("queries", {})).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+            # probe class the "best" map belongs to: explicit key when
+            # present, else the run's own host_probe (pre-r11 sidecars)
+            prior_probe = side.get("best_probe") or side.get("host_probe")
     except (OSError, ValueError):
         pass
+    # Cross-host trigger normalization (round-11 verdict #3): the 1.5x
+    # re-measure trigger compares against the prior best map, which was
+    # recorded on the prior sidecar's machine class — scale it by the
+    # probe ratio so a host step doesn't fire ~50 spurious re-measures
+    # (round 10) or, on a faster host, mask a real regression.
+    prior_factor = probe_factor(host_probe, prior_probe) if prior_probe else 1.0
+    prior_raw = dict(prior)  # unscaled, for the per-class best merge
+    if prior_factor != 1.0:
+        prior = {k: round(v * prior_factor, 3) for k, v in prior.items()}
+        print(f"# prior best map scaled by probe factor {prior_factor} "
+              f"(host class change)", file=sys.stderr)
     t_all = time.perf_counter()
     # Sorted order, NOT dict order: the queries() dict rotates across
     # rounds for the correctness driver's window, and per-query timings
@@ -261,11 +264,29 @@ def main() -> int:
     # min-merge cross-SF timings into the quiet-host best map, which
     # min() could then never repair.
     if not only and os.environ.get("SPARK_GRAFT_BENCH_ONCE") != "1":
+        # "best" is keyed BY PROBE CLASS (round-11 verdict #3): a
+        # fast-host historical minimum persisting under a slower host
+        # understates current-host cost, so minima only merge when the
+        # prior sidecar's probe class matches this run's (within the
+        # same_probe_class tolerance); on a class change the map is
+        # re-seeded from this run and the old cross-host minima remain
+        # in best_all_hosts for the audit trail.
+        merge_class = same_probe_class(host_probe, prior_probe)
         best = {
             # memo-backed rows take THIS run's cold value, not the min:
             # historical entries were warm-poisoned (0.24 s against a
             # ~3 s cold measurement) and min() could never repair them
-            k: round(v if k in NEVER_REMEASURE else min(v, prior.get(k, v)), 3)
+            k: round(
+                v if k in NEVER_REMEASURE
+                else min(v, prior_raw.get(k, v)) if merge_class
+                else v,
+                3,
+            )
+            for k, v in timings.items() if v > 0
+        }
+        best_all = {
+            k: round(v if k in NEVER_REMEASURE
+                     else min(v, prior_best_all.get(k, v)), 3)
             for k, v in timings.items() if v > 0
         }
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -274,7 +295,14 @@ def main() -> int:
                        "schema_version": 2, "sf": sf,
                        "queries": timings, "remeasured": sorted(reruns),
                        "host_probe": host_probe,
-                       "best": best},
+                       "anchor_probe_factor": anchor_factor,
+                       "best": best,
+                       # the class the best map belongs to — current
+                       # run's probe either way (same class on merge,
+                       # re-seeded from this run otherwise)
+                       "best_probe": host_probe,
+                       "best_merged_with_prior": merge_class,
+                       "best_all_hosts": best_all},
                       fh, indent=1, sort_keys=True)
     # Full per-query map to stdout first (round-4 verdict #7) for human
     # runs — but the 193-query map is ~6 KB, past the driver's 2,000-char
@@ -330,15 +358,27 @@ def main() -> int:
             for k, v in timings.items()
             if v > 0 and base.get(k)
         }
-        over_2x = sorted(k for k, r in ratios.items() if r > 2.0)
-        worst = max(ratios, key=ratios.get) if ratios else None
+        # probe-normalized ratios (round-11 verdict #3): divide the raw
+        # ratio by the clamped host factor vs the anchor class — the 2x
+        # fence judges the PLAN, not the machine.  Both forms are
+        # reported; n_over_2x (the fence) uses the normalized one, the
+        # raw twins keep the unadjusted signal visible beside it.
+        ratios_norm = {k: round(r / anchor_factor, 3) for k, r in ratios.items()}
+        over_2x_raw = sorted(k for k, r in ratios.items() if r > 2.0)
+        over_2x = sorted(k for k, r in ratios_norm.items() if r > 2.0)
+        worst_raw = max(ratios, key=ratios.get) if ratios else None
+        worst = max(ratios_norm, key=ratios_norm.get) if ratios_norm else None
         summary.update(
             {
                 "n_with_baseline": len(ratios),
-                "max_vs_baseline": ratios.get(worst),
+                "anchor_probe_factor": anchor_factor,
+                "max_vs_baseline": ratios_norm.get(worst),
                 "max_vs_baseline_query": worst,
+                "max_vs_baseline_raw": ratios.get(worst_raw),
+                "max_vs_baseline_raw_query": worst_raw,
                 "n_over_2x": len(over_2x),
                 "over_2x": over_2x[:10],
+                "n_over_2x_raw": len(over_2x_raw),
                 "full_map": "BENCH_QUERIES.json",
             }
         )

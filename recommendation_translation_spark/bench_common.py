@@ -1,0 +1,138 @@
+"""Shared benchmarking helpers for bench.py and tools_bench_sf1.py.
+
+Single source of truth for the deterministic HOST PROBE (round-10) and
+the probe-based cross-host normalization (round-11, verdict #3): the
+per-query anchors in BASELINE.md / BENCH_SF1_BASELINE.json are
+wall-clock numbers recorded on a specific machine class, so a slower
+co-tenant host inflates every ratio (round 10: 48 re-measures and a
+1.685 headline at unchanged code).  The probe is a data-independent
+CPU fingerprint — pure-JVM md5-hash and regex-extract throughput, the
+two expression families that dominate the catalog's hot paths — that
+rides every sidecar, and the ratio comparison divides by it instead of
+adjudicating host changes in prose.
+
+Extracting it here also closes round-10 ADVICE #3: the probe block was
+copy-pasted between the two harnesses, so a retune of one silently
+broke the cross-sidecar normalization the probe exists for.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+#: Probe of the ANCHOR host class — the machine class on which the
+#: BASELINE.md sf0.1 anchors are considered valid (min-of-3 quiet
+#: runs, round-11 host: the class every anchor either was recorded on
+#: or has been re-validated/re-anchored against under the documented
+#: min-of-3-quiet-runs protocol).  A run whose measured probe differs
+#: from this records a normalization factor in its sidecar and the 2x
+#: fence compares probe-normalized ratios.  Update ONLY together with
+#: a re-anchor pass, with a note in BASELINE.md.
+#:
+#: Calibration context matters: the probe is measured INSIDE the
+#: harness, after the full warmup block, where it is session-stable
+#: (three fresh r11 sessions: sums 0.236 / 0.236 / 0.256); a bare
+#: session measures ~1.4x slower on the same machine because the JIT
+#: is cold.  These values are the r11-host harness-context midpoint.
+ANCHOR_PROBE = {"md5_2m_sec": 0.115, "regex_200k_sec": 0.130}
+
+#: Clamp bounds for the normalization factor: the probe measures two
+#: expression families, not the whole engine, so it must never scale
+#: an anchor by more than the plausible host spread (r9→r10 measured
+#: ~1.4x).  Outside the clamp the factor saturates and the raw ratio
+#: (always reported beside the normalized one) is the honest signal.
+PROBE_FACTOR_BOUNDS = (0.7, 1.5)
+
+
+def host_probe(spark: SparkSession, runs: int = 3) -> dict[str, float]:
+    """Deterministic, data-independent CPU fingerprint (seconds, lower
+    = faster): md5-hash throughput over 2M synthetic rows (the
+    dedup/shard hash family) and regex-extract throughput over 200k
+    rows (the quality-gate family).  Pure-JVM expressions — no I/O, no
+    Python workers.  Each probe runs once untimed (codegen for the
+    shape) then ``runs`` timed executions with the MIN recorded:
+    round 10's single-shot probes measured 0.400 vs 0.473 within the
+    SAME round under different load, so the min-of-3 is the machine's
+    capability, not the co-tenant's burst.
+    """
+
+    def _probe(df_builder) -> float:
+        df_builder().count()  # untimed: codegen for this shape
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            df_builder().count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    md5 = _probe(
+        lambda: spark.range(2_000_000)
+        .select(F.md5(F.col("id").cast("string")).alias("h"))
+        .filter("h is not null")
+    )
+    regex = _probe(
+        lambda: spark.range(200_000)
+        .select(
+            F.size(
+                F.regexp_extract_all(
+                    F.concat(
+                        F.lit("the quick brown fox jumps over the lazy dog "),
+                        F.col("id").cast("string"),
+                    ),
+                    F.lit(r"\b\w{4,}\b"),
+                    F.lit(0),
+                )
+            ).alias("n")
+        )
+        .filter("n >= 0")
+    )
+    return {"md5_2m_sec": md5, "regex_200k_sec": regex}
+
+
+def probe_sum(probe: dict[str, float] | None) -> float | None:
+    """Combined probe scalar: sum of the two families (both matter —
+    the catalog's expensive rows split roughly evenly between
+    hash-dominated dedup/shard work and regex-dominated gates)."""
+    if not probe:
+        return None
+    try:
+        v = float(probe["md5_2m_sec"]) + float(probe["regex_200k_sec"])
+    except (KeyError, TypeError, ValueError):
+        return None
+    return v if v > 0 else None
+
+
+def probe_factor(
+    current: dict[str, float] | None,
+    anchor: dict[str, float] | None = None,
+    bounds: tuple[float, float] = PROBE_FACTOR_BOUNDS,
+) -> float:
+    """Normalization factor f = clamp(probe_now / probe_anchor):
+    normalized_ratio = raw_ratio / f.  f > 1 means the current host is
+    SLOWER than the anchor class, so raw ratios are inflated by
+    exactly the machine, not the plan; f < 1 (faster host) tightens
+    the comparison symmetrically.  Missing/invalid probes degrade to
+    f = 1 (raw comparison), never to an exception."""
+    cur = probe_sum(current)
+    ref = probe_sum(anchor if anchor is not None else ANCHOR_PROBE)
+    if not cur or not ref:
+        return 1.0
+    lo, hi = bounds
+    return round(min(hi, max(lo, cur / ref)), 3)
+
+
+def same_probe_class(
+    a: dict[str, float] | None,
+    b: dict[str, float] | None,
+    tolerance: float = 0.25,
+) -> bool:
+    """True when two probes are within ``tolerance`` relative distance
+    — the min-merge guard for BENCH_QUERIES.json's per-class best map
+    (verdict #3: a fast-host historical minimum must not mask a
+    current-host regression, so bests only merge within a class)."""
+    sa, sb = probe_sum(a), probe_sum(b)
+    if not sa or not sb:
+        return False
+    return abs(sa / sb - 1.0) <= tolerance

@@ -302,15 +302,25 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
             ).alias("e")
         )
         .select("e.u", "e.v")
+        # NULL endpoints: the distributed path drops them implicitly
+        # (every step is an inner join), but toPandas would coerce an
+        # int column with NULLs to float64 — ids become floats, NULL
+        # becomes NaN — silently corrupting driver-path labels.  Drop
+        # them explicitly so both paths see the identical edge set.
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
         .localCheckpoint()
     )
-    if edges.count() <= driver_threshold:
+    # strict ">0" guard: driver_threshold=0 must force the distributed
+    # path even on an EMPTY edge set (the escape hatch the property
+    # tests rely on), and skipping the count() saves a job there
+    if driver_threshold > 0 and edges.count() <= driver_threshold:
         # exact union-find over the bounded, checkpointed edge set;
         # min-id-per-component matches the distributed fixpoint
-        # exactly.  Arrow fetch, not collect(): row-based collect of
-        # 150k edge rows costs seconds through py4j — enough to erase
-        # the win — while toPandas moves the same batch in ~0.1 s.
+        # exactly.  Arrow fetch, not collect(): a row-based py4j
+        # collect of even the threshold-bounded worst case (20k edge
+        # rows, DRIVER_CC_MAX_EDGES) costs enough to erode the win,
+        # while toPandas moves the same batch as one Arrow frame.
         pdf = edges.toPandas()
         parent: dict = {}
 

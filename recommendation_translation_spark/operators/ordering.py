@@ -355,7 +355,11 @@ def range_partitioned_measures(
     - ``("running_sum", value_col, out_col)`` — inclusive running sum;
     - ``("running_max", value_col, out_col)`` /
       ``("running_max", value_col, out_col, False)`` — running maximum
-      (4th element False = strictly-preceding frame).
+      (4th element False = strictly-preceding frame).  The value column
+      is CAST TO LONG (inherited from the single-measure primitive —
+      exact integer max semantics for the watermark/offset use cases);
+      a double-typed column gets truncated maxima, so pre-scale or
+      extend the spec before passing fractional values.
 
     A caller that needs both a document's global training-order
     position AND its global token offset (a shard-manifest writer)

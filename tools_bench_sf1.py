@@ -71,45 +71,26 @@ def main() -> int:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
 
-    # same deterministic host probe bench.py records (round-10): the
-    # fence anchors are host-sensitive too, and the probe lets a reader
-    # normalize an anchor ratio by machine instead of by prose
-    from pyspark.sql import functions as F
+    # same deterministic host probe bench.py records, from the SHARED
+    # helper (round-10 ADVICE #3: the block was copy-pasted between the
+    # two harnesses).  Since round-11 (verdict #3) the probe also FEEDS
+    # the fence: thresholds are scaled by the clamped probe factor vs
+    # the anchor class recorded in BENCH_SF1_BASELINE.json, so a host
+    # step inflates neither the re-measure count nor the violation list
+    # — both raw and normalized ratios land in the sidecar.
+    from recommendation_translation_spark.bench_common import (
+        host_probe as _host_probe,
+        probe_factor,
+    )
 
-    def _probe(df_builder) -> float:
-        df_builder().count()  # untimed: codegen for this shape
-        t0 = time.perf_counter()
-        df_builder().count()
-        return round(time.perf_counter() - t0, 3)
-
-    host_probe = {
-        "md5_2m_sec": _probe(
-            lambda: spark.range(2_000_000).select(
-                F.md5(F.col("id").cast("string")).alias("h")
-            ).filter("h is not null")
-        ),
-        "regex_200k_sec": _probe(
-            lambda: spark.range(200_000).select(
-                F.size(
-                    F.regexp_extract_all(
-                        F.concat(
-                            F.lit(
-                                "the quick brown fox jumps over the lazy dog "
-                            ),
-                            F.col("id").cast("string"),
-                        ),
-                        F.lit(r"\b\w{4,}\b"),
-                        F.lit(0),
-                    )
-                ).alias("n")
-            ).filter("n >= 0")
-        ),
-    }
+    host_probe = _host_probe(spark)
+    anchor_factor = probe_factor(host_probe, _b.get("anchor_probe"))
 
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
     loadavg: dict[str, float] = {}
     violations: list[str] = []
+    raw_violations: list[str] = []
     reruns: list[str] = []
     rerun_failures: dict[str, int] = {}
     # Same ordering rule as bench.py: ml_train_rmse runs BEFORE the
@@ -127,6 +108,7 @@ def main() -> int:
             print(f"# panel query {name} missing from catalog", file=sys.stderr)
             timings[name] = -1.0
             violations.append(name)
+            raw_violations.append(name)
             continue
         fn = qmap[name]
         # same cache hygiene as bench.py: drop the previous query's
@@ -160,11 +142,16 @@ def main() -> int:
         except Exception as exc:
             timings[name] = -1.0
             violations.append(name)
+            raw_violations.append(name)
             msg = " ".join(str(exc).split())[:200]
             print(f"# FAILED {name}: {msg}", file=sys.stderr)
             continue
         t = round(time.perf_counter() - t0, 2)
-        ref = baseline[name]
+        # probe-normalized threshold (round-11 verdict #3): the anchor
+        # was recorded on the anchor host class; scale it by the
+        # clamped factor so the 1.5x trigger and the 2x guard judge the
+        # plan, not the machine
+        ref = baseline[name] * anchor_factor
         # ml_train_rmse's cost is a Python-side model memo: a re-run is
         # warm through a mechanism clearCache cannot reach, so min()
         # would mask a training-cost regression (same NEVER_REMEASURE
@@ -213,7 +200,10 @@ def main() -> int:
         status = "VIOLATION" if t > 2.0 * ref else "ok"
         if status == "VIOLATION":
             violations.append(name)
-        print(f"# {name}: {t}s (ref {ref}s, rows={n}, load {loadavg[name]}) "
+        if t > 2.0 * baseline[name]:
+            raw_violations.append(name)
+        print(f"# {name}: {t}s (ref {ref}s = anchor {baseline[name]} x "
+              f"{anchor_factor}, rows={n}, load {loadavg[name]}) "
               f"{status}", file=sys.stderr)
     out = {
         "sf": 1.0,
@@ -223,9 +213,11 @@ def main() -> int:
         "queries": timings,
         "loadavg_1min": loadavg,
         "host_probe": host_probe,
+        "anchor_probe_factor": anchor_factor,
         "remeasured": sorted(reruns),
         "remeasure_failed": rerun_failures,
         "violations_2x": sorted(violations),
+        "violations_2x_raw": sorted(raw_violations),
     }
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
