@@ -569,12 +569,9 @@ def _queries_frame(emb: DataFrame) -> DataFrame:
 
 
 #: Target sub-corpus size for the SAMPLED recall audits (round-9
-#: verdict #3).  At or below this many vectors the sample modulus is 1
-#: — the sampled audit IS the exact audit, so every driver/bench hash
-#: is bit-identical to the exact form's discipline; beyond it the
-#: audit corpus stays bounded at ~this size, which caps the
-#: brute-force truth leg (the only ∝N cost the exact audits carry).
-_AUDIT_SAMPLE_TARGET = 20_000
+#: verdict #3).  Canonical value lives in sources.readers (round-11:
+#: shared with queries_analytics' sampled LSH audit, cycle-free).
+from .sources.readers import AUDIT_SAMPLE_TARGET as _AUDIT_SAMPLE_TARGET
 
 
 def _audit_sample_modulus(sf_dir: str) -> int:
@@ -585,17 +582,16 @@ def _audit_sample_modulus(sf_dir: str) -> int:
     oracle recomputes the identical s from COUNT(*) in SQL, so the
     sample membership — hence every audited number — is bit-identical
     across engines at any scale factor."""
-    from .sources.readers import table_row_count
+    from .sources.readers import audit_sample_modulus
 
-    n = table_row_count(sf_dir, "embeddings")
-    return max(1, -(-n // _AUDIT_SAMPLE_TARGET))
+    return audit_sample_modulus(sf_dir, "embeddings")
 
 
-def _audit_sample_cte(src: str = "embeddings") -> str:
+def _audit_sample_cte(src: str = "embeddings", id_col: str = "vec_id") -> str:
     """The oracle-side twin of :func:`_audit_sample_modulus`: a CTE
     body selecting the deterministic audit sub-corpus."""
     return (
-        f"SELECT * FROM {src} WHERE vec_id % (SELECT GREATEST(CAST("
+        f"SELECT * FROM {src} WHERE {id_col} % (SELECT GREATEST(CAST("
         f"CEIL(COUNT(*) / {_AUDIT_SAMPLE_TARGET}.0) AS BIGINT), 1) "
         f"FROM {src}) = 0"
     )
@@ -7530,6 +7526,23 @@ ORACLES["dedup_lsh_recall_report"] = f"""
 """.format(shingles=_SHINGLES_SQL)
 
 
+# Sampled twin (round-11 verdict #4): the identical audit SQL over the
+# deterministic ``doc_id % s`` sub-corpus, s recomputed from COUNT(*)
+# (the oracle-side mirror of sources.readers.audit_sample_modulus) —
+# at driver/bench SFs s = 1, so the hash gate covers the full
+# mechanism and the sampled report equals the exact one bit-for-bit.
+# Both "FROM documents" sites (the minhash signature CTE and the
+# shingle truth CTE) must redirect, hence the textual rewrite of the
+# exact report's SQL rather than a near-duplicate template.
+ORACLES["dedup_lsh_recall_sampled"] = ORACLES[
+    "dedup_lsh_recall_report"
+].replace("FROM documents", "FROM doc_sample").replace(
+    "WITH ",
+    f"WITH doc_sample AS ({_audit_sample_cte('documents', 'doc_id')}),\n    ",
+    1,
+)
+
+
 # ---------------------------------------------------------------------------
 # Round-5 late additions: duplicate-span corpus measurement, incremental
 # aggregate maintenance, and hash-checked driver rows for the two physical
@@ -8777,6 +8790,7 @@ QUERIES = {
     # in later rounds as needed) --
     "corpus_weighted_sample": _qa.q_corpus_weighted_sample,
     "dedup_lsh_recall_report": _qa.q_dedup_lsh_recall_report,
+    "dedup_lsh_recall_sampled": _qa.q_dedup_lsh_recall_sampled,
     "events_anomaly_mad": _qa.q_events_anomaly_mad,
     "events_first_last_touch": _qa.q_events_first_last_touch,
     "events_median_arrow": _qa.q_events_median_arrow,
@@ -9242,4 +9256,74 @@ _R10_WINDOW = [
 QUERIES = {
     **{k: QUERIES[k] for k in _R10_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)},
+}
+
+# -- Round-11 driver window (first 50 entries get this round's driver
+# correctness rows).  Ordering: (a) the TEN rows whose newest driver
+# row is r6 — the reference-pipeline core the round-10 verdict's #1
+# ask names (the r10 window listed three of them, but the driver runs
+# exactly 50 and they sat at positions 51-53); (b) round-11 additions
+# needing their first signal; (c) 39 of the 44 rows whose newest
+# driver row is r7 (alphabetical).  FIVE r7 rows spill to round 12 —
+# chosen as pure-SQL TPC-H shapes (tpch_q2/q4/q5/q6/q7), unchanged
+# since round 2 and re-pinned by the full oracle-parity pytest run
+# every round.  Sweep those five FIRST in the round-12 window. --
+_R11_WINDOW = [
+    # (a) r6-stale sweep (round-10 verdict #1)
+    "ml_cv_tuning",
+    "ml_feature_importance",
+    "ml_score_topk",
+    "ml_train_rmse",
+    "pipeline_e2e_score",
+    "predictions_fold",
+    "pricing_summary",
+    "rank_normalized",
+    "topk_per_group",
+    "tpch_q3_shipping",
+    # (b) new in r11
+    "dedup_lsh_recall_sampled",
+    # (c) r7-stale sweep (alphabetical; 5 TPC-H rows spill to r12)
+    "basket_part_pairs",
+    "corpus_blocklist",
+    "corpus_contamination",
+    "corpus_dedup_report",
+    "corpus_keep_best",
+    "corpus_keep_best_pairs",
+    "corpus_token_budget",
+    "count_by_site",
+    "customer_semi_anti",
+    "dedup_ngram_capped",
+    "distinct_sites",
+    "doc_array_funcs",
+    "emb_pq_topk",
+    "emb_pq_train_report",
+    "events_funnel",
+    "events_json_props",
+    "events_resample_interp",
+    "events_transitions",
+    "events_user_lag",
+    "events_zscore_outliers",
+    "exists_filter",
+    "feature_unpivot",
+    "lineitem_price_histogram",
+    "lineitem_skew_profile",
+    "lineitem_stats",
+    "mm_decode_png",
+    "nation_set_ops",
+    "orders_above_cust_avg",
+    "orders_cohort_retention",
+    "parquet_prune_roundtrip",
+    "pricing_cube",
+    "pricing_rollup",
+    "pricing_summary_sql",
+    "pysource_stream",
+    "pysource_write_roundtrip",
+    "suffix_filter_rewrite",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q22_acctbal",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R11_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
 }

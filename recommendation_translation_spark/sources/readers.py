@@ -287,6 +287,28 @@ def load_testdata(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Da
     return out
 
 
+#: Target sub-corpus size for the SAMPLED quality audits (round-9
+#: verdict #3 for the ANN recall grids; round-11 verdict #4 for the
+#: LSH dedup recall report).  Lives beside table_row_count because
+#: both catalog modules (queries, queries_analytics) derive the
+#: deterministic sample modulus s = ceil(n / target) from it and the
+#: import must stay cycle-free.  At or below this many rows s = 1 —
+#: the sampled audit IS the exact audit, so every driver/bench hash
+#: covers the full mechanism; beyond it the audit corpus stays bounded
+#: at ~this size, capping the brute-force truth leg (the only ∝N cost
+#: the exact audits carry).  The DuckDB oracles recompute the same s
+#: from COUNT(*), so sample membership is bit-identical cross-engine.
+AUDIT_SAMPLE_TARGET = 20_000
+
+
+def audit_sample_modulus(sf_dir: str, name: str) -> int:
+    """Deterministic audit-sample modulus s = ceil(n / target) for the
+    given table, with n from parquet FOOTER metadata (no Spark job at
+    plan build — see table_row_count)."""
+    n = table_row_count(sf_dir, name)
+    return max(1, -(-n // AUDIT_SAMPLE_TARGET))
+
+
 def table_row_count(sf_dir: str, name: str) -> int:
     """Table row count from parquet FOOTER metadata — a driver-side
     footer read, NO Spark job (round-7 verdict watch item: operators

@@ -663,13 +663,27 @@ def test_minhash_bands_rowlocal_equals_batch(spark):
             assert {r[0] for r in a} == {3}
 
 
-def test_shard_append_composes_into_gapless_layout(spark):
+def _sf_distributions():
+    import pytest
+
+    from .conftest import SF_ORACLE, SF_SMALL
+
+    return pytest.mark.parametrize(
+        "sf_dir", [SF_SMALL, SF_ORACLE, "/root/testdata/sf0.1"]
+    )
+
+
+@_sf_distributions()
+def test_shard_append_composes_into_gapless_layout(spark, sf_dir):
     # base manifest (doc_id % 10 != 0) + appended batch rows must form
     # ONE consistent shard layout: per shard, positions are 1..n with
     # no gap or overlap, every appended row lands strictly after the
     # base tail, and offset(p) is exactly the token sum of positions
     # < p — the invariant the append contract ("never reshuffle the
-    # base") exists to preserve.
+    # base") exists to preserve.  Parameterized over all three local
+    # distributions (round-10 verdict #7): a distribution-sensitive
+    # ordering bug — md5 order-key ties, empty shards, skewed token
+    # lengths — must not hide behind one dataset shape.
     from pyspark.sql import functions as F
 
     from recommendation_translation_spark.queries import (
@@ -678,14 +692,13 @@ def test_shard_append_composes_into_gapless_layout(spark):
         _shard_manifest_frame,
         _t,
     )
-    from .conftest import SF_SMALL
 
-    docs = _t(spark, SF_SMALL, "documents")
+    docs = _t(spark, sf_dir, "documents")
     keys = _shard_keys_frame(docs)
     base = _shard_manifest_frame(
         keys.filter(F.col("doc_id") % 10 != 0)
     ).collect()
-    appended = QUERIES["corpus_shard_append"](spark, SF_SMALL).collect()
+    appended = QUERIES["corpus_shard_append"](spark, sf_dir).collect()
 
     base_max = {}
     for r in base:

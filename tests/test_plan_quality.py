@@ -828,6 +828,9 @@ _SCALAR_FOLD_OK = {
     "corpus_interleave",
     # LSH recall report folds three 1-row count scalars
     "dedup_lsh_recall_report",
+    # ... and its round-11 sampled twin is the same fold shape over the
+    # deterministic bounded sub-corpus (s=1 at test SFs)
+    "dedup_lsh_recall_sampled",
     # reach curve: the cumulative window runs over the per-DAY relation
     # — bounded by the calendar (≤36.5k rows/century), not the data
     "events_reach_curve",

@@ -1297,6 +1297,21 @@ def test_sampled_audits_equal_exact_at_driver_sf(spark):
     assert sweep[50]["recall_refined_at_5"] == ref["recall_refined_at_5"]
     # more R never hurts: the refined recall is monotone in R
     assert sweep[200]["n_hit_refined"] >= sweep[50]["n_hit_refined"]
+    # round 11: the LSH dedup audit joins the sampled family — same
+    # s=1 bit-for-bit contract at driver SFs
+    lsh_exact = sorted(
+        map(
+            tuple,
+            QUERIES["dedup_lsh_recall_report"](spark, SF_SMALL).collect(),
+        )
+    )
+    lsh_sampled = sorted(
+        map(
+            tuple,
+            QUERIES["dedup_lsh_recall_sampled"](spark, SF_SMALL).collect(),
+        )
+    )
+    assert lsh_exact == lsh_sampled
 
 
 def test_pack_sequences_accepts_bpe_piece_counts(spark):
