@@ -185,7 +185,8 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
 def token_budget_sample(df: DataFrame, budget_tokens: int,
                         quality_col: str = "quality", tokens_col: str = "n_tokens",
                         id_col: str = "doc_id",
-                        carry_cols: tuple[str, ...] = ()) -> DataFrame:
+                        carry_cols: tuple[str, ...] = (),
+                        join_back: bool = True) -> DataFrame:
     """Select the highest-quality documents until a global token budget
     is reached: rank by (quality desc, id) and keep every document whose
     *running* token total stays within budget.
@@ -220,6 +221,17 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
     ~1.5× at sf0.1 on corpus_token_budget on a host with slow string
     ops).  Cheap-lineage callers of the raw primitives keep the
     default False, where the extra checkpoint costs more than it saves.
+
+    ``join_back=False`` (round-11): return the checkpointed narrow
+    selection itself — (id, carry, quality, tokens, running_tokens) —
+    without re-attaching the corpus columns.  A caller whose output
+    needs ONLY those columns should pass False: the join back to ``df``
+    re-evaluates df's surviving lineage over the WHOLE corpus just to
+    keep ~budget/mean_len rows — one wasted parquet re-scan on a raw
+    corpus, and a full re-execution of the fingerprint join once the
+    piece count became collapse-before-count (measured on
+    corpus_bpe_budget at sf3: ~24 s with the join-back vs ~7 s
+    without, identical rows).
     """
     from .ordering import range_partitioned_running_sum
 
@@ -235,6 +247,8 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
         (F.col("running_tokens") <= budget_tokens)
         | (F.col("running_tokens") == F.col(tokens_col))  # first doc
     )
+    if not join_back:
+        return sel
     # quality/token/carried columns come from the checkpointed
     # selection, so the corpus side contributes only its remaining
     # columns — a caller that projects narrow columns never recomputes

@@ -124,6 +124,90 @@ def bpe_piece_count(text: Column | str) -> Column:
     return F.length(F.translate(c, BPE_WHITESPACE, ""))
 
 
+#: Corpus size (parquet-footer row count) above which the catalog's
+#: BPE consumers switch to the collapsed counting plan.  Below it the
+#: direct chain is exchange-free and the collapse shuffle cannot pay
+#: for itself; above it the corpus is large enough that Θ(duplication)
+#: chain savings dominate one narrow exchange (and a production
+#: pipeline would set the dial from its own dedup report — the
+#: duplication ratio dedup_exact computes — rather than a row count).
+BPE_COLLAPSE_MIN_ROWS = 20_000
+
+
+def per_distinct_text(df: DataFrame, derive, text_col: str = "text") -> DataFrame:
+    """Collapse-before-compute for TEXT-FUNCTIONAL derivations (the
+    same insight that collapsed the SimHash pair enumeration): run
+    ``derive`` once per DISTINCT text and join the results back to
+    every row, so expression work scales with distinct texts, not rows
+    — Θ(duplication) savings on a duplication-heavy corpus, graceful
+    degradation (one narrow partial-agg exchange) on a unique one.
+
+    ``derive(reps, key_col)`` receives the representative frame —
+    columns ``(key_col, text_col)``, one row per distinct text — and
+    must return a frame that KEEPS ``key_col`` and adds the derived
+    columns; ``text_col`` is dropped from its result before the join
+    back (AQE broadcasts the narrow derived relation when small).
+
+    The key is sha2-256 of the text (the dedup_exact digest standard;
+    collision probability cryptographically negligible); NULL texts
+    ride the sentinel key ``'null'``, which no 64-hex-char digest can
+    collide with, so they form their own group and their derived
+    values stay exactly what ``derive`` computes on a NULL text."""
+    t = F.col(text_col)
+    key = F.when(t.isNull(), F.lit("null")).otherwise(F.sha2(t, 256))
+    with_key = df.withColumn("__text_fp", key)
+    reps = with_key.select("__text_fp", text_col).dropDuplicates(["__text_fp"])
+    derived = derive(reps, "__text_fp")
+    if text_col in derived.columns:
+        derived = derived.drop(text_col)
+    # Lazily checkpoint the derived relation: it is the expensive
+    # subtree (the text-functional expressions over every distinct
+    # text), and downstream consumers that evaluate their lineage more
+    # than once — the range-partitioned ordering's sampling + map
+    # passes, a join-back — would otherwise re-run the whole
+    # dedup+derive pipeline per evaluation (measured 26 → 9 s on
+    # corpus_bpe_budget at sf3).  The checkpoint is NARROW: key +
+    # derived numerics, no text — bounded by the distinct-text count.
+    derived = derived.localCheckpoint(eager=False)
+    return with_key.join(derived, "__text_fp").drop("__text_fp")
+
+
+def with_bpe_piece_count(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "n_pieces",
+    collapse: bool = False,
+) -> DataFrame:
+    """Attach the exact BPE piece count of ``text_col`` as ``out_col``.
+
+    ``collapse=False`` runs the 33-rule replace chain on every row —
+    zero exchanges, the right plan when texts are (near-)unique.
+
+    ``collapse=True`` is the collapse-before-count plan (round-10
+    verdict #5, the same text-functional insight that collapsed the
+    SimHash pair enumeration): the chain runs ONCE PER DISTINCT text —
+    group by a sha2-256 fingerprint (the dedup_exact digest standard;
+    collision probability cryptographically negligible), count the one
+    representative, join the narrow (fp, count) relation back (AQE
+    broadcasts it when small).  On a duplication-heavy corpus the
+    replace-chain work drops from Θ(rows) to Θ(distinct): measured
+    27.7 → 2.6 s at sf10 (K=10 tiled corpus).  On a fully unique
+    corpus it degrades gracefully — the chain still runs once per row
+    and the only extra cost is the fingerprint exchange.  Piece count
+    is a pure function of the text, so both paths are bit-identical
+    (property-pinned, NULL and empty texts included — see
+    :func:`per_distinct_text` for the key construction)."""
+    if not collapse:
+        return df.withColumn(out_col, bpe_piece_count(text_col).cast("long"))
+    return per_distinct_text(
+        df,
+        lambda reps, key: reps.select(
+            key, bpe_piece_count(text_col).cast("long").alias(out_col)
+        ),
+        text_col=text_col,
+    )
+
+
 def cross_engine_hash(col: Column | str, seed: str = "") -> Column:
     """32-bit deterministic hash identical in Spark and DuckDB SQL.
 

@@ -1047,7 +1047,9 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked selection under a global token budget (running-sum
     window over (quality desc, doc_id))."""
     q = quality_score(_t(spark, sf_dir, "documents"))
-    sel = token_budget_sample(q, budget_tokens=100_000)
+    # output needs only the narrow checkpointed columns — skip the
+    # join-back's wasted corpus re-scan (round-11, see the operator)
+    sel = token_budget_sample(q, budget_tokens=100_000, join_back=False)
     return sel.select(
         "doc_id", "n_tokens", "quality", F.col("running_tokens").cast("long").alias("running_tokens")
     )
@@ -1068,21 +1070,53 @@ def q_corpus_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule a real BPE merge (pair of tokens → one private-use symbol,
     cascades included).  The oracle replays the identical chain in
     DuckDB, so every count — and therefore the keep set — is
-    bit-exact."""
-    from .operators.text import bpe_piece_count
+    bit-exact.
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "n_bpe_pieces", bpe_piece_count("text").cast("long")
+    Round-11 (verdict #5): above BPE_COLLAPSE_MIN_ROWS (footer row
+    count, no Spark job) the WHOLE text-functional stage — the BPE
+    chain AND the quality score, both pure functions of the text —
+    collapses to once-per-DISTINCT-text via
+    operators.text.per_distinct_text (sha2-fingerprint join-back):
+    hash-identical by text-functionality, and expression work scales
+    with distinct texts instead of rows (sf10 measured in SCALE.md).
+    Driver/bench SFs keep the exchange-free direct plan."""
+    from .operators.text import (
+        BPE_COLLAPSE_MIN_ROWS,
+        bpe_piece_count,
+        per_distinct_text,
     )
-    q = quality_score(docs, keep_cols=("n_bpe_pieces",))
+    from .sources.readers import table_row_count
+
+    docs = _t(spark, sf_dir, "documents")
+    if table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS:
+        q = per_distinct_text(
+            docs.select("doc_id", "text"),
+            lambda reps, key: quality_score(
+                reps.withColumn(
+                    "n_bpe_pieces", bpe_piece_count("text").cast("long")
+                ),
+                id_col=key,
+                keep_cols=("n_bpe_pieces",),
+            ),
+        )
+    else:
+        q = quality_score(
+            docs.withColumn(
+                "n_bpe_pieces", bpe_piece_count("text").cast("long")
+            ),
+            keep_cols=("n_bpe_pieces",),
+        )
     sel = token_budget_sample(
         q,
         budget_tokens=50_000,
         tokens_col="n_bpe_pieces",
         # ride the whitespace count inside the ordering checkpoint: the
-        # join-back side then contributes only doc_id, so the corpus
-        # text is evaluated exactly once (sf3: 50.5 -> ~19 s)
+        # corpus text is then evaluated exactly once (sf3: 50.5 -> ~19 s)
         carry_cols=("n_tokens",),
+        # every output column lives in the checkpointed narrow
+        # selection — the join-back would re-execute the collapsed
+        # fingerprint join over the whole corpus (sf3: ~24 -> ~7 s)
+        join_back=False,
     )
     return sel.select(
         "doc_id",
@@ -6530,14 +6564,19 @@ def q_corpus_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the training-shard layout must be computed in the unit the
     model consumes.  Same two-pass range-partitioned running sum (no
     SinglePartition window); the oracle replays the identical merge
-    chain, so every pack boundary is bit-exact."""
+    chain, so every pack boundary is bit-exact.  Same size-gated
+    collapse-before-count as corpus_bpe_budget (round-11 verdict #5):
+    beyond the footer-count gate the chain runs once per distinct
+    text."""
     from .operators.curation import pack_sequences
-    from .operators.text import bpe_piece_count
+    from .operators.text import BPE_COLLAPSE_MIN_ROWS, with_bpe_piece_count
+    from .sources.readers import table_row_count
 
     docs = _t(spark, sf_dir, "documents")
-    narrow = docs.select(
-        "doc_id", bpe_piece_count("text").cast("long").alias("n_pieces")
-    )
+    narrow = with_bpe_piece_count(
+        docs.select("doc_id", "text"),
+        collapse=table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS,
+    ).select("doc_id", "n_pieces")
     out = pack_sequences(narrow, seq_len=512, tokens_col="n_pieces")
     return out.select(
         "doc_id", "n_pieces", "pack_id", "pack_offset", "n_spanned"

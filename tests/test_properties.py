@@ -1245,6 +1245,41 @@ def test_bpe_piece_count_equals_reference_bpe(spark, texts):
     assert got == want
 
 
+def test_bpe_collapse_path_equals_direct_path(spark):
+    """with_bpe_piece_count(collapse=True) — chain once per DISTINCT
+    text, sha2-fingerprint join-back (round-11 verdict #5) — must be
+    row-for-row identical to the direct chain, including the edge
+    inputs the fingerprint key has to survive: duplicated texts (the
+    collapse's raison d'être), the empty string, NULL text (sentinel
+    key, NULL count preserved — a plain sha2 join key would DROP those
+    rows), and the literal string 'null' (must not collide with the
+    NULL sentinel's group)."""
+    from recommendation_translation_spark.operators.text import (
+        with_bpe_piece_count,
+    )
+
+    rows = [
+        (1, "the theatre reopened"),
+        (2, "the theatre reopened"),   # exact duplicate
+        (3, ""),                        # empty: 0 pieces, not NULL
+        (4, None),                      # NULL text: NULL count
+        (5, "null"),                    # must not join the NULL group
+        (6, "the theatre reopened"),
+        (7, "ingestion and relation"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = sorted(
+        map(tuple, with_bpe_piece_count(df, collapse=False).collect())
+    )
+    collapsed = sorted(
+        map(tuple, with_bpe_piece_count(df, collapse=True).collect())
+    )
+    assert direct == collapsed
+    by_id = {r[0]: r[2] for r in collapsed}
+    assert by_id[3] == 0 and by_id[4] is None
+    assert by_id[1] == by_id[2] == by_id[6]
+
+
 def test_audit_sample_modulus_matches_sql_twin(tmp_path):
     """The Python footer-count modulus (ceil(n / target)) and the
     oracle's GREATEST(CEIL(COUNT(*) / target.0), 1) must agree on
