@@ -40,42 +40,14 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     import __spark_entry__ as entry_mod
 
-    # Untimed warmup: JVM/codegen spin-up and the OS page-cache read of
-    # the input files otherwise land entirely on whichever query runs
-    # first (~3-5 s attributed to an 0.5 s query).  Standard bench
-    # methodology; per-query numbers then measure the queries.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-    # ... and the dominant PLAN SHAPES (whole-stage-codegen compilation
-    # is per-shape): hash agg, window, explode+agg, and a shuffle join.
-    from pyspark.sql import Window, functions as F  # noqa: E402
+    # Untimed warmup (shared helper since round-11 — the host probe is
+    # context-sensitive, see bench_common.warmup): JVM/codegen, page
+    # cache, dominant plan shapes, the Python worker daemon, and the
+    # Arrow driver-collection path — one-time costs that would
+    # otherwise land on whichever query runs first.
+    from recommendation_translation_spark.bench_common import warmup
 
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    li.groupBy("l_returnflag").agg(F.sum("l_quantity")).count()
-    li.limit(50_000).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("l_orderkey")
-        ),
-    ).count()
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(200)
-    docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w")).groupBy(
-        "w"
-    ).count().count()
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    li.limit(50_000).join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
-    # ... and the PYTHON worker daemon: the Arrow-batched Python paths
-    # (UDTF chunking, mapInPandas decode, the Python DataSource) pay a
-    # ~1 s daemon spawn on their first use, which otherwise lands on
-    # whichever Python query sorts first (doc_chunks_udtf in r3).
-    spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
-    # ... and the Arrow driver-collection path (toPandas): the
-    # size-gated union-find in dup_clusters fetches its edge set this
-    # way, and the first Arrow collection in a session pays a multi-
-    # second serializer spin-up that would otherwise land on whichever
-    # CC consumer sorts first (corpus_dedup_report).
-    spark.range(10_000).toPandas()
+    warmup(spark, sf_dir)
 
     # HOST PROBE (round-10; shared helper since round-11 — ADVICE #3):
     # a deterministic, data-independent CPU fingerprint recorded in the

@@ -64,12 +64,14 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     spark = get_spark(app_name="bench_sf1")
-    # same warmup as bench.py: JVM + page cache + dominant plan shapes
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for t in ("lineitem", "orders", "customer", "events", "documents",
-              "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-    spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
+    # the SHARED bench warmup (bench_common, round-11): identical
+    # context is required for the probe to be comparable — this tool's
+    # old lighter warmup left CPU clocks low and the probe read ~1.3×
+    # slower than bench.py's on the same machine, silently loosening
+    # every normalized threshold
+    from recommendation_translation_spark.bench_common import warmup
+
+    warmup(spark, sf_dir)
 
     # same deterministic host probe bench.py records, from the SHARED
     # helper (round-10 ADVICE #3: the block was copy-pasted between the
