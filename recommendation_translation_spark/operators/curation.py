@@ -24,6 +24,8 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,6 +51,8 @@ __all__ = [
     "pack_sequences",
     "source_quota",
     "corpus_profile",
+    "dsir_select",
+    "shard_divergence",
     "EMAIL_RE",
     "PHONE_RE",
 ]
@@ -1166,5 +1170,200 @@ def bloom_decontaminate(docs_with_split: DataFrame, n: int = 8,
                 F.coalesce("bloom_hit", F.lit(False))
                 | ~F.coalesce("exact_hit", F.lit(False))
             ).alias("no_false_negative"),
+        )
+    )
+
+
+def _hashed_bigram_buckets(text_col: str, n_buckets: int) -> F.Column:
+    """Array of hashed-bigram feature buckets for one document.
+
+    Bigrams of the whitespace tokens, each hashed into ``n_buckets``
+    buckets with the cross-engine md5 slice (operators.text), so a
+    DuckDB oracle reproduces the feature map bit-exactly.  Documents
+    with fewer than two tokens get an empty array (no features).
+
+    The token array is LET-BOUND through ``transform(array(t), arr →
+    …)`` before the per-gram loop: Catalyst's CollapseProject inlines
+    a plain alias into every lambda reference, re-running the
+    tokenizing split once per GRAM instead of once per row (measured
+    5-8× on the bench corpus); a lambda variable is evaluated exactly
+    once.
+    """
+    from .text import cross_engine_hash
+
+    def per_doc(arr: F.Column) -> F.Column:
+        return F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: cross_engine_hash(
+                    F.concat_ws(" ", F.slice(arr, i, 2)), seed="dsir"
+                )
+                % n_buckets,
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return F.flatten(F.transform(F.array(tokens(text_col)), per_doc))
+
+
+def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
+                k: int = 100, text_col: str = "text",
+                id_col: str = "doc_id",
+                carry_cols: tuple[str, ...] = ("source", "lang")) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", NeurIPS): score
+    every document by the log-likelihood ratio of its hashed-bigram
+    features under the TARGET distribution (rows where ``target`` is
+    true — the curated set you want more of) vs the RAW corpus
+    distribution, then keep the top ``k``.
+
+    Published recipe for steering a web-scale crawl toward a target
+    domain without training a classifier; here the estimator is the
+    hashed unigram-of-bigrams model from the paper (add-one smoothing
+    over ``n_buckets`` buckets).
+
+    Scale shape (100 TB):
+
+    - ONE corpus pass builds both feature distributions: explode the
+      hashed bigrams and aggregate per bucket with a conditional sum —
+      the shuffle carries at most ``n_buckets`` keys and map-side
+      partials collapse everything else;
+    - the per-bucket log-ratio table is ≤ ``n_buckets`` rows and is
+      BROADCAST to the scoring pass, so scoring is scan + broadcast
+      hash join; a document's exploded features stay in their input
+      partition, so the per-document sum partial-aggregates before the
+      only document-sized shuffle (one row per doc);
+    - the two grand totals fold back onto the bucket table via a 1-row
+      broadcast (the catalog's scalar-fold pattern — bytes, not data);
+    - top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject, never a
+      single-reducer global window;
+    - scoring is a SECOND streaming pass over the corpus (the DSIR
+      model-build + score shape): the exploded feature stream is never
+      materialized — two scans beat writing a corpus-sized feature
+      table just to read it back once.
+
+    Scores are rounded to 6 dp BEFORE ranking and ties break on
+    ``id_col``, so the k-boundary is deterministic cross-engine.
+    Documents with < 2 tokens have no features and are not scored.
+    """
+    # spread the raw rows before tokenize+explode (the doc_ngrams /
+    # word_shingles discipline): few input splits must not serialize
+    # the gram hashing into few tasks
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    feats = docs.repartition(par).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        target.cast("boolean").alias("is_target"),
+        F.explode(_hashed_bigram_buckets(text_col, n_buckets)).alias("bucket"),
+    )
+    per_bucket = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    # ≤ n_buckets rows but corpus-sized lineage: checkpoint once so the
+    # grand-total fold and the log-ratio projection don't each re-run
+    # the model-building corpus pass
+    per_bucket = per_bucket.localCheckpoint(eager=False)
+    totals = per_bucket.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    lr_tbl = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(F.col("c_tgt") + 1) - F.log(F.col("t_tgt") + n_buckets)
+            - F.log(F.col("c_raw") + 1) + F.log(F.col("t_raw") + n_buckets)
+        ).alias("lr"),
+    )
+    scores = (
+        feats.join(F.broadcast(lr_tbl), "bucket")
+        .groupBy(id_col, *carry_cols)
+        .agg(F.round(F.sum("lr"), 6).alias("score"))
+    )
+    return scores.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def shard_divergence(docs_with_shard: DataFrame, shard_col: str = "shard",
+                     text_col: str = "text") -> DataFrame:
+    """Per-shard unigram Jensen-Shannon divergence vs the global corpus
+    — the data-mixing diagnostic for a training shard layout: a shard
+    whose token distribution drifts from the corpus signals a skewed
+    order key or a bad interleave upstream.
+
+    For shard distribution P and global distribution Q (natural log):
+    ``JSD = 0.5·Σ p·ln(p/m) + 0.5·Σ q·ln(q/m)``, ``m = (p+q)/2``.
+    Tokens ABSENT from a shard contribute ``0.5·q·ln 2`` to the second
+    sum, so the whole absent tail folds into the closed form
+    ``0.5·ln 2·(1 − Σ_present q)`` — no shard×vocab grid is ever
+    materialized; the plan touches only (shard, token) pairs that
+    exist.
+
+    Scale shape: one groupBy(shard, token) shuffle over the corpus
+    (map-side combine makes the shuffle |shards|×|vocab|-bounded);
+    global token counts come from a window over THAT bounded relation
+    (partitioned by token — no broadcast of a vocab-sized table, no
+    second corpus pass); the grand total is the catalog's 1-row
+    broadcast scalar fold.  Per-shard output: document count, token
+    count, JSD (6 dp), and the most over-represented token
+    (max p/q at 6 dp, alphabetical tie-break).  Shards whose documents
+    are all blank carry no distribution and are omitted.
+    """
+    par = docs_with_shard.sparkSession.sparkContext.defaultParallelism
+    tok = docs_with_shard.repartition(par).select(
+        F.col(shard_col).alias("shard"), F.explode(tokens(text_col)).alias("tok")
+    )
+    st = tok.groupBy("shard", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    w_tok = Window.partitionBy("tok")
+    w_shard = Window.partitionBy("shard")
+    enriched = st.withColumn("c_g", F.sum("c_st").over(w_tok)).withColumn(
+        "t_s", F.sum("c_st").over(w_shard)
+    )
+    g_tot = st.agg(F.sum("c_st").alias("g_tot"))
+    p = F.col("c_st") / F.col("t_s")
+    q = F.col("c_g") / F.col("g_tot")
+    m = (p + q) / 2
+    terms = enriched.crossJoin(F.broadcast(g_tot)).select(
+        "shard",
+        "tok",
+        F.col("t_s"),
+        (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("contrib"),
+        q.alias("q_present"),
+        F.round(p / q, 6).alias("over_ratio"),
+    )
+    # terms is |shards|×|vocab|-bounded but its lineage is the full
+    # corpus explode+aggregate — checkpoint it once so the JSD fold and
+    # the top-token window don't each re-run the corpus pass
+    terms = terms.localCheckpoint(eager=False)
+    top_tok = (
+        terms.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy(
+                    F.col("over_ratio").desc(), F.col("tok")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("shard", F.col("tok").alias("top_token"))
+    )
+    per_shard = terms.groupBy("shard").agg(
+        F.max("t_s").alias("n_tokens"),
+        F.round(
+            F.sum("contrib")
+            + 0.5 * math.log(2) * (1 - F.sum("q_present")),
+            6,
+        ).alias("js_divergence"),
+    )
+    n_docs = docs_with_shard.groupBy(F.col(shard_col).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        per_shard.join(F.broadcast(n_docs), "shard")
+        .join(F.broadcast(top_tok), "shard")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "js_divergence",
+            "top_token",
         )
     )

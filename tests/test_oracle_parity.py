@@ -42,6 +42,10 @@ def test_all_queries_have_oracle_or_are_ml():
 # round-half tie in the interpolator and a sparse-tail p99 flag) that
 # sf0.01 alone never exercises.
 CROSS_SF_SENSITIVE = [
+    # round-11 curation additions: scores / divergences / the top-k
+    # boundary are all data-distribution dependent
+    "corpus_dsir_select",
+    "corpus_shard_divergence",
     "events_resample_interp",
     "events_approx_stats",
     "events_sketch_stats",

@@ -849,6 +849,11 @@ _SCALAR_FOLD_OK = {
     # temperature sampler folds the 1-row max-sqrt scalar into the
     # |langs|-row rate table
     "corpus_temperature_sample",
+    # round 11: DSIR folds the two grand totals (1 row) onto the
+    # ≤1024-row bucket table; shard divergence folds the 1-row global
+    # token total onto the |shards|×|vocab|-bounded term relation
+    "corpus_dsir_select",
+    "corpus_shard_divergence",
     # round 7: PQ search broadcasts the bounded query panel with a
     # non-equi self-exclusion (cand_id <> query_id) — the same
     # BroadcastNestedLoopJoin shape as emb_cosine_topk/emb_sq8_topk
@@ -1475,3 +1480,26 @@ def test_incremental_persisted_band_join_scans_index_not_text(spark):
     assert index_scans, plan
     for s in index_scans:
         assert "text" not in s, "band-table scan reads text:\n" + s
+
+
+def test_dsir_select_broadcast_scoring_and_take_ordered(spark):
+    # DSIR: the ≤1024-row log-ratio table broadcasts to the scoring
+    # scan, and top-k is TakeOrderedAndProject — never a single-reducer
+    # global window over the corpus
+    df = QUERIES["corpus_dsir_select"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # bucket-count agg (bounded keys), 1-row totals fold, per-doc score
+    # agg — nothing else may shuffle
+    assert count_exchanges(df) <= 4, plan
+
+
+def test_shard_divergence_single_corpus_pass(spark):
+    # the (shard, token) term relation is checkpointed, so the corpus
+    # is tokenized ONCE; the only live FileScan in the final plan is
+    # the narrow n_docs count (doc_id column only)
+    df = QUERIES["corpus_shard_divergence"](spark, SF_SMALL)
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert count_exchanges(df) <= 4, plan

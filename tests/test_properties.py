@@ -1378,3 +1378,60 @@ def test_pack_sequences_accepts_bpe_piece_counts(spark):
             end = offset + r.n_bpe_pieces - 1
             assert r.n_spanned == end // seq_len - offset // seq_len + 1
         offset += r.n_bpe_pieces
+
+
+def test_shard_divergence_identical_and_disjoint_extremes(spark):
+    # identical per-shard distributions → JSD exactly 0; two equal-mass
+    # shards with disjoint vocabularies → the closed-form value of
+    # JSD(shard, global-mixture), hand-computed here.  Pins both the
+    # present-term sum and the absent-token closed form.
+    from recommendation_translation_spark.operators.curation import (
+        shard_divergence,
+    )
+
+    same = spark.createDataFrame(
+        [(i, "a b c", i % 2) for i in range(8)],
+        "doc_id long, text string, shard int",
+    )
+    for r in shard_divergence(same).collect():
+        assert r["js_divergence"] == 0.0
+        assert r["n_docs"] == 4 and r["n_tokens"] == 12
+
+    disjoint = spark.createDataFrame(
+        [(0, "a a", 0), (1, "b b", 1)],
+        "doc_id long, text string, shard int",
+    )
+    # P = {x: 1}, global = {a: .5, b: .5}; m_present = .75, the absent
+    # token's q folds as 0.5·ln2·q
+    expected = round(
+        0.5 * math.log(4 / 3)
+        + 0.5 * (0.5 * math.log(2 / 3))
+        + 0.5 * math.log(2) * 0.5,
+        6,
+    )
+    for r in shard_divergence(disjoint).collect():
+        assert r["js_divergence"] == expected, (r, expected)
+
+
+def test_dsir_select_ranks_target_like_raw_docs_first(spark):
+    # a raw document written in the target vocabulary must outscore
+    # every document written in the off-target vocabulary, and target
+    # membership itself must not leak into the score (scoring is
+    # feature-based, not label-based)
+    from recommendation_translation_spark.operators.curation import dsir_select
+
+    rows = [(i, "alpha beta gamma delta epsilon", "s", "tgt") for i in range(5)]
+    rows += [(100, "alpha beta gamma delta epsilon", "s", "raw")]
+    rows += [(200 + i, "zeta eta theta iota kappa", "s", "raw") for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    out = dsir_select(
+        docs, target=F.col("lang") == "tgt", n_buckets=64, k=11
+    ).collect()
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert len(scores) == 11
+    off_target_best = max(s for d, s in scores.items() if d >= 200)
+    assert scores[100] > off_target_best
+    # identical text ⇒ identical score regardless of the target flag
+    assert scores[100] == scores[0]
