@@ -1233,8 +1233,11 @@ def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
       hash join; a document's exploded features stay in their input
       partition, so the per-document sum partial-aggregates before the
       only document-sized shuffle (one row per doc);
-    - the two grand totals fold back onto the bucket table via a 1-row
-      broadcast (the catalog's scalar-fold pattern — bytes, not data);
+    - the two grand totals come from an unpartitioned window over the
+      bounded bucket table (a SinglePartition pass over bytes), keeping
+      model-build a single subtree — sharing the bucket table between a
+      scalar-fold subtree and the broadcast via a lazy checkpoint races
+      the two consumers into duplicate corpus passes;
     - top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject, never a
       single-reducer global window;
     - scoring is a SECOND streaming pass over the corpus (the DSIR
@@ -1260,18 +1263,21 @@ def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
         F.count(F.lit(1)).alias("c_raw"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
     )
-    # ≤ n_buckets rows but corpus-sized lineage: checkpoint once so the
-    # grand-total fold and the log-ratio projection don't each re-run
-    # the model-building corpus pass
-    per_bucket = per_bucket.localCheckpoint(eager=False)
-    totals = per_bucket.agg(
-        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
-    )
-    lr_tbl = per_bucket.crossJoin(F.broadcast(totals)).select(
+    # the grand totals come from an UNPARTITIONED window over the
+    # ≤ n_buckets-row bucket table — a SinglePartition pass over bytes
+    # — keeping the model a single subtree.  The 1-row-aggregate
+    # crossJoin fold would give the same plan shape in two subtrees,
+    # and any attempt to share per_bucket between them (lazy
+    # localCheckpoint) races its two consumers into duplicate corpus
+    # passes (measured 10.8 s vs 5.2 s at sf1).
+    w_all = Window.partitionBy()
+    lr_tbl = per_bucket.select(
         "bucket",
         (
-            F.log(F.col("c_tgt") + 1) - F.log(F.col("t_tgt") + n_buckets)
-            - F.log(F.col("c_raw") + 1) + F.log(F.col("t_raw") + n_buckets)
+            F.log(F.col("c_tgt") + 1)
+            - F.log(F.sum("c_tgt").over(w_all) + n_buckets)
+            - F.log(F.col("c_raw") + 1)
+            + F.log(F.sum("c_raw").over(w_all) + n_buckets)
         ).alias("lr"),
     )
     scores = (
@@ -1297,53 +1303,42 @@ def shard_divergence(docs_with_shard: DataFrame, shard_col: str = "shard",
     materialized; the plan touches only (shard, token) pairs that
     exist.
 
-    Scale shape: one groupBy(shard, token) shuffle over the corpus
-    (map-side combine makes the shuffle |shards|×|vocab|-bounded);
-    global token counts come from a window over THAT bounded relation
-    (partitioned by token — no broadcast of a vocab-sized table, no
-    second corpus pass); the grand total is the catalog's 1-row
-    broadcast scalar fold.  Per-shard output: document count, token
-    count, JSD (6 dp), and the most over-represented token
-    (max p/q at 6 dp, alphabetical tie-break).  Shards whose documents
-    are all blank carry no distribution and are omitted.
+    Scale shape: ONE corpus pass — a groupBy(shard, token) shuffle
+    (map-side combine makes the shuffle |shards|×|vocab|-bounded) —
+    then three windows over that bounded relation (per-token, per-
+    shard, and one unpartitioned pass over bytes for the grand total:
+    no broadcast of a vocab-sized table, no second corpus pass), and
+    ONE per-shard aggregation in which the most over-represented token
+    falls out as a ``min_by`` argmax (max p/q at 6 dp, alphabetical
+    tie-break) — no window branch, so nothing re-reads the corpus and
+    nothing needs a checkpoint.  The only other scan is the narrow
+    per-shard document count.  Per-shard output: document count, token
+    count, JSD (6 dp), top token.  Shards whose documents are all
+    blank carry no distribution and are omitted.
     """
     par = docs_with_shard.sparkSession.sparkContext.defaultParallelism
     tok = docs_with_shard.repartition(par).select(
         F.col(shard_col).alias("shard"), F.explode(tokens(text_col)).alias("tok")
     )
     st = tok.groupBy("shard", "tok").agg(F.count(F.lit(1)).alias("c_st"))
-    w_tok = Window.partitionBy("tok")
-    w_shard = Window.partitionBy("shard")
-    enriched = st.withColumn("c_g", F.sum("c_st").over(w_tok)).withColumn(
-        "t_s", F.sum("c_st").over(w_shard)
+    enriched = st.select(
+        "shard",
+        "tok",
+        "c_st",
+        F.sum("c_st").over(Window.partitionBy("tok")).alias("c_g"),
+        F.sum("c_st").over(Window.partitionBy("shard")).alias("t_s"),
+        F.sum("c_st").over(Window.partitionBy()).alias("g_tot"),
     )
-    g_tot = st.agg(F.sum("c_st").alias("g_tot"))
     p = F.col("c_st") / F.col("t_s")
     q = F.col("c_g") / F.col("g_tot")
     m = (p + q) / 2
-    terms = enriched.crossJoin(F.broadcast(g_tot)).select(
+    terms = enriched.select(
         "shard",
         "tok",
         F.col("t_s"),
         (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("contrib"),
         q.alias("q_present"),
         F.round(p / q, 6).alias("over_ratio"),
-    )
-    # terms is |shards|×|vocab|-bounded but its lineage is the full
-    # corpus explode+aggregate — checkpoint it once so the JSD fold and
-    # the top-token window don't each re-run the corpus pass
-    terms = terms.localCheckpoint(eager=False)
-    top_tok = (
-        terms.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("shard").orderBy(
-                    F.col("over_ratio").desc(), F.col("tok")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("shard", F.col("tok").alias("top_token"))
     )
     per_shard = terms.groupBy("shard").agg(
         F.max("t_s").alias("n_tokens"),
@@ -1352,18 +1347,18 @@ def shard_divergence(docs_with_shard: DataFrame, shard_col: str = "shard",
             + 0.5 * math.log(2) * (1 - F.sum("q_present")),
             6,
         ).alias("js_divergence"),
+        F.min_by(
+            F.col("tok"),
+            F.struct((-F.col("over_ratio")).alias("nr"), F.col("tok").alias("tk")),
+        ).alias("top_token"),
     )
     n_docs = docs_with_shard.groupBy(F.col(shard_col).alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    return (
-        per_shard.join(F.broadcast(n_docs), "shard")
-        .join(F.broadcast(top_tok), "shard")
-        .select(
-            F.col("shard").cast("long").alias("shard"),
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            "js_divergence",
-            "top_token",
-        )
+    return per_shard.join(F.broadcast(n_docs), "shard").select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "js_divergence",
+        "top_token",
     )

@@ -8802,9 +8802,11 @@ def q_corpus_shard_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 shard assignment as corpus_shard_manifest — the mixing
     diagnostic for a training shard layout.  The absent-token tail of
     the JSD folds into a closed form, so the plan touches only the
-    (shard, token) pairs that exist: one corpus aggregation bounded to
-    |shards|×|vocab| rows, windows over that bounded relation, and the
-    catalog's 1-row scalar fold for the grand total."""
+    (shard, token) pairs that exist: ONE corpus aggregation bounded to
+    |shards|×|vocab| rows, three windows over that bounded relation
+    (including the unpartitioned grand-total pass over bytes), and a
+    min_by argmax for the top token inside the per-shard aggregation —
+    a single subtree, nothing re-reads the corpus."""
     from .operators.curation import shard_divergence
     from .operators.text import cross_engine_hash
 

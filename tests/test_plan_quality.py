@@ -849,9 +849,11 @@ _SCALAR_FOLD_OK = {
     # temperature sampler folds the 1-row max-sqrt scalar into the
     # |langs|-row rate table
     "corpus_temperature_sample",
-    # round 11: DSIR folds the two grand totals (1 row) onto the
-    # ≤1024-row bucket table; shard divergence folds the 1-row global
-    # token total onto the |shards|×|vocab|-bounded term relation
+    # round 11: DSIR and shard divergence take their grand totals from
+    # an unpartitioned window over an already-bounded relation (the
+    # ≤1024-row bucket table / the |shards|×|vocab| term relation) — a
+    # SinglePartition pass over bytes that keeps each model a single
+    # subtree instead of a racing scalar-fold twin
     "corpus_dsir_select",
     "corpus_shard_divergence",
     # round 7: PQ search broadcasts the bounded query panel with a
@@ -1490,16 +1492,18 @@ def test_dsir_select_broadcast_scoring_and_take_ordered(spark):
     plan = physical_plan(df, mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
-    # bucket-count agg (bounded keys), 1-row totals fold, per-doc score
-    # agg — nothing else may shuffle
-    assert count_exchanges(df) <= 4, plan
+    # two input-spread repartitions (model + scoring pass), bucket-count
+    # agg (bounded keys), the byte-sized grand-total window, per-doc
+    # score agg — nothing else may shuffle
+    assert count_exchanges(df) <= 5, plan
 
 
 def test_shard_divergence_single_corpus_pass(spark):
-    # the (shard, token) term relation is checkpointed, so the corpus
-    # is tokenized ONCE; the only live FileScan in the final plan is
-    # the narrow n_docs count (doc_id column only)
+    # the whole divergence is ONE subtree over one corpus tokenize pass
+    # (top token via min_by argmax, not a second window branch); the
+    # only other scan is the narrow n_docs count (doc_id column only)
     df = QUERIES["corpus_shard_divergence"](spark, SF_SMALL)
     plan = physical_plan(df, mode="simple")
-    assert plan.count("FileScan parquet") == 1, plan
-    assert count_exchanges(df) <= 4, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert plan.count("Generate explode") == 1, plan
+    assert count_exchanges(df) <= 6, plan
