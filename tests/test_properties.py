@@ -1435,3 +1435,20 @@ def test_dsir_select_ranks_target_like_raw_docs_first(spark):
     assert scores[100] > off_target_best
     # identical text ⇒ identical score regardless of the target flag
     assert scores[100] == scores[0]
+
+
+def test_dsir_select_degenerate_target_sets(spark):
+    # empty target set: every bucket's lr = ln(1) - ln(B) - ln(c_raw+1)
+    # + ln(T+B) — still well-defined (add-one smoothing), no crash, and
+    # the all-target corpus scores symmetrically; both must return
+    # min(k, scored docs) rows with no NULL scores
+    from recommendation_translation_spark.operators.curation import dsir_select
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "s", "raw") for i in range(6)],
+        "doc_id long, text string, source string, lang string",
+    )
+    for predicate in (F.lit(False), F.lit(True)):
+        out = dsir_select(docs, target=predicate, n_buckets=64, k=10).collect()
+        assert len(out) == 6
+        assert all(r["score"] is not None for r in out)
