@@ -734,11 +734,12 @@ def doc_ngrams(df: DataFrame, n: int = 8, text_col: str = "text",
     ``('0x' || substr(md5(g),1,15))::BIGINT``), so an oracle computing
     the same digest sees identical results, collisions included; at
     10⁶ grams the 60-bit collision odds are ~4·10⁻⁷."""
+    from .text import ngram_strings
+
     toks = tokens(F.lower(F.col(text_col)))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # let-bound gram generation (operators.text.ngram_strings): the
+    # token split must run once per row, not once per gram
+    grams = ngram_strings(toks, n)
     # spread the raw rows before tokenize+explode (see
     # dedup.word_shingles) — few input splits must not serialize the
     # gram generation/hashing into few tasks.
@@ -836,11 +837,11 @@ def _positional_dup_grams(docs: DataFrame, n: int, text_col: str,
     Returns ``(base, toks, posgrams, dup)``: the repartitioned
     (id, text) relation, the token-array Column, the (id, start,
     gram) relation (1-based starts), and the duplicated-gram keys."""
+    from .text import ngram_strings
+
     toks = tokens(F.lower(F.col(text_col)))
-    gram_str = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # let-bound (see ngram_strings): one split per row, not per gram
+    gram_str = ngram_strings(toks, n)
     par = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.repartition(par).select(id_col, text_col)
     posgrams = base.filter(F.size(toks) >= n).select(
