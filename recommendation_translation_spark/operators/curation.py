@@ -1178,33 +1178,27 @@ def bloom_decontaminate(docs_with_split: DataFrame, n: int = 8,
 def _hashed_bigram_buckets(text_col: str, n_buckets: int) -> F.Column:
     """Array of hashed-bigram feature buckets for one document.
 
-    Bigrams of the whitespace tokens, each hashed into ``n_buckets``
-    buckets with the cross-engine md5 slice (operators.text), so a
-    DuckDB oracle reproduces the feature map bit-exactly.  Documents
-    with fewer than two tokens get an empty array (no features).
+    Bigrams of the LOWERCASED whitespace tokens (the catalog-wide
+    ``_TOKS`` oracle convention every other hashed-gram operator here
+    follows — round-11 ADVICE: without the lower() a mixed-case corpus
+    silently diverges DSIR scores from the DuckDB oracle), each hashed
+    into ``n_buckets`` buckets with the cross-engine md5 slice
+    (operators.text), so the oracle reproduces the feature map
+    bit-exactly.  Documents with fewer than two tokens get an empty
+    array (no features).
 
-    The token array is LET-BOUND through ``transform(array(t), arr →
-    …)`` before the per-gram loop: Catalyst's CollapseProject inlines
-    a plain alias into every lambda reference, re-running the
-    tokenizing split once per GRAM instead of once per row (measured
-    5-8× on the bench corpus); a lambda variable is evaluated exactly
-    once.
+    The gram strings come from :func:`~.text.ngram_strings`, which
+    owns the Catalyst CollapseProject let-binding workaround (the
+    token array must be bound through ``transform(array(t), arr → …)``
+    or the tokenizing split re-runs once per GRAM instead of once per
+    row — measured 5-8× on the bench corpus).
     """
-    from .text import cross_engine_hash
+    from .text import cross_engine_hash, ngram_strings
 
-    def per_doc(arr: F.Column) -> F.Column:
-        return F.when(
-            F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: cross_engine_hash(
-                    F.concat_ws(" ", F.slice(arr, i, 2)), seed="dsir"
-                )
-                % n_buckets,
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-
-    return F.flatten(F.transform(F.array(tokens(text_col)), per_doc))
+    return F.transform(
+        ngram_strings(tokens(F.lower(F.col(text_col))), 2),
+        lambda g: cross_engine_hash(g, seed="dsir") % n_buckets,
+    )
 
 
 def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
@@ -1318,8 +1312,11 @@ def shard_divergence(docs_with_shard: DataFrame, shard_col: str = "shard",
     blank carry no distribution and are omitted.
     """
     par = docs_with_shard.sparkSession.sparkContext.defaultParallelism
+    # lowercase before tokenizing — the _TOKS oracle convention (see
+    # _hashed_bigram_buckets); a mixed-case corpus must not diverge
     tok = docs_with_shard.repartition(par).select(
-        F.col(shard_col).alias("shard"), F.explode(tokens(text_col)).alias("tok")
+        F.col(shard_col).alias("shard"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
     st = tok.groupBy("shard", "tok").agg(F.count(F.lit(1)).alias("c_st"))
     enriched = st.select(

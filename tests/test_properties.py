@@ -1452,3 +1452,52 @@ def test_dsir_select_degenerate_target_sets(spark):
         out = dsir_select(docs, target=predicate, n_buckets=64, k=10).collect()
         assert len(out) == 6
         assert all(r["score"] is not None for r in out)
+
+
+def test_hashed_gram_ops_lowercase_like_the_oracle(spark):
+    # round-11 ADVICE (medium): the DuckDB oracles for corpus_dsir_select
+    # and corpus_shard_divergence tokenize via _TOKS, which lowercases —
+    # parity at the driver SFs held only because every test corpus is
+    # all-lowercase.  Pin the Spark side to the same convention: a
+    # mixed-case corpus must produce bit-identical scores / divergences /
+    # top tokens to its lowercased twin.
+    from recommendation_translation_spark.operators.curation import (
+        dsir_select,
+        shard_divergence,
+    )
+
+    texts = [
+        "Alpha BETA gamma DeLtA epsilon",
+        "alpha beta GAMMA delta epsilon",
+        "ZETA eta Theta IOTA kappa",
+        "zeta ETA theta iota KAPPA",
+    ]
+    rows_mixed = [
+        (i, t, "s", "tgt" if i < 2 else "raw") for i, t in enumerate(texts)
+    ]
+    rows_lower = [
+        (i, t.lower(), "s", "tgt" if i < 2 else "raw")
+        for i, t in enumerate(texts)
+    ]
+    schema = "doc_id long, text string, source string, lang string"
+    mixed = spark.createDataFrame(rows_mixed, schema)
+    lower = spark.createDataFrame(rows_lower, schema)
+
+    def score_map(df):
+        out = dsir_select(df, target=F.col("lang") == "tgt",
+                          n_buckets=64, k=10).collect()
+        return {r["doc_id"]: r["score"] for r in out}
+
+    assert score_map(mixed) == score_map(lower)
+
+    def div_map(df):
+        with_shard = df.withColumn("shard", (F.col("doc_id") % 2).cast("int"))
+        return {
+            r["shard"]: (r["js_divergence"], r["top_token"], r["n_tokens"])
+            for r in shard_divergence(with_shard).collect()
+        }
+
+    dm, dl = div_map(mixed), div_map(lower)
+    assert dm == dl
+    # and the tokens really are the lowercased forms (not a vacuous match)
+    assert all(tok == tok.lower() for _, tok, _ in dm.values())
