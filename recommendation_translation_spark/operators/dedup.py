@@ -68,7 +68,22 @@ def _shingle_array_expr(n: int) -> F.Column:
     streaming path (minhash_bands_rowlocal), whose stream-static
     band join is only correct while the two stay bit-identical.
     Callers must filter ``size(t) >= n`` first (the sequence stop
-    bound must be ≥ 0)."""
+    bound must be ≥ 0).
+
+    Deliberately NOT rewritten to the ``transform(array(t), arr → …)``
+    let-bound shape ``text.ngram_strings`` needed (round-11 verdict
+    #3, measured round 12): unlike the inline-expression callers that
+    motivated ngram_strings, every caller here aliases the token array
+    to a real column ``t`` first, and CollapseProject refuses to
+    inline a non-cheap alias referenced more than once — the optimized
+    plan keeps ``t`` materialized in its own Project (tokenize runs
+    once per row; the only other occurrence is the ``size(t) >= n``
+    filter pushed below the repartition exchange, where it prunes
+    short docs before the shuffle).  The interleaved A/B (min-of-3,
+    both orders, SCALE.md "shingle let-binding A/B") measured the
+    let-bound form SLOWER — sf1 word_shingles 2.06 s vs 1.25 s, sf1
+    rowlocal bands 12.63 s vs 11.82 s — because ``slice`` allocates a
+    per-gram array that direct ``t[i + j]`` indexing avoids."""
     parts = ", ".join(f"t[i + {j}]" for j in range(n))
     return F.expr(
         f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))"
