@@ -146,47 +146,54 @@ def main() -> int:
     if "ml_train_rmse" in ml and ml[0] != "ml_train_rmse":
         names.remove("ml_train_rmse")
         names.insert(names.index(ml[0]), "ml_train_rmse")
-    for name in names:
-        fn = qmap[name]
-        if only and name not in only:
-            continue
-        # Cache hygiene: operators cache internal frames (e.g. the
-        # shingle stream) rebuilt per query, so earlier queries'
-        # entries are dead weight that grows GC/memory pressure across
-        # a 185-query loop — one observed symptom was a mid-panel
-        # query measuring 4x slow on BOTH its runs yet normal in
-        # isolation.  Clearing costs microseconds.  Memory-sink tables
-        # from earlier streaming drains hold full result sets in
-        # driver memory with no TTL (clearCache does not touch temp
-        # views) — drop them too; prior results are already recorded.
-        spark.catalog.clearCache()
+    def measure_once(fn):
+        """ONE cold measurement under the loop protocol (round-11
+        ADVICE #3: this block existed as three near-verbatim copies —
+        first run, quiet-host re-measure, backoff retry — so a hygiene
+        fix to one silently skipped the others).  Cache hygiene first:
+        operators cache internal frames (e.g. the shingle stream)
+        rebuilt per query, so earlier queries' entries are dead weight
+        that grows GC/memory pressure across the loop — one observed
+        symptom was a mid-panel query measuring 4x slow on BOTH its
+        runs yet normal in isolation; clearing costs microseconds.
+        Memory-sink tables from earlier streaming drains hold full
+        result sets in driver memory with no TTL (clearCache does not
+        touch temp views) — drop them too.  Returns (seconds, rows) on
+        success, (None, exception) on failure."""
         from recommendation_translation_spark.streaming.events_stream import (
             drop_memory_sink_tables,
         )
 
+        spark.catalog.clearCache()
         drop_memory_sink_tables(spark)
+        t0 = time.perf_counter()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — recorded, never fatal
+            return None, exc
+        return round(time.perf_counter() - t0, 3), n
+
+    for name in names:
+        fn = qmap[name]
+        if only and name not in only:
+            continue
         # Streaming queries replay through a fresh memory sink and can
         # hit environment-flaky Python-worker socket timeouts (round-3
         # BENCH tail) — give them one retry before recording a failure.
         attempts = 2 if "stream" in name else 1
-        t0 = time.perf_counter()
         for attempt in range(attempts):
-            t0 = time.perf_counter()
-            try:
-                n = fn(spark, sf_dir).count()
-            except Exception as exc:
-                if attempt + 1 < attempts:
-                    continue
+            t, res = measure_once(fn)
+            if t is not None:
+                timings[name] = t
+                print(f"# {name}: {t}s rows={res}", file=sys.stderr)
+                break
+            if attempt + 1 == attempts:
                 timings[name] = -1.0
                 # One line, truncated: a full Java stack trace here
                 # burned most of the driver's bounded stdout/stderr
                 # tail in round 3 and cost the final JSON line.
-                msg = " ".join(str(exc).split())[:200]
+                msg = " ".join(str(res).split())[:200]
                 print(f"# FAILED {name}: {msg}", file=sys.stderr)
-                break
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
-            break
         t = timings[name]
         ref = prior.get(name)
         # SPARK_GRAFT_BENCH_ONCE=1 disables the quiet-host re-measure:
@@ -200,20 +207,13 @@ def main() -> int:
         if t > 0 and name not in NEVER_REMEASURE and (
             ref is None or t > 1.5 * ref + 0.2 or name in ALWAYS_BEST_OF_2
         ):
-            # cold re-run: same protocol as first runs (see the loop-top
-            # clearCache + memory-sink drop) so best-of-2 never records
-            # a warm-cache min and a flagged STREAMING query's re-run
-            # does not execute with its first run's memory-sink table
-            # still resident (round-7 advisor)
-            spark.catalog.clearCache()
-            drop_memory_sink_tables(spark)
-            try:
-                t1 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                t2 = round(time.perf_counter() - t1, 3)
-            except Exception:
-                t2 = t
-            if t2 < t:
+            # cold re-run under the SAME protocol as first runs
+            # (measure_once clears caches + memory-sink tables) so
+            # best-of-2 never records a warm-cache min and a flagged
+            # STREAMING query's re-run does not execute with its first
+            # run's memory-sink table still resident (round-7 advisor)
+            t2, _ = measure_once(fn)
+            if t2 is not None and t2 < t:
                 timings[name] = t2
             reruns.append(name)
             print(f"# re-measured {name}: {t}s -> {timings[name]}s "
@@ -224,21 +224,17 @@ def main() -> int:
             # query measured 10+ s on BOTH attempts inside one storm.
             # Same remedy the sf1 fence has used since round 8: if the
             # row still reads > 2x its quiet-host reference, wait out
-            # the burst once and take the min of three.
+            # the burst once and take the min of three.  Both values
+            # are logged so a no-op retry is distinguishable from an
+            # improvement (round-11 ADVICE #3).
             if ref is not None and timings[name] > 2 * ref + 0.2:
                 time.sleep(10)
-                spark.catalog.clearCache()
-                drop_memory_sink_tables(spark)
-                try:
-                    t3 = time.perf_counter()
-                    fn(spark, sf_dir).count()
-                    t4 = round(time.perf_counter() - t3, 3)
-                except Exception:
-                    t4 = timings[name]
-                if t4 < timings[name]:
+                before = timings[name]
+                t4, _ = measure_once(fn)
+                if t4 is not None and t4 < before:
                     timings[name] = t4
-                print(f"# backoff re-measured {name}: -> {timings[name]}s",
-                      file=sys.stderr)
+                print(f"# backoff re-measured {name}: {before}s -> "
+                      f"{timings[name]}s", file=sys.stderr)
     # sum_query_sec = SUM OF RECORDED PER-QUERY TIMES, not the loop's
     # wall clock: the quiet-host protocol executes flagged queries a
     # second time inside the loop, and rounds that add many new queries

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Per-round sf1 regression fence (round-6 verdict #4): the 34-query
-expensive panel, promoted from a one-shot curve (SCALE.md round 6) to a
+"""Per-round sf1 regression fence (round-6 verdict #4): the expensive
+panel, promoted from a one-shot curve (SCALE.md round 6) to a
 repeatable sidecar with the quiet-host best-of protocol and a 2x guard.
 
 Protocol:
@@ -18,12 +18,28 @@ Protocol:
   showed it.  A still-violating query after the first re-measure gets
   ONE more attempt after a 10 s backoff (a co-tenant burst outlasting
   one immediate retry usually doesn't outlast the backoff too);
+- STORM DEFERRAL (round-11 verdict #7): the 10 s backoff demonstrably
+  does not outlast a sustained hypervisor-steal storm (r11 committed
+  two violation rows measured at loadavg 22–26 that a quiet re-run
+  cleared).  Before burning the backoff on a still-violating row, the
+  host probe is re-run; if it reads > STORM_PROBE_FACTOR x the anchor
+  class RAW, the row is DEFERRED to the end of the run instead.
+  Deferred rows get one more full protocol pass after the panel; rows
+  still unmeasurable on a quiet host land under ``deferred_storm`` in
+  the sidecar — a storm produces a deferred marker, never a committed
+  violation row (pinned by tests/test_fence_guard.py);
 - reference: ``BENCH_SF1_BASELINE.json`` (seeded from the round-6
   SCALE.md curve, post-ANN-panel-fix values; overwritten only
-  deliberately).  A query > 2x its reference is a FENCE VIOLATION,
-  listed in the output JSON and on stderr;
+  deliberately).  A query > 2x its reference ON A QUIET HOST is a
+  FENCE VIOLATION, listed in the output JSON and on stderr;
 - output: ``BENCH_sf1.json`` at the repo root — commit it per round
-  (the driver's own bench stays sf0.1).
+  (the driver's own bench stays sf0.1).  ARTIFACT GUARD (round-11
+  verdict #1): a run with non-empty ``violations_2x`` may not replace
+  a committed artifact whose ``violations_2x`` is empty — it lands in
+  ``BENCH_sf1_VIOLATING.json`` for triage instead (r11's end-of-round
+  snapshot overwrote the clean quarterly 48/48 fence with a
+  storm-contaminated run).  SPARK_GRAFT_FENCE_FORCE=1 overrides after
+  an explicit triage decision.
 
 Panel policy (round-10, SCALE.md "sf1 fence panel policy"): the
 default run covers the ACTIVE panel (``queries`` in the baseline
@@ -69,24 +85,27 @@ def main() -> int:
     # old lighter warmup left CPU clocks low and the probe read ~1.3×
     # slower than bench.py's on the same machine, silently loosening
     # every normalized threshold
-    from recommendation_translation_spark.bench_common import warmup
+    from recommendation_translation_spark.bench_common import (
+        fence_row_outcome,
+        fence_write_decision,
+        host_is_stormy,
+        host_probe as _host_probe,
+        probe_factor,
+        warmup,
+    )
 
     warmup(spark, sf_dir)
 
     # same deterministic host probe bench.py records, from the SHARED
-    # helper (round-10 ADVICE #3: the block was copy-pasted between the
-    # two harnesses).  Since round-11 (verdict #3) the probe also FEEDS
-    # the fence: thresholds are scaled by the clamped probe factor vs
-    # the anchor class recorded in BENCH_SF1_BASELINE.json, so a host
-    # step inflates neither the re-measure count nor the violation list
-    # — both raw and normalized ratios land in the sidecar.
-    from recommendation_translation_spark.bench_common import (
-        host_probe as _host_probe,
-        probe_factor,
-    )
-
+    # helper (round-10 ADVICE #3).  Since round-11 (verdict #3) the
+    # probe also FEEDS the fence: thresholds are scaled by the clamped
+    # probe factor vs the anchor class recorded in
+    # BENCH_SF1_BASELINE.json, so a host step inflates neither the
+    # re-measure count nor the violation list — both raw and
+    # normalized ratios land in the sidecar.
     host_probe = _host_probe(spark)
-    anchor_factor = probe_factor(host_probe, _b.get("anchor_probe"))
+    anchor_probe = _b.get("anchor_probe")
+    anchor_factor = probe_factor(host_probe, anchor_probe)
 
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
@@ -95,6 +114,103 @@ def main() -> int:
     raw_violations: list[str] = []
     reruns: list[str] = []
     rerun_failures: dict[str, int] = {}
+    deferred: list[str] = []
+    deferred_storm: dict[str, float] = {}
+
+    def hygiene() -> None:
+        # same cache hygiene as bench.py, plus GC: clearCache does NOT
+        # free localCheckpoint RDD blocks — those are released by the
+        # ContextCleaner only after the JVM GCs the RDD objects, which
+        # in a long single session lags tens of queries behind.  At sf1
+        # the accumulated blocks are large enough to squeeze the
+        # iterative rows (part_pagerank measured 27 s fresh vs 59 s as
+        # fence row 26-of-30).  Nudge both collectors so each row
+        # starts from a clean block store.
+        spark.catalog.clearCache()
+        from recommendation_translation_spark.streaming.events_stream import (
+            drop_memory_sink_tables,
+        )
+
+        drop_memory_sink_tables(spark)
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass  # py4j surface changed — hygiene only, never fail the fence
+
+    def measure_row(name: str, ref: float) -> bool:
+        """Full quiet-host protocol for one row: first run, immediate
+        re-measure when > 1.5x ref, storm-checked 10 s-backoff third
+        attempt when still > 2x.  Updates timings/loadavg/reruns.
+        Returns True if the row was storm-deferred (over 2x with the
+        probe reading a storm — the backoff was NOT burned; the caller
+        queues the row for the end-of-run pass)."""
+        fn = qmap[name]
+        hygiene()
+        loadavg[name] = round(os.getloadavg()[0], 2)
+        t0 = time.perf_counter()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as exc:
+            timings[name] = -1.0
+            msg = " ".join(str(exc).split())[:200]
+            print(f"# FAILED {name}: {msg}", file=sys.stderr)
+            return False
+        t = round(time.perf_counter() - t0, 2)
+        # ml_train_rmse's cost is a Python-side model memo: a re-run is
+        # warm through a mechanism clearCache cannot reach, so min()
+        # would mask a training-cost regression (same NEVER_REMEASURE
+        # rule as bench.py)
+        if t > 1.5 * ref and name != "ml_train_rmse":
+            ok_reruns = 0
+            failed_reruns = 0
+            storm = False
+            for backoff in (0.0, 10.0):
+                if t <= 2.0 * ref and backoff:
+                    break
+                if backoff:
+                    # round-11 verdict #7: re-probe BEFORE burning the
+                    # backoff — a sustained steal storm outlasts 10 s,
+                    # and a violation measured inside one is weather,
+                    # not a regression.  Defer the row instead.
+                    if host_is_stormy(_host_probe(spark), anchor_probe):
+                        storm = True
+                        break
+                    time.sleep(backoff)
+                hygiene()
+                la = round(os.getloadavg()[0], 2)
+                t1 = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).count()
+                    t2 = round(time.perf_counter() - t1, 2)
+                except Exception:
+                    failed_reruns += 1
+                    continue
+                ok_reruns += 1
+                if t2 < t:
+                    t = t2
+                    loadavg[name] = la
+            if ok_reruns and name not in reruns:
+                reruns.append(name)
+            if failed_reruns:
+                rerun_failures[name] = (
+                    rerun_failures.get(name, 0) + failed_reruns
+                )
+            if storm and t > 2.0 * ref:
+                timings[name] = t
+                print(f"# {name}: {t}s over guard during probe-confirmed "
+                      f"storm (load {loadavg[name]}) DEFERRED",
+                      file=sys.stderr)
+                return True
+        timings[name] = round(min(t, timings.get(name, t)), 2)
+        status = "VIOLATION" if timings[name] > 2.0 * ref else "ok"
+        print(f"# {name}: {timings[name]}s (ref {round(ref, 2)}s = anchor "
+              f"{baseline[name]} x {anchor_factor}, rows={n}, "
+              f"load {loadavg[name]}) {status}", file=sys.stderr)
+        return False
+
     # Same ordering rule as bench.py: ml_train_rmse runs BEFORE the
     # other ml_* rows so the shared one-time training cost lands on the
     # training row — in plain sorted order ml_als_recs/ml_cv_tuning
@@ -109,104 +225,41 @@ def main() -> int:
         if name not in qmap:
             print(f"# panel query {name} missing from catalog", file=sys.stderr)
             timings[name] = -1.0
-            violations.append(name)
-            raw_violations.append(name)
             continue
-        fn = qmap[name]
-        # same cache hygiene as bench.py: drop the previous query's
-        # dead cached frames and memory-sink tables before timing the
-        # next one
-        spark.catalog.clearCache()
-        from recommendation_translation_spark.streaming.events_stream import (
-            drop_memory_sink_tables,
-        )
-
-        drop_memory_sink_tables(spark)
-        # clearCache does NOT free localCheckpoint RDD blocks — those
-        # are released by the ContextCleaner only after the JVM GCs the
-        # RDD objects, which in a long single session lags tens of
-        # queries behind.  At sf1 the accumulated blocks are large
-        # enough to squeeze the iterative rows (part_pagerank measured
-        # 27 s in a fresh session vs 59 s as fence row 26-of-30, min of
-        # three attempts — same code, load 15).  Nudge both collectors
-        # so each row starts from a clean block store.
-        import gc
-
-        gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
-        except Exception:
-            pass  # py4j surface changed — hygiene only, never fail the fence
-        loadavg[name] = round(os.getloadavg()[0], 2)
-        t0 = time.perf_counter()
-        try:
-            n = fn(spark, sf_dir).count()
-        except Exception as exc:
-            timings[name] = -1.0
-            violations.append(name)
-            raw_violations.append(name)
-            msg = " ".join(str(exc).split())[:200]
-            print(f"# FAILED {name}: {msg}", file=sys.stderr)
-            continue
-        t = round(time.perf_counter() - t0, 2)
-        # probe-normalized threshold (round-11 verdict #3): the anchor
-        # was recorded on the anchor host class; scale it by the
-        # clamped factor so the 1.5x trigger and the 2x guard judge the
-        # plan, not the machine
         ref = baseline[name] * anchor_factor
-        # ml_train_rmse's cost is a Python-side model memo: a re-run is
-        # warm through a mechanism clearCache cannot reach, so min()
-        # would mask a training-cost regression (same NEVER_REMEASURE
-        # rule as bench.py)
-        if t > 1.5 * ref and name != "ml_train_rmse":
-            # first re-measure immediately; if STILL over the 2x guard,
-            # one more after a 10 s backoff (round-8 verdict #6: the
-            # contended closing run's burst outlasted the immediate
-            # retry — best-of-2 back-to-back samples the same burst).
-            # Each re-run records its own start loadavg (min wins).
-            # Per-attempt outcomes are recorded (round-9 ADVICE #4):
-            # "remeasured" lists only queries with ≥1 SUCCESSFUL
-            # re-run; an attempt that raises lands in
-            # "remeasure_failed" instead, so the artifact never claims
-            # a hardened measurement it didn't get.
-            ok_reruns = 0
-            failed_reruns = 0
-            for backoff in (0.0, 10.0):
-                if t <= 2.0 * ref and backoff:
-                    break
-                time.sleep(backoff)
-                # clear again so the re-run measures under the same cold
-                # protocol as every first run — otherwise re-measured
-                # rows record warm-cache minimums and the 2x guard is
-                # systematically looser for exactly the flagged queries
-                # (memory-sink tables included — round-7 advisor)
-                spark.catalog.clearCache()
-                drop_memory_sink_tables(spark)
-                la = round(os.getloadavg()[0], 2)
-                t1 = time.perf_counter()
-                try:
-                    fn(spark, sf_dir).count()
-                    t2 = round(time.perf_counter() - t1, 2)
-                except Exception:
-                    failed_reruns += 1
-                    continue
-                ok_reruns += 1
-                if t2 < t:
-                    t = t2
-                    loadavg[name] = la
-            if ok_reruns:
-                reruns.append(name)
-            if failed_reruns:
-                rerun_failures[name] = failed_reruns
-        timings[name] = t
-        status = "VIOLATION" if t > 2.0 * ref else "ok"
-        if status == "VIOLATION":
+        if measure_row(name, ref):
+            deferred.append(name)
+
+    # End-of-run pass for storm-deferred rows: by now the burst has had
+    # the whole remaining panel to pass.  One more full protocol run
+    # each; a row whose host is STILL stormy is recorded under
+    # deferred_storm with its best measurement — visible, excluded from
+    # the violation fence, never silently dropped.
+    for name in deferred:
+        ref = baseline[name] * anchor_factor
+        if host_is_stormy(_host_probe(spark), anchor_probe):
+            deferred_storm[name] = timings[name]
+            print(f"# {name}: host still stormy at end of run — recorded "
+                  f"as deferred_storm ({timings[name]}s), not a violation",
+                  file=sys.stderr)
+            continue
+        if measure_row(name, ref):
+            deferred_storm[name] = timings[name]
+            print(f"# {name}: storm returned during end-of-run re-measure "
+                  f"— recorded as deferred_storm ({timings[name]}s)",
+                  file=sys.stderr)
+
+    for name, t in timings.items():
+        ref = baseline.get(name)
+        if ref is None:
+            continue
+        if name in deferred_storm:
+            continue
+        if fence_row_outcome(t, ref * anchor_factor, False) == "violation":
             violations.append(name)
-        if t > 2.0 * baseline[name]:
+        if t < 0 or t > 2.0 * ref:
             raw_violations.append(name)
-        print(f"# {name}: {t}s (ref {ref}s = anchor {baseline[name]} x "
-              f"{anchor_factor}, rows={n}, load {loadavg[name]}) "
-              f"{status}", file=sys.stderr)
+
     out = {
         "sf": 1.0,
         "schema_version": 3,
@@ -218,10 +271,24 @@ def main() -> int:
         "anchor_probe_factor": anchor_factor,
         "remeasured": sorted(reruns),
         "remeasure_failed": rerun_failures,
+        "deferred_storm": deferred_storm,
         "violations_2x": sorted(violations),
         "violations_2x_raw": sorted(raw_violations),
     }
-    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as fh:
+    committed = None
+    try:
+        with open(os.path.join(REPO, "BENCH_sf1.json")) as fh:
+            committed = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    fname, refusal = fence_write_decision(
+        out, committed,
+        force=os.environ.get("SPARK_GRAFT_FENCE_FORCE") == "1",
+    )
+    if refusal:
+        print(f"# ARTIFACT GUARD: {refusal}", file=sys.stderr)
+        out["artifact_guard"] = refusal
+    with open(os.path.join(REPO, fname), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps(out, separators=(",", ":")))
     return 0 if not violations else 2
