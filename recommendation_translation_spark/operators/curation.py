@@ -1204,7 +1204,8 @@ def _hashed_bigram_buckets(text_col: str, n_buckets: int) -> F.Column:
 def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
                 k: int = 100, text_col: str = "text",
                 id_col: str = "doc_id",
-                carry_cols: tuple[str, ...] = ("source", "lang")) -> DataFrame:
+                carry_cols: tuple[str, ...] = ("source", "lang"),
+                collapse: bool = False) -> DataFrame:
     """DSIR-style importance selection (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling", NeurIPS): score
     every document by the log-likelihood ratio of its hashed-bigram
@@ -1243,21 +1244,74 @@ def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
     Scores are rounded to 6 dp BEFORE ranking and ties break on
     ``id_col``, so the k-boundary is deterministic cross-engine.
     Documents with < 2 tokens have no features and are not scored.
+
+    ``collapse=True`` (round-11 verdict #6) is the collapse-before-
+    compute plan for duplication-heavy corpora: the gram stream — the
+    tokenize + per-bigram md5, the dominant cost of BOTH passes — is
+    built once per DISTINCT text (sha2 fingerprint, the
+    per_distinct_text key standard) and lazily checkpointed.  The
+    MODEL pass recovers the exact per-bucket counts by weighting each
+    distinct text's grams with its (row, target-row) multiplicities —
+    ``c_raw = Σ m_t·cnt_t(b)``, ``c_tgt = Σ mt_t·cnt_t(b)`` — exact
+    integers, so the log-ratio table is bit-identical; the SCORING
+    pass scores each distinct text once against the broadcast table
+    and joins the narrow (fp, score) relation back (scores are pure
+    functions of the text; property-pinned path-identical).  Work
+    Θ(distinct·grams) instead of Θ(rows·grams); the ∝N legs that
+    remain are one cheap fingerprint pass and the narrow join-back.
+    On a unique corpus it degrades to the fingerprint exchange —
+    callers gate on the footer row count (the BPE/shingle dial).
     """
     # spread the raw rows before tokenize+explode (the doc_ngrams /
     # word_shingles discipline): few input splits must not serialize
     # the gram hashing into few tasks
     par = docs.sparkSession.sparkContext.defaultParallelism
-    feats = docs.repartition(par).select(
-        F.col(id_col),
-        *[F.col(c) for c in carry_cols],
-        target.cast("boolean").alias("is_target"),
-        F.explode(_hashed_bigram_buckets(text_col, n_buckets)).alias("bucket"),
-    )
-    per_bucket = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
-    )
+    if collapse:
+        t = F.col(text_col)
+        fp = F.when(t.isNull(), F.lit("null")).otherwise(F.sha2(t, 256))
+        fpdocs = docs.repartition(par).select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            target.cast("boolean").alias("is_target"),
+            fp.alias("__fp"),
+        )
+        rep_feats = (
+            docs.select(fp.alias("__fp"), t.alias(text_col))
+            .dropDuplicates(["__fp"])
+            .repartition(par)
+            .select(
+                "__fp",
+                F.explode(
+                    _hashed_bigram_buckets(text_col, n_buckets)
+                ).alias("bucket"),
+            )
+            # evaluated by BOTH passes — without the lazy checkpoint
+            # each would re-run the distinct+gram pipeline; narrow
+            # (fp, bucket), bounded by distinct texts × grams
+            .localCheckpoint(eager=False)
+        )
+        mult = fpdocs.groupBy("__fp").agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("mt"),
+        )
+        per_bucket = (
+            rep_feats.join(mult, "__fp")
+            .groupBy("bucket")
+            .agg(F.sum("m").alias("c_raw"), F.sum("mt").alias("c_tgt"))
+        )
+    else:
+        feats = docs.repartition(par).select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            target.cast("boolean").alias("is_target"),
+            F.explode(
+                _hashed_bigram_buckets(text_col, n_buckets)
+            ).alias("bucket"),
+        )
+        per_bucket = feats.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
+        )
     # the grand totals come from an UNPARTITIONED window over the
     # ≤ n_buckets-row bucket table — a SinglePartition pass over bytes
     # — keeping the model a single subtree.  The 1-row-aggregate
@@ -1275,11 +1329,21 @@ def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
             + F.log(F.sum("c_raw").over(w_all) + n_buckets)
         ).alias("lr"),
     )
-    scores = (
-        feats.join(F.broadcast(lr_tbl), "bucket")
-        .groupBy(id_col, *carry_cols)
-        .agg(F.round(F.sum("lr"), 6).alias("score"))
-    )
+    if collapse:
+        rep_scores = (
+            rep_feats.join(F.broadcast(lr_tbl), "bucket")
+            .groupBy("__fp")
+            .agg(F.round(F.sum("lr"), 6).alias("score"))
+        )
+        scores = fpdocs.join(rep_scores, "__fp").select(
+            id_col, *carry_cols, "score"
+        )
+    else:
+        scores = (
+            feats.join(F.broadcast(lr_tbl), "bucket")
+            .groupBy(id_col, *carry_cols)
+            .agg(F.round(F.sum("lr"), 6).alias("score"))
+        )
     return scores.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 

@@ -197,6 +197,18 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Corpus size (parquet-footer row count) above which the catalog's
+#: rep-edge consumers (corpus_dedup_report, corpus_keep_best) shingle
+#: once per DISTINCT normalized text instead of once per row — the
+#: same dial, value, and rationale as text.BPE_COLLAPSE_MIN_ROWS:
+#: below it the join-back exchange cannot pay for itself; above it the
+#: Θ(duplication) tokenize+shingle+hash savings dominate (and the
+#: duplicate fraction is the very thing a dedup report measures, so
+#: big corpora hitting this operator are duplication-heavy by
+#: construction).
+SHINGLE_COLLAPSE_MIN_ROWS = 20_000
+
+
 def ngram_rep_edges(
     df: DataFrame,
     n: int = 3,
@@ -204,6 +216,7 @@ def ngram_rep_edges(
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collapse_distinct: bool = False,
 ) -> DataFrame:
     """Near-duplicate edges against shingle-bucket REPRESENTATIVES —
     the group-shaped escape from pairwise enumeration (round-6 verdict
@@ -223,10 +236,46 @@ def ngram_rep_edges(
     ``ngram_jaccard_pairs`` as the exact-pairs audit variant.
 
     Returns (a_id, b_id, jaccard), a_id < b_id (a_id is the rep).
+
+    ``collapse_distinct=True`` is the collapse-before-shingle plan
+    (round-11 verdict #5 — the text-functional insight behind
+    text.per_distinct_text applied to the shingle leg): shingles are a
+    pure function of the NORMALIZED text, so tokenize + shingle +
+    xxhash64 run once per distinct normalized content — keyed by the
+    md5 content fingerprint dedup_exact already standardizes — and the
+    narrow (fp, shingle) relation joins back to the (id, fp) map.
+    Bit-identical (id, shingle) rows by text-functionality (NULL and
+    sub-n-token texts produce no shingles on both paths;
+    property-pinned), expression work Θ(distinct) instead of Θ(rows),
+    and the join back moves only two integer-width columns.  On a
+    near-unique corpus it degrades to one extra narrow exchange —
+    callers gate on the footer row count (SHINGLE_COLLAPSE_MIN_ROWS).
     """
-    sh0 = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
-        id_col, F.xxhash64("shingle").alias("shingle")
-    )
+    if collapse_distinct:
+        norm = normalize_text(text_col)
+        rep_sh = (
+            word_shingles(
+                df.select(F.md5(norm).alias("__fp"), F.col(text_col))
+                .dropDuplicates(["__fp"]),
+                n=n, text_col=text_col, id_col="__fp",
+            )
+            .select("__fp", F.xxhash64("shingle").alias("shingle"))
+            # lazy checkpoint: sh0 is evaluated twice below (the g
+            # aggregation and the sh join), and without it the whole
+            # distinct+shingle pipeline would re-run per evaluation —
+            # the per_distinct_text discipline; the checkpoint is
+            # narrow (fp + hash), bounded by distinct texts × shingles
+            .localCheckpoint(eager=False)
+        )
+        sh0 = (
+            df.select(F.col(id_col), F.md5(norm).alias("__fp"))
+            .join(rep_sh, "__fp")
+            .select(id_col, "shingle")
+        )
+    else:
+        sh0 = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
+            id_col, F.xxhash64("shingle").alias("shingle")
+        )
     # ONE aggregation yields both the document frequency (for the cap)
     # and the bucket representative: the cap drops whole shingle
     # buckets, never rows within a bucket, so min(id) over the raw rows

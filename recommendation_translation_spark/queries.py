@@ -3918,10 +3918,19 @@ def q_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, q_len, cluster) relation ever shuffles — never the text.
     ``corpus_keep_best_pairs`` is the exact-pairwise audit variant."""
     from .operators.curation import dup_clusters
-    from .operators.dedup import ngram_rep_edges
+    from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS, ngram_rep_edges
+    from .sources.readers import table_row_count
 
     docs = _t(spark, sf_dir, "documents")
-    edges = ngram_rep_edges(docs, n=3, threshold=0.05)
+    edges = ngram_rep_edges(
+        docs, n=3, threshold=0.05,
+        # footer row count, no Spark job — above the dial the shingle
+        # leg runs once per distinct normalized text (round-11 verdict
+        # #5); driver/bench SFs keep the exchange-free direct plan
+        collapse_distinct=(
+            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+        ),
+    )
     clusters = dup_clusters(edges)
     narrow = docs.select("doc_id", F.length("text").cast("long").alias("q_len"))
     labeled = narrow.join(clusters, "doc_id", "left").withColumn(
@@ -6873,10 +6882,17 @@ def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated-scalar-subquery shape) — no driver-side counts."""
     docs = _t(spark, sf_dir, "documents")
     from .operators.curation import dup_clusters
-    from .operators.dedup import ngram_rep_edges
+    from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS, ngram_rep_edges
+    from .sources.readers import table_row_count
 
     exact = dedup_exact(docs)
-    edges = ngram_rep_edges(docs, n=3, threshold=0.05)
+    edges = ngram_rep_edges(
+        docs, n=3, threshold=0.05,
+        # same footer gate as corpus_keep_best (round-11 verdict #5)
+        collapse_distinct=(
+            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+        ),
+    )
     clusters = dup_clusters(edges)
     s_docs = docs.agg(F.count("*").alias("n_docs"))
     s_contents = exact.agg(F.count("*").alias("n_distinct_contents"))
@@ -8750,12 +8766,19 @@ def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     driven, JobRunner.scala:31-44); this is the LLM-pipeline
     data-selection op the published pretraining recipes use."""
     from .operators.curation import dsir_select
+    from .operators.text import BPE_COLLAPSE_MIN_ROWS
+    from .sources.readers import table_row_count
 
     return dsir_select(
         _t(spark, sf_dir, "documents"),
         target=F.col("lang") == "en",
         n_buckets=_DSIR_BUCKETS,
         k=_DSIR_K,
+        # footer row count, no Spark job — above the shared collapse
+        # dial both DSIR passes build the gram stream once per DISTINCT
+        # text (round-11 verdict #6); driver/bench SFs keep the direct
+        # two-pass plan the hash gate covers
+        collapse=table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS,
     )
 
 

@@ -1501,3 +1501,83 @@ def test_hashed_gram_ops_lowercase_like_the_oracle(spark):
     assert dm == dl
     # and the tokens really are the lowercased forms (not a vacuous match)
     assert all(tok == tok.lower() for _, tok, _ in dm.values())
+
+
+def test_ngram_rep_edges_collapse_path_identical(spark):
+    # round-11 verdict #5: the collapse-before-shingle plan must be
+    # bit-identical to the direct plan — shingles are a pure function
+    # of the NORMALIZED text, so two raw forms that normalize alike
+    # must land in one fingerprint group, and NULL / sub-n-token texts
+    # must produce no edges on either path.
+    from recommendation_translation_spark.operators.dedup import (
+        ngram_rep_edges,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "pack my box with five dozen liquor jugs today",
+        "a b",            # < n tokens: no shingles
+        "",               # empty
+        None,             # NULL text
+        "  The   QUICK brown\tfox jumps over the lazy dog  ",  # normalizes to row 0
+    ]
+    rows = []
+    for rep in range(4):  # duplication-heavy: 4 clones of every text
+        rows += [(rep * 100 + i, t) for i, t in enumerate(base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def edge_set(collapse):
+        return sorted(
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in ngram_rep_edges(
+                df, n=3, threshold=0.05, collapse_distinct=collapse
+            ).collect()
+        )
+
+    direct, collapsed = edge_set(False), edge_set(True)
+    assert direct == collapsed
+    assert direct  # non-vacuous: the clones must actually produce edges
+    flat = {i for e in direct for i in e[:2]}
+    assert not any(i % 100 in (3, 4, 5) for i in flat)  # short/empty/NULL never edge
+
+
+def test_dsir_collapse_path_identical(spark):
+    # round-11 verdict #6: collapse=True must return exactly the same
+    # selection as the direct two-pass plan — the model counts are
+    # exact integers either way, and scores are pure functions of the
+    # text.  Duplication-heavy corpus with mixed-case twins, NULL,
+    # empty, and single-token rows.
+    from recommendation_translation_spark.operators.curation import dsir_select
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "Alpha BETA gamma delta epsilon",   # distinct raw text, same grams
+        "zeta eta theta iota kappa",
+        "alpha beta zeta eta theta",
+        "solo",                             # < 2 tokens: never scored
+        "",
+        None,
+    ]
+    rows = []
+    for rep in range(5):
+        rows += [
+            (rep * 100 + i, t, "s", "en" if i % 2 == 0 else "xx")
+            for i, t in enumerate(texts)
+        ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+
+    def select(collapse):
+        return sorted(
+            (r["doc_id"], r["source"], r["lang"], r["score"])
+            for r in dsir_select(
+                docs, target=F.col("lang") == "en", n_buckets=64, k=1000,
+                collapse=collapse,
+            ).collect()
+        )
+
+    direct, collapsed = select(False), select(True)
+    assert direct == collapsed
+    assert len(direct) == 20  # 4 scoreable texts x 5 reps; solo/empty/NULL dropped
