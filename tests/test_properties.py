@@ -1581,3 +1581,43 @@ def test_dsir_collapse_path_identical(spark):
     direct, collapsed = select(False), select(True)
     assert direct == collapsed
     assert len(direct) == 20  # 4 scoreable texts x 5 reps; solo/empty/NULL dropped
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),       # doc_id
+            st.sampled_from([                              # text pool: heavy overlap
+                "w0 w1 w2 w3 w4 w5",
+                "w0 w1 w2 w3 w4 w9",
+                "w5 w6 w7 w8 w9 w0",
+                "x0 x1 x2 x3",
+                "w0 w1",                                   # < n tokens
+                "",
+                None,
+            ]),
+        ),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+)
+def test_ngram_rep_edges_collapse_identity_random(spark, rows):
+    # randomized pin of the fp-level collapse: arbitrary duplication
+    # mixes, overlapping vocabularies, short/empty/NULL texts — the
+    # collapsed and direct edge sets must be identical, including
+    # jaccard values
+    from recommendation_translation_spark.operators.dedup import (
+        ngram_rep_edges,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def edges(collapse):
+        return sorted(
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in ngram_rep_edges(
+                df, n=3, threshold=0.2, collapse_distinct=collapse
+            ).collect()
+        )
+
+    assert edges(False) == edges(True)
