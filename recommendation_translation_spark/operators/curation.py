@@ -1201,17 +1201,20 @@ def _hashed_bigram_buckets(text_col: str, n_buckets: int) -> F.Column:
     )
 
 
-def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
-                k: int = 100, text_col: str = "text",
-                id_col: str = "doc_id",
-                carry_cols: tuple[str, ...] = ("source", "lang"),
-                collapse: bool = False) -> DataFrame:
-    """DSIR-style importance selection (Xie et al. 2023, "Data Selection
-    for Language Models via Importance Resampling", NeurIPS): score
-    every document by the log-likelihood ratio of its hashed-bigram
-    features under the TARGET distribution (rows where ``target`` is
-    true — the curated set you want more of) vs the RAW corpus
-    distribution, then keep the top ``k``.
+def _dsir_scores(docs: DataFrame, target: F.Column, n_buckets: int,
+                 text_col: str, id_col: str,
+                 carry_cols: tuple[str, ...],
+                 collapse: bool) -> DataFrame:
+    """Shared DSIR scoring core — (id, carry…, score) for every
+    document with ≥ 2 tokens.  :func:`dsir_select` keeps the
+    deterministic top-k; :func:`dsir_resample` perturbs with Gumbel
+    noise first.
+
+    Algorithm (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling", NeurIPS): score every document by the
+    log-likelihood ratio of its hashed-bigram features under the
+    TARGET distribution (rows where ``target`` is true — the curated
+    set you want more of) vs the RAW corpus distribution.
 
     Published recipe for steering a web-scale crawl toward a target
     domain without training a classifier; here the estimator is the
@@ -1344,7 +1347,63 @@ def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
             .groupBy(id_col, *carry_cols)
             .agg(F.round(F.sum("lr"), 6).alias("score"))
         )
+    return scores
+
+
+def dsir_select(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
+                k: int = 100, text_col: str = "text",
+                id_col: str = "doc_id",
+                carry_cols: tuple[str, ...] = ("source", "lang"),
+                collapse: bool = False) -> DataFrame:
+    """DSIR importance selection, deterministic form: keep the top
+    ``k`` documents by log-likelihood-ratio score.  Algorithm, plan
+    shape, determinism, and the ``collapse`` contract are documented
+    on :func:`_dsir_scores` (the shared scoring core); top-k is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject, never a
+    single-reducer global window."""
+    scores = _dsir_scores(docs, target, n_buckets, text_col, id_col,
+                          carry_cols, collapse)
     return scores.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def dsir_resample(docs: DataFrame, target: F.Column, n_buckets: int = 1024,
+                  k: int = 100, seed: str = "gumbel",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  carry_cols: tuple[str, ...] = ("source", "lang"),
+                  collapse: bool = False) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection step the paper
+    actually prescribes (Xie et al. 2023 §3: sample, don't rank —
+    deterministic top-k over-concentrates on one mode of the target
+    distribution; resampling keeps diversity in proportion to
+    importance).  Samples ``k`` documents WITHOUT replacement with
+    probability ∝ exp(score) via the Gumbel-top-k trick: the k largest
+    values of ``score + Gumbel(0,1)`` are exactly a weighted sample
+    without replacement (Vieira 2014).
+
+    Deterministic and cross-engine reproducible: the Gumbel noise is a
+    pure function of the document id through the cross-engine md5 hash
+    — ``u = (H(id) + 0.5) / 2³²`` (an exact dyadic rational in (0,1)),
+    ``g = −ln(−ln u)`` — so the DuckDB oracle replays the identical
+    draw.  The perturbed key is rounded to 6 dp with an ``id_col``
+    tie-break (the dsir_select determinism discipline).  Plan shape is
+    the scoring core's (see :func:`_dsir_scores`, including the
+    ``collapse`` contract — the noise is keyed on the document id, so
+    it applies AFTER the per-distinct-text join-back) plus one
+    projection and a TakeOrderedAndProject."""
+    from .text import cross_engine_hash
+
+    scores = _dsir_scores(docs, target, n_buckets, text_col, id_col,
+                          carry_cols, collapse)
+    u = (
+        cross_engine_hash(F.col(id_col).cast("string"), seed=seed)
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    g = -F.log(-F.log(u))
+    return (
+        scores.withColumn("gumbel_key", F.round(F.col("score") + g, 6))
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def shard_divergence(docs_with_shard: DataFrame, shard_col: str = "shard",

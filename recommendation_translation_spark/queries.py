@@ -8901,6 +8901,159 @@ ORACLES["corpus_shard_divergence"] = f"""
 """
 
 
+def q_corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (operators.curation.dsir_resample) —
+    the selection step Xie et al. 2023 actually prescribe: sample
+    ``k`` documents without replacement with probability ∝ exp(score)
+    via the Gumbel-top-k trick, instead of the deterministic top-k
+    (which over-concentrates on one mode of the target distribution;
+    ``corpus_dsir_select`` is the ranked twin).  The Gumbel noise is a
+    pure function of the doc id through the cross-engine md5 hash, so
+    the draw is reproducible and the oracle replays it exactly.  Plan:
+    the shared DSIR scoring core (model pass + broadcast-scored pass,
+    collapse-gated like the select twin) plus one noise projection and
+    a TakeOrderedAndProject.
+
+    No counterpart in the reference (JobRunner.scala:31-44 selects by
+    site config); this is the published pretraining-selection recipe."""
+    from .operators.curation import dsir_resample
+    from .operators.text import BPE_COLLAPSE_MIN_ROWS
+    from .sources.readers import table_row_count
+
+    return dsir_resample(
+        _t(spark, sf_dir, "documents"),
+        target=F.col("lang") == "en",
+        n_buckets=_DSIR_BUCKETS,
+        k=_DSIR_K,
+        collapse=table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS,
+    )
+
+
+ORACLES["corpus_dsir_resample"] = f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang, {_TOKS} AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, lang,
+             {_hash_sql("w[i] || ' ' || w[i+1]", seed="dsir")}
+               % {_DSIR_BUCKETS} AS bucket
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      WHERE len(w) >= 2
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS c_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      FROM grams GROUP BY bucket
+    ),
+    tot AS (
+      SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM counts
+    ),
+    lr AS (
+      SELECT bucket,
+             ln(c_tgt + 1) - ln(t_tgt + {_DSIR_BUCKETS})
+             - ln(c_raw + 1) + ln(t_raw + {_DSIR_BUCKETS}) AS lr
+      FROM counts, tot
+    ),
+    scores AS (
+      SELECT g.doc_id, g.source, g.lang, ROUND(SUM(l.lr), 6) AS score
+      FROM grams g JOIN lr l USING (bucket)
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, source, lang, score,
+           ROUND(score + -ln(-ln(
+             ({_hash_sql("CAST(doc_id AS VARCHAR)", seed="gumbel")} + 0.5)
+               / 4294967296.0)), 6) AS gumbel_key
+    FROM scores
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT {_DSIR_K}
+"""
+
+
+def q_corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per language, order documents by corpus-bigram-LM
+    perplexity and split into head / middle / tail thirds — the
+    curation stage the published pretraining recipes keep head+middle
+    from.  Buckets are RANK-exact, not quantile-interpolated:
+    ``bucket = (3·(rn−1)) div n`` over the ``(ppl, doc_id)``
+    row_number — pure integer arithmetic, so there is no
+    float-threshold boundary for the two engines to disagree on
+    (interpolated tertiles put documents EXACTLY ON the threshold at
+    n ≡ 1 mod 3, where a ulp of libm difference flips the bucket).
+
+    Plan: the doc_bigram_perplexity pipeline (two bounded model
+    aggregations + two equi-joins), one per-language ranking window
+    (same partitioned-window shape as the rank_normalized flagship —
+    parallel across languages; at 100 TB a single dominant language
+    makes this the range-partitioned-rank case, see operators.ordering)
+    and a broadcast join of the per-language counts.  Documents with
+    < 2 tokens have no perplexity and are excluded on both engines."""
+    from .queries_analytics import q_doc_bigram_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    per = q_doc_bigram_perplexity(spark, sf_dir)
+    lp = per.join(docs.select("doc_id", "lang"), "doc_id")
+    counts = lp.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    rk = (
+        lp.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(counts), "lang")
+        .withColumn("bidx", F.expr("(3 * (rn - 1)) div n"))
+    )
+    label = (
+        F.when(F.col("bidx") == 0, "head")
+        .when(F.col("bidx") == 1, "middle")
+        .otherwise("tail")
+    )
+    return rk.groupBy("lang", label.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
+        F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+    )
+
+
+ORACLES["corpus_ccnet_buckets"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+      WHERE len({_TOKS}) >= 2),
+    bg AS (
+      SELECT doc_id, t[g] AS w1, t[g] || ' ' || t[g + 1] AS bg
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS g
+            FROM toks)),
+    m12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    m1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    sc AS (
+      SELECT doc_id, -ln(c12::DOUBLE / c1) AS nll
+      FROM bg JOIN m12 USING (bg) JOIN m1 USING (w1)),
+    ppl AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(EXP(AVG(nll)), 4) AS ppl
+      FROM sc GROUP BY doc_id),
+    lp AS (
+      SELECT d.lang, p.doc_id, p.n_bigrams, p.ppl
+      FROM ppl p JOIN documents d USING (doc_id)),
+    rk AS (
+      SELECT lang, n_bigrams, ppl,
+             (3 * (ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY ppl, doc_id) - 1))
+               // (COUNT(*) OVER (PARTITION BY lang)) AS bidx
+      FROM lp)
+    SELECT lang,
+           CASE bidx WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           MIN(ppl) AS min_ppl,
+           MAX(ppl) AS max_ppl,
+           ROUND(AVG(ppl), 4) AS avg_ppl
+    FROM rk GROUP BY 1, 2
+"""
+
+
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
 # round-by-round (round-2 verdict #3).  Round-6 front (see the
@@ -9068,6 +9221,8 @@ QUERIES = {
     "corpus_shard_append": q_corpus_shard_append,
     "corpus_bpe_pack": q_corpus_bpe_pack,
     "corpus_dsir_select": q_corpus_dsir_select,
+    "corpus_dsir_resample": q_corpus_dsir_resample,
+    "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
     "corpus_shard_divergence": q_corpus_shard_divergence,
     "corpus_interleave": q_corpus_interleave,
     "doc_array_funcs": q_doc_array_funcs,
@@ -9542,12 +9697,13 @@ QUERIES = {
 # correctness rows).  Ordering: (a) the SEVEN rows whose newest driver
 # row is r7 — the pure-SQL TPC-H shapes the round-11 window spilled
 # (its own note and the round-11 verdict's #2 both order them swept
-# FIRST); (b) 43 of the 50 rows whose newest driver row is r8
-# (alphabetical).  The remaining SEVEN r8 rows spill to round 13 —
-# chosen as the alphabetical tail (pricing_grouping_sets, pysource_scan
-# and five tpch_* SQL shapes, all unchanged since r8 and re-pinned by
-# the full oracle-parity pytest run every round).  Sweep those FIRST
-# in the round-13 window. --
+# FIRST); (b) the TWO round-12 additions needing their first signal;
+# (c) 41 of the 50 rows whose newest driver row is r8 (alphabetical).
+# The remaining NINE r8 rows spill to round 13 — chosen as the
+# alphabetical tail (pricing_grouping_sets, pysource_scan and seven
+# tpch_* SQL shapes, all unchanged since r8 and re-pinned by the full
+# oracle-parity pytest run every round).  Sweep those FIRST in the
+# round-13 window. --
 _R12_WINDOW = [
     # (a) r7-stale sweep (round-11 verdict #2)
     "tpch_q2_min_cost",
@@ -9557,7 +9713,10 @@ _R12_WINDOW = [
     "tpch_q7_volume",
     "tpch_q10_returns",
     "tpch_q13_custdist",
-    # (b) r8-stale sweep (alphabetical; 7 rows spill to r13)
+    # (b) new in r12
+    "corpus_dsir_resample",
+    "corpus_ccnet_buckets",
+    # (c) r8-stale sweep (alphabetical; 9 rows spill to r13)
     "corpus_interleave",
     "corpus_stratified_sample",
     "corpus_vocab_growth",
@@ -9599,8 +9758,6 @@ _R12_WINDOW = [
     "orders_snapshot_diff",
     "orders_window_funcs",
     "pricing_decimal_exact",
-    "tpch_q11_important",
-    "tpch_q12_priority",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R12_WINDOW},

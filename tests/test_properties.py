@@ -1582,6 +1582,28 @@ def test_dsir_collapse_path_identical(spark):
     assert direct == collapsed
     assert len(direct) == 20  # 4 scoreable texts x 5 reps; solo/empty/NULL dropped
 
+    # the Gumbel-resampled twin shares the scoring core — its collapse
+    # path must be identical too (noise is keyed on doc_id, applied
+    # AFTER the per-distinct join-back)
+    from recommendation_translation_spark.operators.curation import (
+        dsir_resample,
+    )
+
+    def resample(collapse):
+        return sorted(
+            (r["doc_id"], r["score"], r["gumbel_key"])
+            for r in dsir_resample(
+                docs, target=F.col("lang") == "en", n_buckets=64, k=1000,
+                collapse=collapse,
+            ).collect()
+        )
+
+    r_direct, r_collapsed = resample(False), resample(True)
+    assert r_direct == r_collapsed
+    assert len(r_direct) == 20
+    # noise actually varies per document (not a vacuous constant shift)
+    assert len({round(k - s, 6) for _, s, k in r_direct}) > 1
+
 
 @SETTINGS
 @given(
