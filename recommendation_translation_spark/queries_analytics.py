@@ -429,20 +429,79 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of stopword bigrams; the same doc-frequency cap used by
     ``ngram_jaccard_pairs`` (dedup.py:97) applies if the model join
     skews.  Docs with <2 tokens have no bigrams and drop out (same
-    filter on both engines)."""
+    filter on both engines).
+
+    Above the footer-count collapse dial (round 12 — the dedup-report /
+    DSIR insight a third time) the WHOLE pipeline runs at the
+    distinct-text level: both model counts are recovered exactly by
+    weighting each distinct text's bigrams with its clone multiplicity
+    (``c12 = Σ m_t·cnt_t(bg)``), every distinct text is scored once,
+    and the narrow (fp, n_bigrams, avg_nll, ppl) relation joins back —
+    path-identical (the per-doc NLL multiset IS the rep's), work
+    Θ(distinct·bigrams) instead of Θ(rows·bigrams)."""
+    from .operators.text import BPE_COLLAPSE_MIN_ROWS
+    from .sources.readers import table_row_count
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.withColumn("t", tokens(F.lower(F.col("text")))).filter(
-        F.size("t") >= 2
+    return _bigram_ppl(
+        docs,
+        collapse=table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS,
     )
-    bg = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 2),"
-                " i -> struct(t[i] AS w1, concat(t[i], ' ', t[i+1]) AS bg))"
+
+
+def _bigram_ppl(docs: DataFrame, collapse: bool = False) -> DataFrame:
+    """Corpus-bigram-LM scoring core for q_doc_bigram_perplexity (and,
+    through it, corpus_ccnet_buckets) — see that docstring for the
+    algorithm and the ``collapse`` contract."""
+
+    def bigrams(df: DataFrame, key: str) -> DataFrame:
+        base = df.withColumn("t", tokens(F.lower(F.col("text")))).filter(
+            F.size("t") >= 2
+        )
+        return base.select(
+            key,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, concat(t[i], ' ', t[i+1]) AS bg))"
+                )
+            ).alias("p"),
+        ).select(key, "p.w1", "p.bg")
+
+    if collapse:
+        t = F.col("text")
+        fp = F.when(t.isNull(), F.lit("null")).otherwise(F.sha2(t, 256))
+        fpmap = docs.select("doc_id", fp.alias("__fp"))
+        mult = fpmap.groupBy("__fp").agg(F.count(F.lit(1)).alias("m"))
+        rep_bg = (
+            bigrams(
+                docs.select(fp.alias("__fp"), "text")
+                .dropDuplicates(["__fp"]),
+                "__fp",
             )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.bg")
+            # feeds both model aggregations AND the scoring join — the
+            # per_distinct_text checkpoint discipline; narrow, bounded
+            # by distinct texts × bigrams
+            .localCheckpoint(eager=False)
+        )
+        wm = rep_bg.join(mult, "__fp")
+        m12 = wm.groupBy("bg").agg(F.sum("m").alias("c12"))
+        m1 = wm.groupBy("w1").agg(F.sum("m").alias("c1"))
+        nll = -F.log(F.col("c12").cast("double") / F.col("c1"))
+        rep_scores = (
+            rep_bg.join(m12, "bg")
+            .join(m1, "w1")
+            .groupBy("__fp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                F.round(F.avg(nll), 6).alias("avg_nll"),
+                F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+            )
+        )
+        return fpmap.join(rep_scores, "__fp").select(
+            "doc_id", "n_bigrams", "avg_nll", "ppl"
+        )
+    bg = bigrams(docs, "doc_id")
     m12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     m1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     nll = -F.log(F.col("c12").cast("double") / F.col("c1"))

@@ -1643,3 +1643,33 @@ def test_ngram_rep_edges_collapse_identity_random(spark, rows):
         )
 
     assert edges(False) == edges(True)
+
+
+def test_bigram_ppl_collapse_path_identical(spark):
+    # third application of the multiplicity-weighted collapse: the
+    # bigram-LM model counts and per-doc perplexities must be identical
+    # whether computed per row or per distinct text
+    from recommendation_translation_spark.queries_analytics import _bigram_ppl
+
+    texts = [
+        "alpha beta gamma beta alpha",
+        "Alpha beta GAMMA beta alpha",   # distinct raw, same lowered bigrams
+        "beta gamma delta epsilon",
+        "solo",
+        "",
+        None,
+    ]
+    rows = []
+    for rep in range(4):
+        rows += [(rep * 10 + i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def score(collapse):
+        return sorted(
+            (r["doc_id"], r["n_bigrams"], r["avg_nll"], r["ppl"])
+            for r in _bigram_ppl(docs, collapse=collapse).collect()
+        )
+
+    direct, collapsed = score(False), score(True)
+    assert direct == collapsed
+    assert len(direct) == 12  # 3 scoreable texts x 4 reps
