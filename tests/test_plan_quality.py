@@ -856,6 +856,9 @@ _SCALAR_FOLD_OK = {
     # subtree instead of a racing scalar-fold twin
     "corpus_dsir_select",
     "corpus_shard_divergence",
+    # round 12: the Gumbel-resampled twin shares the same scoring core
+    # (same ≤1024-row bucket-table window) — noise is a projection
+    "corpus_dsir_resample",
     # round 7: PQ search broadcasts the bounded query panel with a
     # non-equi self-exclusion (cand_id <> query_id) — the same
     # BroadcastNestedLoopJoin shape as emb_cosine_topk/emb_sq8_topk
