@@ -76,3 +76,35 @@ def test_write_decision_allows_clean_and_forced_and_unguarded_writes():
     # explicit human triage decision overrides
     assert fence_write_decision(violating, clean_committed, force=True) == (
         "BENCH_sf1.json", None)
+
+
+def test_gumbel_noise_matches_reference_formula(spark):
+    # the resample op's Gumbel noise must be exactly the documented
+    # pure function of doc_id — pin the Spark expression against a
+    # stdlib reference so a refactor cannot silently change the draw
+    # (the DuckDB oracle replays the same formula)
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.operators.text import (
+        cross_engine_hash,
+    )
+
+    ids = [0, 1, 7, 123456789, 2**40]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    u = (
+        cross_engine_hash(F.col("doc_id").cast("string"), seed="gumbel")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", F.round(-F.log(-F.log(u)), 6).alias("g")
+        ).collect()
+    }
+    for i in ids:
+        h = int(hashlib.md5(f"gumbel:{i}".encode()).hexdigest()[:8], 16)
+        uu = (h + 0.5) / 2**32
+        assert got[i] == round(-math.log(-math.log(uu)), 6), i
