@@ -144,6 +144,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collapse_distinct: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -153,7 +154,104 @@ def ngram_jaccard_pairs(
     self-join; sizes and intersections are both computed on the capped
     relation, so the Jaccard stays a true set similarity of the capped
     shingle sets.  ``max_doc_freq=None`` opts out (exact, skew-unsafe).
+
+    ``collapse_distinct=True`` (round 12, the fourth application of the
+    distinct-text collapse — see ngram_rep_edges): the audit's OUTPUT
+    is quadratic per clone group by definition, but its COMPUTE need
+    not be — Jaccard is a function of the two (normalized) texts, so
+    the shingle inverted index, the df-cap (document counts recovered
+    as Σ clone multiplicities), and the intersection self-join all run
+    over distinct-content fingerprints; a same-fp group with any
+    surviving shingle is a Jaccard-1.0 clique emitted closed-form.
+    The doc-level legs are the narrow fingerprint passes and the final
+    fp-pair → doc-pair expansion, which is ∝ OUTPUT.  Crucially the
+    shingle self-join no longer multiplies by duplication²: a 10×-
+    tiled corpus pays 100× per shingle bucket on the direct path and
+    1× here.  Bit-identical pairs (property-pinned, df-cap interplay
+    included); callers gate on the footer row count
+    (SHINGLE_COLLAPSE_MIN_ROWS).
     """
+    if collapse_distinct:
+        norm = normalize_text(text_col)
+        fpmap = df.select(F.col(id_col), F.md5(norm).alias("__fp"))
+        fpg = fpmap.groupBy("__fp").agg(F.count(F.lit(1)).alias("m"))
+        rsh = word_shingles(
+            df.select(F.md5(norm).alias("__fp"), F.col(text_col))
+            .dropDuplicates(["__fp"]),
+            n=n, text_col=text_col, id_col="__fp",
+        ).select("__fp", F.xxhash64("shingle").alias("shingle"))
+        if max_doc_freq is not None:
+            freq = rsh.join(fpg, "__fp").groupBy("shingle").agg(
+                F.sum("m").alias("df_")
+            )
+            rsh = rsh.join(
+                F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
+                "shingle", "left_anti",
+            )
+        rsh = rsh.cache()  # same trade-off note as the direct path below
+        sizes = rsh.groupBy("__fp").agg(F.count("*").alias("n_sh"))
+        a, b = rsh.alias("a"), rsh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.__fp") < F.col("b.__fp"))
+            .groupBy(
+                F.col("a.__fp").alias("f1"), F.col("b.__fp").alias("f2")
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+        s1 = sizes.select(
+            F.col("__fp").alias("f1"), F.col("n_sh").alias("n_a")
+        )
+        s2 = sizes.select(
+            F.col("__fp").alias("f2"), F.col("n_sh").alias("n_b")
+        )
+        cross = (
+            inter.join(s1, "f1")
+            .join(s2, "f2")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("f1", "f2", "jaccard")
+        )
+        m1 = fpmap.select(
+            F.col("__fp").alias("f1"), F.col(id_col).alias("x")
+        )
+        m2 = fpmap.select(
+            F.col("__fp").alias("f2"), F.col(id_col).alias("y")
+        )
+        cross_docs = (
+            cross.join(m1, "f1")
+            .join(m2, "f2")
+            .select(
+                F.least("x", "y").alias("a_id"),
+                F.greatest("x", "y").alias("b_id"),
+                "jaccard",
+            )
+        )
+        # same-content cliques: every pair inside an fp group with ≥1
+        # surviving shingle has jaccard exactly 1.0 (the direct path
+        # computes round(n/n, 6) per pair); emitted closed-form
+        same = (
+            sizes.join(fpg.filter(F.col("m") >= 2), "__fp")
+            .withColumn("jaccard", F.lit(1.0))
+            .filter(F.col("jaccard") >= threshold)
+            .select("__fp", "jaccard")
+        )
+        same_docs = (
+            same.join(fpmap.select("__fp", F.col(id_col).alias("x")), "__fp")
+            .join(fpmap.select("__fp", F.col(id_col).alias("y")), "__fp")
+            .filter(F.col("x") < F.col("y"))
+            .select(
+                F.col("x").alias("a_id"), F.col("y").alias("b_id"), "jaccard"
+            )
+        )
+        return cross_docs.unionByName(same_docs)
     # hash each shingle to a 64-bit key BEFORE any shuffle: the
     # self-join/aggregations then ship 8-byte longs instead of n-word
     # strings (~3.7x faster end-to-end at sf0.1, identical pairs —

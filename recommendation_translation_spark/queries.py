@@ -486,7 +486,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.05)
+    from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS
+    from .sources.readers import table_row_count
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.05,
+        # footer gate (round 12): the pairwise audit's COMPUTE runs at
+        # the distinct-text level on big corpora; output unchanged
+        collapse_distinct=(
+            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+        ),
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3955,7 +3965,16 @@ def q_corpus_keep_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     with_q = docs.withColumn("q_len", F.length("text").cast("long"))
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS
+    from .sources.readers import table_row_count
+
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.05,
+        # same footer gate as dedup_ngram_jaccard (round 12)
+        collapse_distinct=(
+            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+        ),
+    )
     kept = keep_best_per_pair(with_q, pairs, "q_len")
     return kept.select("doc_id", "q_len")
 
@@ -6753,8 +6772,15 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs would emit 10¹² join rows).  Sizes and intersections are
     computed AFTER the cap on both engines, so the oracle mirrors the
     exact capped relation."""
+    from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS
+    from .sources.readers import table_row_count
+
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.05, max_doc_freq=50
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.05, max_doc_freq=50,
+        # same footer gate as dedup_ngram_jaccard (round 12)
+        collapse_distinct=(
+            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+        ),
     ).select("a_id", "b_id", "jaccard")
 
 

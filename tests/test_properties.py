@@ -1673,3 +1673,47 @@ def test_bigram_ppl_collapse_path_identical(spark):
     direct, collapsed = score(False), score(True)
     assert direct == collapsed
     assert len(direct) == 12  # 3 scoreable texts x 4 reps
+
+
+def test_ngram_jaccard_pairs_collapse_path_identical(spark):
+    # fourth application of the distinct-text collapse (round 12): the
+    # exact pairwise audit's collapsed plan must emit bit-identical
+    # pairs — df-cap interplay included (the cap counts DOCUMENTS, so
+    # clone multiplicity must push shingles over it identically on
+    # both paths), same-content cliques at jaccard exactly 1.0, and
+    # NULL/short/empty texts absent on both.
+    from recommendation_translation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "pack my box with five dozen liquor jugs now",
+        "sphinx of black quartz judge my vow today ok",
+        "a b",
+        "",
+        None,
+        "  The QUICK  brown fox jumps over the lazy dog ",  # clone of 0
+    ]
+    rows = []
+    for rep in range(4):
+        rows += [(rep * 100 + i, t) for i, t in enumerate(base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(collapse, cap):
+        return sorted(
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                df, n=3, threshold=0.05, max_doc_freq=cap,
+                collapse_distinct=collapse,
+            ).collect()
+        )
+
+    for cap in (None, 1000, 7):  # 7 < the 8-12 clone counts: cap bites
+        direct, collapsed = pairs(False, cap), pairs(True, cap)
+        assert direct == collapsed, f"cap={cap}"
+    # non-vacuous: uncapped run has both cliques (j=1.0) and cross pairs
+    uncapped = pairs(True, None)
+    js = {j for _, _, j in uncapped}
+    assert 1.0 in js and any(j < 1.0 for j in js)
