@@ -1162,13 +1162,19 @@ def q_orders_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANALYTICS_ORACLES["orders_month_spine"] = _MONTH_SPINE_SQL.format(orders="orders")
 
 
-def _lsh_recall_report_frame(docs: DataFrame) -> DataFrame:
+def _lsh_recall_report_frame(
+    docs: DataFrame, collapse_truth: bool = False
+) -> DataFrame:
     """Shared plan of the LSH approximation-quality audit: exact-truth
     pair set, band-collision candidate set, verified intersection, one
     row of counts + recall + candidate precision.  Callers choose the
-    audit corpus: the exact report passes the full documents table; the
-    sampled report (round-11 verdict #4) passes the deterministic
-    ``doc_id % s`` sub-corpus so the truth leg stops growing with N."""
+    audit corpus: the exact report passes the full documents table
+    (``collapse_truth=True`` above the footer dial — the truth leg is
+    uncapped exact Jaccard, precisely where the round-12 distinct-text
+    collapse pays most: the direct self-join multiplies by
+    duplication² per shingle bucket); the sampled report (round-11
+    verdict #4) passes the deterministic ``doc_id % s`` sub-corpus,
+    already bounded ≤~20k docs, and keeps the direct plan."""
     from .operators.dedup import minhash_bands, ngram_jaccard_pairs
 
     # the recall denominator must be the EXACT pair set — explicitly
@@ -1176,7 +1182,8 @@ def _lsh_recall_report_frame(docs: DataFrame) -> DataFrame:
     # audit's whole point is to measure the approximation against
     # unapproximated truth; |docs| is bounded in an audit run)
     truth = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.02, max_doc_freq=None
+        docs, n=3, threshold=0.02, max_doc_freq=None,
+        collapse_distinct=collapse_truth,
     ).select("a_id", "b_id")
     # narrow band join + distinct (the minhash_lsh_pairs shape — see
     # the claiming boundary note there): the candidate COUNT is the
@@ -1227,7 +1234,15 @@ def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a SAMPLE while the production path runs banding only — the
     report is how you justify k/bands before trusting them (that
     sampled scale form exists as ``dedup_lsh_recall_sampled``)."""
-    return _lsh_recall_report_frame(_t(spark, sf_dir, "documents"))
+    from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS
+    from .sources.readers import table_row_count
+
+    return _lsh_recall_report_frame(
+        _t(spark, sf_dir, "documents"),
+        collapse_truth=(
+            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+        ),
+    )
 
 
 def q_dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
