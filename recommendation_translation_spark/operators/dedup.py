@@ -172,14 +172,8 @@ def ngram_jaccard_pairs(
     (SHINGLE_COLLAPSE_MIN_ROWS).
     """
     if collapse_distinct:
-        norm = normalize_text(text_col)
-        fpmap = df.select(F.col(id_col), F.md5(norm).alias("__fp"))
+        fpmap, rsh = _fp_shingles(df, n, text_col, id_col)
         fpg = fpmap.groupBy("__fp").agg(F.count(F.lit(1)).alias("m"))
-        rsh = word_shingles(
-            df.select(F.md5(norm).alias("__fp"), F.col(text_col))
-            .dropDuplicates(["__fp"]),
-            n=n, text_col=text_col, id_col="__fp",
-        ).select("__fp", F.xxhash64("shingle").alias("shingle"))
         if max_doc_freq is not None:
             freq = rsh.join(fpg, "__fp").groupBy("shingle").agg(
                 F.sum("m").alias("df_")
@@ -307,6 +301,25 @@ def ngram_jaccard_pairs(
 SHINGLE_COLLAPSE_MIN_ROWS = 20_000
 
 
+def _fp_shingles(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared prelude of the distinct-text collapse paths
+    (ngram_rep_edges / ngram_jaccard_pairs): the (id → md5
+    content-fingerprint) map — the dedup_exact digest standard — and
+    the per-DISTINCT-normalized-text hashed shingle relation
+    (fp, xxhash64(shingle)), one row per (distinct text, distinct
+    shingle)."""
+    norm = normalize_text(text_col)
+    fpmap = df.select(F.col(id_col), F.md5(norm).alias("__fp"))
+    rsh = word_shingles(
+        df.select(F.md5(norm).alias("__fp"), F.col(text_col))
+        .dropDuplicates(["__fp"]),
+        n=n, text_col=text_col, id_col="__fp",
+    ).select("__fp", F.xxhash64("shingle").alias("shingle"))
+    return fpmap, rsh
+
+
 def ngram_rep_edges(
     df: DataFrame,
     n: int = 3,
@@ -358,16 +371,10 @@ def ngram_rep_edges(
     callers gate on the footer row count (SHINGLE_COLLAPSE_MIN_ROWS).
     """
     if collapse_distinct:
-        norm = normalize_text(text_col)
-        fpmap = df.select(F.col(id_col), F.md5(norm).alias("__fp"))
+        fpmap, rsh = _fp_shingles(df, n, text_col, id_col)
         fpg = fpmap.groupBy("__fp").agg(
             F.min(id_col).alias("fp_min"), F.count(F.lit(1)).alias("m")
         )
-        rsh = word_shingles(
-            df.select(F.md5(norm).alias("__fp"), F.col(text_col))
-            .dropDuplicates(["__fp"]),
-            n=n, text_col=text_col, id_col="__fp",
-        ).select("__fp", F.xxhash64("shingle").alias("shingle"))
         g = (
             rsh.join(fpg, "__fp")
             .groupBy("shingle")
