@@ -58,6 +58,13 @@ def warmup(spark: SparkSession, sf_dir: str) -> None:
     li.limit(50_000).join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
     spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
     spark.range(10_000).toPandas()
+    # pre-warm the shared collapse dial's one-time duplication probe
+    # (round-12 verdict #5): it is memoized per corpus, so measuring it
+    # here keeps the one small approx_count_distinct job out of the
+    # first timed collapse-consumer row at sf1+
+    from .sources.readers import distinct_text_fraction
+
+    distinct_text_fraction(spark, sf_dir)
 
 #: Probe of the ANCHOR host class — the machine class on which the
 #: BASELINE.md sf0.1 anchors are considered valid (min-of-3 quiet
@@ -204,6 +211,44 @@ def fence_row_outcome(t: float, ref: float, stormy: bool) -> str:
     return "deferred" if stormy else "violation"
 
 
+def merged_timing(prior: float | None, new_sec: float) -> float:
+    """Merge a later protocol pass into a row's recorded timing: the
+    best VALID measurement wins.  Round-12 ADVICE #1: the end-of-run
+    deferred pass used to set ``timings[name] = -1.0`` on exception
+    unconditionally, clobbering the valid storm-period measurement
+    recorded earlier and converting a deferred row into a failure
+    violation — a failed re-measure (``new_sec <= 0``) must keep the
+    prior value when one exists."""
+    if new_sec > 0 and (prior is None or prior <= 0 or new_sec < prior):
+        return new_sec
+    return new_sec if prior is None else prior
+
+
+def fence_run_is_clean(out: dict) -> bool:
+    """A fence run is CLEAN only when both ``violations_2x`` AND
+    ``deferred_storm`` are empty.  Round-12 ADVICE #2: a run whose host
+    stayed stormy end-to-end moves every over-guard row into
+    ``deferred_storm`` and leaves ``violations_2x`` empty — such a run
+    proved nothing about those rows and must not count as clean (it
+    could silently replace a validated 0-violation artifact and exit 0,
+    hiding a real regression behind the weather)."""
+    return not out.get("violations_2x") and not out.get("deferred_storm")
+
+
+def fence_exit_code(out: dict) -> int:
+    """Process exit for a fence run: 0 clean, 2 when ``violations_2x``
+    is non-empty (quiet-host regressions — fail hard), 3 when the only
+    abnormality is storm-deferred rows (weather: the rows could not be
+    measured on a quiet host; distinct from both success and violation
+    so a caller cannot mistake an unproven run for a validated one —
+    round-12 ADVICE #2)."""
+    if out.get("violations_2x"):
+        return 2
+    if out.get("deferred_storm"):
+        return 3
+    return 0
+
+
 def fence_write_decision(
     new_out: dict,
     committed: dict | None,
@@ -214,23 +259,31 @@ def fence_write_decision(
     Round-11 verdict #1: the end-of-round snapshot committed a
     storm-contaminated run (2 formal violations, loadavg 22–26) OVER
     the clean quarterly 48/48 fence, so HEAD misrepresented the repo
-    to any reader.  Rule: a run whose ``violations_2x`` is non-empty
-    may not replace a committed artifact whose ``violations_2x`` is
-    empty — it lands in ``BENCH_sf1_VIOLATING.json`` with the refusal
+    to any reader.  Rule: a run that is not :func:`fence_run_is_clean`
+    (non-empty ``violations_2x`` OR — round-12 ADVICE #2 — non-empty
+    ``deferred_storm``) may not replace a committed artifact that IS
+    clean — it lands in ``BENCH_sf1_VIOLATING.json`` with the refusal
     reason, where it is visible for triage but cannot masquerade as
     the repo's validated state.  ``force=True`` (an explicit human
     triage decision, env SPARK_GRAFT_FENCE_FORCE=1) overrides.  A
-    clean run, or a run replacing an already-violating artifact,
+    clean run, or a run replacing an already-non-clean artifact,
     writes normally."""
     clean_name, triage_name = "BENCH_sf1.json", "BENCH_sf1_VIOLATING.json"
-    if force or not new_out.get("violations_2x"):
+    if force or fence_run_is_clean(new_out):
         return clean_name, None
-    if committed is not None and not committed.get("violations_2x"):
+    if committed is not None and fence_run_is_clean(committed):
+        detail = []
+        if new_out.get("violations_2x"):
+            detail.append(f"violations: {sorted(new_out['violations_2x'])}")
+        if new_out.get("deferred_storm"):
+            detail.append(
+                f"storm-deferred: {sorted(new_out['deferred_storm'])}"
+            )
         return triage_name, (
             "refusing to overwrite a clean committed fence artifact with a "
-            f"violating run (violations: {sorted(new_out['violations_2x'])}); "
-            "triage the rows, then re-run — or set SPARK_GRAFT_FENCE_FORCE=1 "
-            "with a triage note to overwrite deliberately"
+            f"non-clean run ({'; '.join(detail)}); triage the rows, then "
+            "re-run — or set SPARK_GRAFT_FENCE_FORCE=1 with a triage note "
+            "to overwrite deliberately"
         )
     return clean_name, None
 

@@ -46,6 +46,18 @@ __all__ = [
 # group values are user data, so pick a separator they won't contain.
 _SEP = "\x1f"
 
+#: Corpus size (parquet-footer row count) above which catalog
+#: consumers whose ranking partitions on a potentially-DOMINANT group
+#: key (e.g. ccnet's per-language thirds — one language can be ~all of
+#: a web corpus) switch from the plain grouped window to
+#: :func:`range_partitioned_row_number` with ``group_cols``.  Below it
+#: the grouped window is exchange-minimal and the two-pass machinery
+#: cannot pay for itself; the threshold matches the other collapse
+#: dials (BPE_COLLAPSE_MIN_ROWS / SHINGLE_COLLAPSE_MIN_ROWS) so
+#: driver/bench SFs keep the direct plan and sf1+ takes the scale
+#: path.
+RANGE_RANK_MIN_ROWS = 20_000
+
 
 def _apply(
     df: DataFrame,

@@ -487,14 +487,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.05,
         # footer gate (round 12): the pairwise audit's COMPUTE runs at
         # the distinct-text level on big corpora; output unchanged
         collapse_distinct=(
-            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+            collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
     )
 
@@ -1095,10 +1095,10 @@ def q_corpus_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_piece_count,
         per_distinct_text,
     )
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     docs = _t(spark, sf_dir, "documents")
-    if table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS:
+    if collapse_dial(spark, sf_dir, min_rows=BPE_COLLAPSE_MIN_ROWS):
         q = per_distinct_text(
             docs.select("doc_id", "text"),
             lambda reps, key: quality_score(
@@ -3929,16 +3929,17 @@ def q_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``corpus_keep_best_pairs`` is the exact-pairwise audit variant."""
     from .operators.curation import dup_clusters
     from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS, ngram_rep_edges
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     docs = _t(spark, sf_dir, "documents")
     edges = ngram_rep_edges(
         docs, n=3, threshold=0.05,
-        # footer row count, no Spark job — above the dial the shingle
-        # leg runs once per distinct normalized text (round-11 verdict
-        # #5); driver/bench SFs keep the exchange-free direct plan
+        # shared dial (footer row count + memoized duplication probe,
+        # round-12 verdict #5) — above it the shingle leg runs once per
+        # distinct normalized text (round-11 verdict #5); driver/bench
+        # SFs keep the exchange-free direct plan
         collapse_distinct=(
-            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+            collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
     )
     clusters = dup_clusters(edges)
@@ -3966,13 +3967,13 @@ def q_corpus_keep_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     with_q = docs.withColumn("q_len", F.length("text").cast("long"))
     from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     pairs = ngram_jaccard_pairs(
         docs, n=3, threshold=0.05,
         # same footer gate as dedup_ngram_jaccard (round 12)
         collapse_distinct=(
-            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+            collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
     )
     kept = keep_best_per_pair(with_q, pairs, "q_len")
@@ -6598,12 +6599,12 @@ def q_corpus_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     text."""
     from .operators.curation import pack_sequences
     from .operators.text import BPE_COLLAPSE_MIN_ROWS, with_bpe_piece_count
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     docs = _t(spark, sf_dir, "documents")
     narrow = with_bpe_piece_count(
         docs.select("doc_id", "text"),
-        collapse=table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS,
+        collapse=collapse_dial(spark, sf_dir, min_rows=BPE_COLLAPSE_MIN_ROWS),
     ).select("doc_id", "n_pieces")
     out = pack_sequences(narrow, seq_len=512, tokens_col="n_pieces")
     return out.select(
@@ -6773,13 +6774,13 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed AFTER the cap on both engines, so the oracle mirrors the
     exact capped relation."""
     from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.05, max_doc_freq=50,
         # same footer gate as dedup_ngram_jaccard (round 12)
         collapse_distinct=(
-            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+            collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
     ).select("a_id", "b_id", "jaccard")
 
@@ -6909,14 +6910,14 @@ def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from .operators.curation import dup_clusters
     from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS, ngram_rep_edges
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     exact = dedup_exact(docs)
     edges = ngram_rep_edges(
         docs, n=3, threshold=0.05,
         # same footer gate as corpus_keep_best (round-11 verdict #5)
         collapse_distinct=(
-            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+            collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
     )
     clusters = dup_clusters(edges)
@@ -8793,7 +8794,7 @@ def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-selection op the published pretraining recipes use."""
     from .operators.curation import dsir_select
     from .operators.text import BPE_COLLAPSE_MIN_ROWS
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     return dsir_select(
         _t(spark, sf_dir, "documents"),
@@ -8804,7 +8805,7 @@ def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dial both DSIR passes build the gram stream once per DISTINCT
         # text (round-11 verdict #6); driver/bench SFs keep the direct
         # two-pass plan the hash gate covers
-        collapse=table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS,
+        collapse=collapse_dial(spark, sf_dir, min_rows=BPE_COLLAPSE_MIN_ROWS),
     )
 
 
@@ -8944,14 +8945,14 @@ def q_corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     site config); this is the published pretraining-selection recipe."""
     from .operators.curation import dsir_resample
     from .operators.text import BPE_COLLAPSE_MIN_ROWS
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     return dsir_resample(
         _t(spark, sf_dir, "documents"),
         target=F.col("lang") == "en",
         n_buckets=_DSIR_BUCKETS,
         k=_DSIR_K,
-        collapse=table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS,
+        collapse=collapse_dial(spark, sf_dir, min_rows=BPE_COLLAPSE_MIN_ROWS),
     )
 
 
@@ -9009,23 +9010,59 @@ def q_corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n ≡ 1 mod 3, where a ulp of libm difference flips the bucket).
 
     Plan: the doc_bigram_perplexity pipeline (two bounded model
-    aggregations + two equi-joins), one per-language ranking window
-    (same partitioned-window shape as the rank_normalized flagship —
-    parallel across languages; at 100 TB a single dominant language
-    makes this the range-partitioned-rank case, see operators.ordering)
-    and a broadcast join of the per-language counts.  Documents with
-    < 2 tokens have no perplexity and are excluded on both engines."""
+    aggregations + two equi-joins), a per-language ranking and a
+    broadcast join of the per-language counts.  Below the footer dial
+    the ranking is one per-language window (same partitioned-window
+    shape as the rank_normalized flagship — parallel across
+    languages); ABOVE it (round-12 verdict #3: at 100 TB a single
+    dominant language funnels ~all rows through one window task) the
+    rank goes through ``range_partitioned_row_number`` grouped by
+    lang — the range shuffle keys on (lang, ppl, doc_id), so a
+    dominant language spreads across ppl-ordered partitions instead
+    of one hot reducer, and the per-language counts read the same
+    lazily-checkpointed relation rather than re-evaluating the
+    perplexity pipeline.  Both paths are value-identical (pinned by
+    test_properties.test_ccnet_range_rank_path_identical).  Documents
+    with < 2 tokens have no perplexity and are excluded on both
+    engines."""
+    from .operators.ordering import RANGE_RANK_MIN_ROWS
     from .queries_analytics import q_doc_bigram_perplexity
+    from .sources.readers import table_row_count
 
     docs = _t(spark, sf_dir, "documents")
     per = q_doc_bigram_perplexity(spark, sf_dir)
     lp = per.join(docs.select("doc_id", "lang"), "doc_id")
+    return _ccnet_bucket_stats(
+        lp,
+        range_rank=table_row_count(sf_dir, "documents")
+        > RANGE_RANK_MIN_ROWS,
+    )
+
+
+def _ccnet_bucket_stats(lp: DataFrame, range_rank: bool) -> DataFrame:
+    """Rank-exact per-language thirds over a ``(doc_id, n_bigrams,
+    ppl, lang)`` relation — the bucketing core of
+    ``q_corpus_ccnet_buckets``, split out so the property suite can
+    pin the two ranking paths identical on the same input."""
+    if range_rank:
+        from .operators.ordering import range_partitioned_row_number
+
+        # one lazy checkpoint feeds BOTH the rank and the counts: the
+        # perplexity lineage behind lp is two model aggregations and
+        # two joins — without this the counts agg re-evaluates it
+        lp = lp.localCheckpoint(eager=False)
+        ranked = range_partitioned_row_number(
+            lp,
+            [F.col("ppl"), F.col("doc_id")],
+            out_col="rn",
+            group_cols=["lang"],
+        )
+    else:
+        w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+        ranked = lp.withColumn("rn", F.row_number().over(w))
     counts = lp.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
-    rk = (
-        lp.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(counts), "lang")
-        .withColumn("bidx", F.expr("(3 * (rn - 1)) div n"))
+    rk = ranked.join(F.broadcast(counts), "lang").withColumn(
+        "bidx", F.expr("(3 * (rn - 1)) div n")
     )
     label = (
         F.when(F.col("bidx") == 0, "head")

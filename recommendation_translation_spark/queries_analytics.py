@@ -440,12 +440,12 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     path-identical (the per-doc NLL multiset IS the rep's), work
     Θ(distinct·bigrams) instead of Θ(rows·bigrams)."""
     from .operators.text import BPE_COLLAPSE_MIN_ROWS
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _bigram_ppl(
         docs,
-        collapse=table_row_count(sf_dir, "documents") > BPE_COLLAPSE_MIN_ROWS,
+        collapse=collapse_dial(spark, sf_dir, min_rows=BPE_COLLAPSE_MIN_ROWS),
     )
 
 
@@ -1235,12 +1235,12 @@ def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report is how you justify k/bands before trusting them (that
     sampled scale form exists as ``dedup_lsh_recall_sampled``)."""
     from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS
-    from .sources.readers import table_row_count
+    from .sources.readers import collapse_dial
 
     return _lsh_recall_report_frame(
         _t(spark, sf_dir, "documents"),
         collapse_truth=(
-            table_row_count(sf_dir, "documents") > SHINGLE_COLLAPSE_MIN_ROWS
+            collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
     )
 

@@ -324,7 +324,15 @@ def table_row_count(sf_dir: str, name: str) -> int:
     (relpath, mtime, size), because an in-place part-file rewrite or
     a new file inside an existing partition subdir does not touch the
     top directory's own stat (round-8 review)."""
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _footer_row_count(
+        *_table_fingerprint(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+
+
+def _table_fingerprint(path: str) -> tuple:
+    """(path, mtime_ns, size) staleness key — directory tables hash
+    every member file's (relpath, mtime, size), same rationale as
+    table_row_count."""
     st = os.stat(path)
     if os.path.isdir(path):
         h = _hashlib.sha256()
@@ -336,8 +344,79 @@ def table_row_count(sf_dir: str, name: str) -> int:
                         f"{os.path.relpath(os.path.join(root, f), path)}"
                         f":{fst.st_mtime_ns}:{fst.st_size};".encode()
                     )
-        return _footer_row_count(path, int.from_bytes(h.digest()[:8], "big"), 0)
-    return _footer_row_count(path, st.st_mtime_ns, st.st_size)
+        return (path, int.from_bytes(h.digest()[:8], "big"), 0)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
+_DISTINCT_FRACTION_MEMO: dict[tuple, float] = {}
+
+
+def distinct_text_fraction(spark: SparkSession, sf_dir: str,
+                           name: str = "documents",
+                           text_col: str = "text") -> float:
+    """Measured duplication of a text corpus: approx distinct texts /
+    rows, in (0, 1] — the signal the collapse dial actually wants
+    (round-12 verdict #5: a production pipeline sets the dial from its
+    dedup report's duplication ratio, not a row count).  ONE
+    ``approx_count_distinct(sha2(text))`` Spark job per (corpus,
+    fingerprint), memoized for the process lifetime — repeated plan
+    builds over the same files cost nothing, and a rewrite is never
+    served a stale fraction.  The 5% HLL error is irrelevant at the
+    0.9 decision threshold.  NULL texts count as one distinct value
+    (the dedup_exact sentinel convention)."""
+    key = _table_fingerprint(os.path.join(sf_dir, f"{name}.parquet"))
+    got = _DISTINCT_FRACTION_MEMO.get(key)
+    if got is None:
+        t = F.col(text_col)
+        row = (
+            spark.read.parquet(key[0])
+            .select(
+                F.approx_count_distinct(
+                    F.when(t.isNull(), F.lit("null")).otherwise(
+                        F.sha2(t, 256)
+                    )
+                ).alias("d"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        got = min(1.0, row["d"] / row["n"]) if row["n"] else 1.0
+        _DISTINCT_FRACTION_MEMO[key] = got
+    return got
+
+
+#: Distinct-text fraction ABOVE which the collapse plan is skipped
+#: even on a large corpus: the per-distinct chain saves
+#: ``(1 − fraction)`` of the expression work but pays a narrow
+#: exchange + output-proportional join-back, so on a near-unique
+#: corpus (< ~10% duplication) it cannot pay for itself — while any
+#: web-scale crawl (30-50%+ duplication in the published CCNet /
+#: RefinedWeb numbers) keeps the collapse.
+COLLAPSE_MAX_DISTINCT_FRACTION = 0.9
+
+
+def collapse_dial(spark: SparkSession, sf_dir: str, *, min_rows: int,
+                  name: str = "documents", text_col: str = "text",
+                  distinct_fraction: float | None = None,
+                  max_distinct_fraction: float = COLLAPSE_MAX_DISTINCT_FRACTION,
+                  ) -> bool:
+    """The SHARED collapse gate (round-12 verdict #5): True when the
+    corpus is both big enough (footer row count > ``min_rows`` — below
+    it the direct chain is exchange-free and a collapse shuffle cannot
+    pay for itself at any duplication) AND duplicated enough
+    (distinct-text fraction ≤ ``max_distinct_fraction`` — a 100 TB
+    near-unique corpus skips the collapse shuffle it cannot amortize).
+    ``distinct_fraction`` overrides the measurement when the caller
+    already has it (e.g. from a dedup report); otherwise it is the
+    memoized one-job :func:`distinct_text_fraction`, only ever
+    measured on corpora already above ``min_rows``."""
+    if table_row_count(sf_dir, name) <= min_rows:
+        return False
+    if distinct_fraction is None:
+        distinct_fraction = distinct_text_fraction(
+            spark, sf_dir, name, text_col
+        )
+    return distinct_fraction <= max_distinct_fraction
 
 
 @_functools.lru_cache(maxsize=512)

@@ -5,8 +5,16 @@ import os
 import duckdb
 import pytest
 
-from recommendation_translation_spark.session import get_spark
+from recommendation_translation_spark.session import (
+    ensure_python_protobuf,
+    get_spark,
+)
 from recommendation_translation_spark.sources.readers import TESTDATA_TABLES
+
+# Import time, BEFORE any fixture builds a JVM: transformWithState's
+# python runner inherits the JVM's env, so the vendored-protobuf
+# PYTHONPATH extension must exist first (session.ensure_python_protobuf)
+ensure_python_protobuf()
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"

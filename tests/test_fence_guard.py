@@ -7,9 +7,12 @@ replace a clean committed fence artifact."""
 from recommendation_translation_spark.bench_common import (
     ANCHOR_PROBE,
     STORM_PROBE_FACTOR,
+    fence_exit_code,
     fence_row_outcome,
+    fence_run_is_clean,
     fence_write_decision,
     host_is_stormy,
+    merged_timing,
 )
 
 
@@ -76,6 +79,137 @@ def test_write_decision_allows_clean_and_forced_and_unguarded_writes():
     # explicit human triage decision overrides
     assert fence_write_decision(violating, clean_committed, force=True) == (
         "BENCH_sf1.json", None)
+
+
+def test_write_decision_treats_storm_deferred_as_non_clean():
+    # round-12 ADVICE #2: a run whose host stayed stormy end-to-end has
+    # empty violations but non-empty deferred_storm — it proved nothing
+    # about those rows and must not replace a clean committed artifact
+    all_deferred = {"violations_2x": [], "deferred_storm": {"x": 40.0}}
+    clean_committed = {"violations_2x": [], "deferred_storm": {}}
+    fname, reason = fence_write_decision(all_deferred, clean_committed)
+    assert fname == "BENCH_sf1_VIOLATING.json"
+    assert reason and "storm-deferred" in reason
+    # ...but it may replace an artifact that was itself non-clean
+    assert fence_write_decision(
+        all_deferred, {"violations_2x": ["y"]}
+    ) == ("BENCH_sf1.json", None)
+    assert not fence_run_is_clean(all_deferred)
+    assert fence_run_is_clean(clean_committed)
+
+
+def test_fence_exit_code_distinguishes_storm_deferral():
+    assert fence_exit_code({"violations_2x": [], "deferred_storm": {}}) == 0
+    assert fence_exit_code({"violations_2x": ["q"]}) == 2
+    # violations dominate: a run with both is a failure, not weather
+    assert fence_exit_code(
+        {"violations_2x": ["q"], "deferred_storm": {"x": 1.0}}
+    ) == 2
+    assert fence_exit_code(
+        {"violations_2x": [], "deferred_storm": {"x": 1.0}}
+    ) == 3
+
+
+def test_merged_timing_never_clobbers_valid_prior():
+    # round-12 ADVICE #1: a failed end-of-run re-measure (-1) must keep
+    # the valid storm-period measurement recorded earlier
+    assert merged_timing(31.9, -1.0) == 31.9
+    assert merged_timing(None, -1.0) == -1.0
+    assert merged_timing(-1.0, -1.0) == -1.0
+    # a valid later pass improves or replaces a failed/worse prior
+    assert merged_timing(31.9, 12.7) == 12.7
+    assert merged_timing(12.7, 31.9) == 12.7
+    assert merged_timing(-1.0, 12.7) == 12.7
+    assert merged_timing(None, 12.7) == 12.7
+
+
+def _protocol(run_secs, ref, *, stormy=lambda: False, **kw):
+    """Drive tools_bench_sf1.measure_protocol with a canned sequence of
+    timings ('fail' raises) and a no-op sleep; returns (result, log)."""
+    import tools_bench_sf1 as tb
+
+    seq = iter(run_secs)
+    sleeps: list[float] = []
+
+    def run_fn():
+        v = next(seq)
+        if v == "fail":
+            raise RuntimeError("boom")
+        return v
+
+    res = tb.measure_protocol(
+        run_fn,
+        stormy,
+        ref,
+        sleep=sleeps.append,
+        getload=lambda: 7.5,
+        **kw,
+    )
+    return res, sleeps
+
+
+def test_measure_protocol_single_clean_attempt():
+    res, sleeps = _protocol([4.0], ref=10.0)
+    assert res["sec"] == 4.0 and res["outcome"] == "ok"
+    assert len(res["attempts"]) == 1 and not sleeps
+    assert res["attempts"][0] == {"sec": 4.0, "load": 7.5}
+
+
+def test_measure_protocol_volatile_takes_min_of_three():
+    # round-12 verdict #1: a volatile row over the guard on attempt 1
+    # (the load tail) must not record that attempt as its timing — the
+    # unconditional min-of-3 finds the quiet number without any backoff
+    res, sleeps = _protocol([31.9, 16.0, 12.7], ref=10.0, volatile=True)
+    assert res["sec"] == 12.7 and res["outcome"] == "ok"
+    assert len(res["attempts"]) == 3 and not sleeps
+    # every attempt (including the contaminated one) is visible
+    assert [a["sec"] for a in res["attempts"]] == [31.9, 16.0, 12.7]
+    # once under the 1.5x trigger no later attempt can change the
+    # verdict, so the third is skipped (fence time, not correctness)
+    res, _ = _protocol([31.9, 13.0], ref=10.0, volatile=True)
+    assert res["sec"] == 13.0 and res["outcome"] == "ok"
+    assert len(res["attempts"]) == 2
+
+
+def test_measure_protocol_volatile_early_stop_when_provably_clean():
+    # under the 1.5x re-measure trigger with 2 attempts, a third cannot
+    # change the verdict — don't burn a full sf1 run on it
+    res, _ = _protocol([9.0, 8.5], ref=10.0, volatile=True)
+    assert res["sec"] == 8.5 and len(res["attempts"]) == 2
+
+
+def test_measure_protocol_quiet_violation_uses_backoff_then_flags():
+    # non-volatile over-guard on a quiet host: immediate re-run, then
+    # the 10s-backoff third attempt, then a violation that reproduces
+    res, sleeps = _protocol([25.0, 24.0, 23.0], ref=10.0)
+    assert res["outcome"] == "violation" and res["sec"] == 23.0
+    assert sleeps == [10.0] and len(res["attempts"]) == 3
+
+
+def test_measure_protocol_storm_defers_without_burning_backoff():
+    # still over guard + probe reads a storm: outcome comes from
+    # fence_row_outcome(stormy=True) — deferred, no sleep, no 3rd run
+    res, sleeps = _protocol([25.0, 24.0], ref=10.0, stormy=lambda: True)
+    assert res["outcome"] == "deferred" and res["sec"] == 24.0
+    assert not sleeps and len(res["attempts"]) == 2
+
+
+def test_measure_protocol_never_remeasure_single_attempt():
+    res, sleeps = _protocol([25.0], ref=10.0, never_remeasure=True)
+    assert res["outcome"] == "violation" and len(res["attempts"]) == 1
+    assert not sleeps
+
+
+def test_measure_protocol_failures_are_recorded_not_fatal():
+    res, _ = _protocol(["fail"], ref=10.0, never_remeasure=True)
+    assert res["sec"] == -1.0 and res["outcome"] == "violation"
+    assert res["failures"] == 1 and res["errors"] == ["boom"]
+    assert res["attempts"] == [{"sec": -1.0, "load": 7.5}]
+    # a failed attempt inside the volatile min-of-3 doesn't stop it —
+    # the protocol keeps going until three VALID attempts exist
+    res, _ = _protocol([31.0, "fail", 16.0, 12.0], ref=10.0, volatile=True)
+    assert res["sec"] == 12.0 and res["outcome"] == "ok"
+    assert res["failures"] == 1 and len(res["attempts"]) == 4
 
 
 def test_gumbel_noise_matches_reference_formula(spark):

@@ -43,6 +43,14 @@ def test_sf1_fence_no_2x_violations():
     # the JSON summary is the last stdout line; surface the per-query
     # violation list, not just the exit code
     payload = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert proc.returncode == 0 and not payload["violations_2x"], (
+    assert not payload["violations_2x"], (
         f"sf1 fence 2x violations: {payload['violations_2x']}\n{tail}"
     )
+    if proc.returncode == 3:
+        # storm-deferred-only run (round-12 ADVICE #2's distinct exit):
+        # weather, not code — the rows are visible in the sidecar and
+        # the artifact guard keeps any clean committed fence intact,
+        # so the suite records the deferral without failing on it
+        assert payload["deferred_storm"], tail
+    else:
+        assert proc.returncode == 0, tail

@@ -28,6 +28,24 @@ Protocol:
   still unmeasurable on a quiet host land under ``deferred_storm`` in
   the sidecar — a storm produces a deferred marker, never a committed
   violation row (pinned by tests/test_fence_guard.py);
+- LOAD-TAIL IMMUNITY (round-12 verdict #1): the probe detects
+  hypervisor steal but NOT the harness's own load tail — the r12
+  judge's in-pytest fence recorded ``dedup_emb_cosine`` at 31.9 s
+  under 1-min loadavg 20.65 (prior suite activity + GC still
+  draining) while the adjudication probe read quiet, so the row was
+  classified a violation when the quiet min-of-3 was 12.7 s.  A
+  loadavg threshold cannot discriminate: the CLEAN committed r12 run
+  has green rows whose attempt-start loadavg reached 27.8 (the
+  fence's own healthy 32-thread saturation).  Two fixes instead:
+  (a) rows with storm/re-measure history (``volatile`` in the
+  baseline file) take an unconditional min-of-N — no single
+  contaminated attempt can set their timing; (b) ANY row still over
+  the guard after the in-place protocol on a quiet-probe host is
+  retried once at END OF RUN (``retried_end_of_run`` in the sidecar)
+  where the tail has had the whole remaining panel to drain — a real
+  regression reproduces there; weather does not.  Every attempt's
+  (sec, loadavg-at-start) pair is recorded under ``attempts`` so a
+  contaminated attempt is visible in the artifact;
 - reference: ``BENCH_SF1_BASELINE.json`` (seeded from the round-6
   SCALE.md curve, post-ANN-panel-fix values; overwritten only
   deliberately).  A query > 2x its reference ON A QUIET HOST is a
@@ -60,6 +78,102 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+#: Unconditional attempt count for ``volatile`` rows (storm/re-measure
+#: history in BENCH_SF1_BASELINE.json): the round-12 verdict's
+#: "unconditional min-of-3" — no single load-contaminated attempt can
+#: set a volatile row's timing or verdict.
+VOLATILE_ATTEMPTS = 3
+
+
+def measure_protocol(
+    run_fn,
+    stormy_fn,
+    ref: float,
+    *,
+    volatile: bool = False,
+    never_remeasure: bool = False,
+    sleep=time.sleep,
+    getload=None,
+) -> dict:
+    """One full quiet-host measurement pass for a fence row — pure
+    orchestration (no Spark; pinned Spark-free by
+    tests/test_fence_guard.py).  ``run_fn()`` performs hygiene + one
+    timed execution and returns seconds (raises on query failure);
+    ``stormy_fn()`` is the probe-based storm check; ``ref`` is the
+    probe-normalized reference.
+
+    Protocol: one attempt always; VOLATILE rows take attempts until
+    ``VOLATILE_ATTEMPTS`` succeed (early-stop only once the best is
+    already under the 1.5x re-measure trigger with >= 2 attempts — at
+    that point no further attempt can change the verdict, only shave
+    the number); other rows re-run immediately when > 1.5x ref; any
+    row still > 2x ref gets the storm check, then ONE more attempt
+    after a 10 s backoff.  ``never_remeasure`` rows (ml_train_rmse:
+    re-runs are warm through a Python-side memo) take exactly one
+    attempt.
+
+    Returns ``{"sec", "attempts", "outcome", "failures", "errors"}``
+    where ``attempts`` records every attempt's (sec, loadavg-at-start)
+    — a load-contaminated attempt is visible in the artifact — and
+    ``outcome`` comes from :func:`fence_row_outcome`, the single
+    source of truth for the ok/violation/deferred decision (round-12
+    ADVICE #3)."""
+    from recommendation_translation_spark.bench_common import (
+        fence_row_outcome,
+    )
+
+    if getload is None:
+        getload = lambda: os.getloadavg()[0]  # noqa: E731
+    attempts: list[dict] = []
+    errors: list[str] = []
+
+    def one_attempt() -> float | None:
+        la = round(getload(), 2)
+        try:
+            t = round(run_fn(), 2)
+        except Exception as exc:  # noqa: BLE001 — a row must never kill the fence
+            attempts.append({"sec": -1.0, "load": la})
+            errors.append(" ".join(str(exc).split())[:200])
+            return None
+        attempts.append({"sec": t, "load": la})
+        return t
+
+    def valid() -> list[float]:
+        return [a["sec"] for a in attempts if a["sec"] > 0]
+
+    def best() -> float | None:
+        v = valid()
+        return min(v) if v else None
+
+    one_attempt()
+    stormy = False
+    if best() is not None and not never_remeasure:
+        if volatile:
+            while len(valid()) < VOLATILE_ATTEMPTS:
+                b = best()
+                if b is not None and len(attempts) >= 2 and b <= 1.5 * ref:
+                    break
+                one_attempt()
+        elif best() > 1.5 * ref:
+            one_attempt()
+        b = best()
+        if b is not None and b > 2.0 * ref:
+            if stormy_fn():
+                stormy = True
+            else:
+                sleep(10.0)
+                one_attempt()
+    b = best()
+    return {
+        "sec": b if b is not None else -1.0,
+        "attempts": attempts,
+        "outcome": fence_row_outcome(
+            b if b is not None else -1.0, ref, stormy
+        ),
+        "failures": len(attempts) - len(valid()),
+        "errors": errors,
+    }
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--full"]
@@ -86,10 +200,12 @@ def main() -> int:
     # slower than bench.py's on the same machine, silently loosening
     # every normalized threshold
     from recommendation_translation_spark.bench_common import (
+        fence_exit_code,
         fence_row_outcome,
         fence_write_decision,
         host_is_stormy,
         host_probe as _host_probe,
+        merged_timing,
         probe_factor,
         warmup,
     )
@@ -108,13 +224,16 @@ def main() -> int:
     anchor_factor = probe_factor(host_probe, anchor_probe)
 
     qmap = entry_mod.queries()
+    volatile = set(_b.get("volatile", []))
     timings: dict[str, float] = {}
     loadavg: dict[str, float] = {}
-    violations: list[str] = []
-    raw_violations: list[str] = []
+    attempts_log: dict[str, list[dict]] = {}
+    outcomes: dict[str, str] = {}
     reruns: list[str] = []
     rerun_failures: dict[str, int] = {}
     deferred: list[str] = []
+    retry: list[str] = []
+    retried: list[str] = []
     deferred_storm: dict[str, float] = {}
 
     def hygiene() -> None:
@@ -140,76 +259,62 @@ def main() -> int:
         except Exception:
             pass  # py4j surface changed — hygiene only, never fail the fence
 
-    def measure_row(name: str, ref: float) -> bool:
-        """Full quiet-host protocol for one row: first run, immediate
-        re-measure when > 1.5x ref, storm-checked 10 s-backoff third
-        attempt when still > 2x.  Updates timings/loadavg/reruns.
-        Returns True if the row was storm-deferred (over 2x with the
-        probe reading a storm — the backoff was NOT burned; the caller
-        queues the row for the end-of-run pass)."""
+    def run_row(name: str, ref: float) -> str:
+        """One :func:`measure_protocol` pass for ``name``, merged into
+        the run state (a later pass only improves the recorded timing —
+        round-12 ADVICE #1: a failed end-of-run attempt must not
+        clobber a valid earlier measurement).  Returns the row's
+        merged :func:`fence_row_outcome` classification."""
         fn = qmap[name]
-        hygiene()
-        loadavg[name] = round(os.getloadavg()[0], 2)
-        t0 = time.perf_counter()
-        try:
-            n = fn(spark, sf_dir).count()
-        except Exception as exc:
-            timings[name] = -1.0
-            msg = " ".join(str(exc).split())[:200]
-            print(f"# FAILED {name}: {msg}", file=sys.stderr)
-            return False
-        t = round(time.perf_counter() - t0, 2)
-        # ml_train_rmse's cost is a Python-side model memo: a re-run is
-        # warm through a mechanism clearCache cannot reach, so min()
-        # would mask a training-cost regression (same NEVER_REMEASURE
-        # rule as bench.py)
-        if t > 1.5 * ref and name != "ml_train_rmse":
-            ok_reruns = 0
-            failed_reruns = 0
-            storm = False
-            for backoff in (0.0, 10.0):
-                if t <= 2.0 * ref and backoff:
-                    break
-                if backoff:
-                    # round-11 verdict #7: re-probe BEFORE burning the
-                    # backoff — a sustained steal storm outlasts 10 s,
-                    # and a violation measured inside one is weather,
-                    # not a regression.  Defer the row instead.
-                    if host_is_stormy(_host_probe(spark), anchor_probe):
-                        storm = True
-                        break
-                    time.sleep(backoff)
-                hygiene()
-                la = round(os.getloadavg()[0], 2)
-                t1 = time.perf_counter()
-                try:
-                    fn(spark, sf_dir).count()
-                    t2 = round(time.perf_counter() - t1, 2)
-                except Exception:
-                    failed_reruns += 1
-                    continue
-                ok_reruns += 1
-                if t2 < t:
-                    t = t2
-                    loadavg[name] = la
-            if ok_reruns and name not in reruns:
-                reruns.append(name)
-            if failed_reruns:
-                rerun_failures[name] = (
-                    rerun_failures.get(name, 0) + failed_reruns
-                )
-            if storm and t > 2.0 * ref:
-                timings[name] = t
-                print(f"# {name}: {t}s over guard during probe-confirmed "
-                      f"storm (load {loadavg[name]}) DEFERRED",
-                      file=sys.stderr)
-                return True
-        timings[name] = round(min(t, timings.get(name, t)), 2)
-        status = "VIOLATION" if timings[name] > 2.0 * ref else "ok"
-        print(f"# {name}: {timings[name]}s (ref {round(ref, 2)}s = anchor "
-              f"{baseline[name]} x {anchor_factor}, rows={n}, "
-              f"load {loadavg[name]}) {status}", file=sys.stderr)
-        return False
+        nrows: dict[str, int] = {}
+
+        def timed_run() -> float:
+            hygiene()
+            t0 = time.perf_counter()
+            nrows["n"] = fn(spark, sf_dir).count()
+            return time.perf_counter() - t0
+
+        res = measure_protocol(
+            timed_run,
+            lambda: host_is_stormy(_host_probe(spark), anchor_probe),
+            ref,
+            volatile=name in volatile,
+            never_remeasure=name == "ml_train_rmse",
+        )
+        attempts_log.setdefault(name, []).extend(res["attempts"])
+        ok_attempts = [a for a in res["attempts"] if a["sec"] > 0]
+        merged = merged_timing(timings.get(name), res["sec"])
+        if ok_attempts and merged == res["sec"]:
+            loadavg[name] = min(ok_attempts, key=lambda a: a["sec"])["load"]
+        timings[name] = merged
+        if len(ok_attempts) > 1 and name not in reruns:
+            reruns.append(name)
+        if res["failures"]:
+            rerun_failures[name] = rerun_failures.get(name, 0) + res[
+                "failures"
+            ]
+            for msg in res["errors"]:
+                print(f"# FAILED {name}: {msg}", file=sys.stderr)
+        # classify on the MERGED best (an end-of-run pass may beat a
+        # contaminated in-place one); the storm flag is this pass's —
+        # fence_row_outcome is the single decision point (ADVICE #3)
+        outcome = fence_row_outcome(
+            timings[name], ref, res["outcome"] == "deferred"
+        )
+        outcomes[name] = outcome
+        label = {
+            "ok": "ok",
+            "violation": "VIOLATION",
+            "deferred": "DEFERRED (probe-confirmed storm)",
+        }[outcome]
+        print(
+            f"# {name}: {timings[name]}s (ref {round(ref, 2)}s = anchor "
+            f"{baseline[name]} x {anchor_factor}, rows={nrows.get('n')}, "
+            f"load {loadavg.get(name)}, attempts "
+            f"{len(attempts_log[name])}) {label}",
+            file=sys.stderr,
+        )
+        return outcome
 
     # Same ordering rule as bench.py: ml_train_rmse runs BEFORE the
     # other ml_* rows so the shared one-time training cost lands on the
@@ -225,55 +330,74 @@ def main() -> int:
         if name not in qmap:
             print(f"# panel query {name} missing from catalog", file=sys.stderr)
             timings[name] = -1.0
+            outcomes[name] = "violation"
             continue
         ref = baseline[name] * anchor_factor
-        if measure_row(name, ref):
+        outcome = run_row(name, ref)
+        if outcome == "deferred":
             deferred.append(name)
+        elif (
+            outcome == "violation"
+            and timings[name] > 0
+            and name != "ml_train_rmse"
+        ):
+            # round-12 verdict #1: a quiet-PROBE violation can still be
+            # the harness's own load tail (the probe sees hypervisor
+            # steal, not local contention).  Retry once at end of run,
+            # where the tail has had the rest of the panel to drain —
+            # a real regression reproduces there.
+            retry.append(name)
 
-    # End-of-run pass for storm-deferred rows: by now the burst has had
-    # the whole remaining panel to pass.  One more full protocol run
-    # each; a row whose host is STILL stormy is recorded under
-    # deferred_storm with its best measurement — visible, excluded from
-    # the violation fence, never silently dropped.
-    for name in deferred:
+    # End-of-run pass: storm-deferred rows (the burst has had the whole
+    # remaining panel to pass) and quiet-probe over-guard rows (the
+    # load-tail retry).  One more full protocol run each; a row whose
+    # host is stormy here lands under deferred_storm with its best
+    # measurement — visible, excluded from the violation fence, never
+    # silently dropped, and (round-12 ADVICE #2) still non-clean for
+    # the artifact guard and the exit code.
+    for name in deferred + [n for n in retry if n not in deferred]:
         ref = baseline[name] * anchor_factor
         if host_is_stormy(_host_probe(spark), anchor_probe):
             deferred_storm[name] = timings[name]
-            print(f"# {name}: host still stormy at end of run — recorded "
+            outcomes[name] = "deferred"
+            print(f"# {name}: host stormy at end of run — recorded "
                   f"as deferred_storm ({timings[name]}s), not a violation",
                   file=sys.stderr)
             continue
-        if measure_row(name, ref):
+        if name in retry:
+            retried.append(name)
+        if run_row(name, ref) == "deferred":
             deferred_storm[name] = timings[name]
             print(f"# {name}: storm returned during end-of-run re-measure "
                   f"— recorded as deferred_storm ({timings[name]}s)",
                   file=sys.stderr)
 
-    for name, t in timings.items():
-        ref = baseline.get(name)
-        if ref is None:
-            continue
-        if name in deferred_storm:
-            continue
-        if fence_row_outcome(t, ref * anchor_factor, False) == "violation":
-            violations.append(name)
-        if t < 0 or t > 2.0 * ref:
-            raw_violations.append(name)
+    violations = sorted(
+        n for n, o in outcomes.items() if o == "violation"
+    )
+    raw_violations = sorted(
+        n
+        for n, t in timings.items()
+        if baseline.get(n) is not None and (t < 0 or t > 2.0 * baseline[n])
+    )
 
     out = {
         "sf": 1.0,
-        "schema_version": 3,
+        "schema_version": 4,
         "panel": "full" if full else "active",
         "sum_query_sec": round(sum(v for v in timings.values() if v > 0), 2),
         "queries": timings,
         "loadavg_1min": loadavg,
+        "attempts": attempts_log,
         "host_probe": host_probe,
         "anchor_probe_factor": anchor_factor,
+        "volatile": sorted(volatile & set(baseline)),
         "remeasured": sorted(reruns),
         "remeasure_failed": rerun_failures,
+        "retried_end_of_run": sorted(retried),
         "deferred_storm": deferred_storm,
-        "violations_2x": sorted(violations),
-        "violations_2x_raw": sorted(raw_violations),
+        "violations_2x": violations,
+        "violations_2x_raw": raw_violations,
     }
     committed = None
     try:
@@ -291,7 +415,9 @@ def main() -> int:
     with open(os.path.join(REPO, fname), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps(out, separators=(",", ":")))
-    return 0 if not violations else 2
+    # 0 clean / 2 violations / 3 storm-deferred-only (ADVICE #2: an
+    # unproven run must not exit 0)
+    return fence_exit_code(out)
 
 
 if __name__ == "__main__":
