@@ -289,6 +289,158 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    collapse_distinct: bool = False,
+) -> DataFrame:
+    """DIRECTIONAL near-containment pairs by exact n-gram containment
+    C(a → b) = |A ∩ B| / |A| — the fraction of ``a``'s shingles found
+    in ``b``.  Jaccard misses the quotation/extraction case (a short
+    document wholly contained in a long one scores |A|/|B| ≈ 0 on
+    Jaccard but 1.0 on containment); the published dedup recipes that
+    strip contained documents (e.g. the suffix-array exact-substring
+    family) need exactly this asymmetric measure.  No counterpart in
+    the reference (its dedup surface is distinct(), JobRunner.scala);
+    extension-surface operator.
+
+    Returns (contained_id, container_id, containment) for every
+    ORDERED pair of distinct documents with containment ≥ threshold —
+    a clone pair appears in both directions at 1.0.  ``max_doc_freq``
+    is the same df-cap as ``ngram_jaccard_pairs`` (sizes and
+    intersections both computed on the capped relation, so the ratio
+    is a true containment of the capped sets; docs with zero surviving
+    shingles drop out).  Candidate generation is the shared-shingle
+    inverted index — never an all-pairs join — and
+    ``collapse_distinct=True`` runs every superlinear stage (index,
+    df-cap, intersection self-join) at the distinct-content
+    fingerprint level with an output-proportional doc expansion, the
+    round-12 collapse family applied verbatim; callers gate on the
+    shared dial (SHINGLE_COLLAPSE_MIN_ROWS).
+    """
+    def emit_both(pairs: DataFrame, ka: str, kb: str) -> DataFrame:
+        """(ka, kb, n_inter, n_a, n_b) → directional rows, both ways."""
+        fwd = pairs.select(
+            F.col(ka).alias("contained_id"),
+            F.col(kb).alias("container_id"),
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment"),
+        )
+        rev = pairs.select(
+            F.col(kb).alias("contained_id"),
+            F.col(ka).alias("container_id"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment"),
+        )
+        return fwd.unionByName(rev).filter(
+            F.col("containment") >= threshold
+        )
+
+    if collapse_distinct:
+        fpmap, rsh = _fp_shingles(df, n, text_col, id_col)
+        fpg = fpmap.groupBy("__fp").agg(F.count(F.lit(1)).alias("m"))
+        if max_doc_freq is not None:
+            freq = rsh.join(fpg, "__fp").groupBy("shingle").agg(
+                F.sum("m").alias("df_")
+            )
+            rsh = rsh.join(
+                F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
+                "shingle", "left_anti",
+            )
+        rsh = rsh.cache()  # same trade-off note as ngram_jaccard_pairs
+        sizes = rsh.groupBy("__fp").agg(F.count("*").alias("n_sh"))
+        a, b = rsh.alias("a"), rsh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.__fp") < F.col("b.__fp"))
+            .groupBy(
+                F.col("a.__fp").alias("f1"), F.col("b.__fp").alias("f2")
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+        sized = (
+            inter.join(
+                sizes.select(
+                    F.col("__fp").alias("f1"), F.col("n_sh").alias("n_a")
+                ),
+                "f1",
+            ).join(
+                sizes.select(
+                    F.col("__fp").alias("f2"), F.col("n_sh").alias("n_b")
+                ),
+                "f2",
+            )
+        )
+        fp_pairs = emit_both(sized, "f1", "f2")
+        m1 = fpmap.select(
+            F.col("__fp").alias("contained_id"), F.col(id_col).alias("x")
+        )
+        m2 = fpmap.select(
+            F.col("__fp").alias("container_id"), F.col(id_col).alias("y")
+        )
+        cross_docs = (
+            fp_pairs.join(m1, "contained_id")
+            .join(m2, "container_id")
+            .select(
+                F.col("x").alias("contained_id"),
+                F.col("y").alias("container_id"),
+                "containment",
+            )
+        )
+        # same-content cliques: containment is exactly 1.0 in BOTH
+        # directions for every ordered pair inside an fp group with
+        # ≥ 1 surviving shingle
+        same_docs = (
+            sizes.join(fpg.filter(F.col("m") >= 2), "__fp")
+            .join(fpmap.select("__fp", F.col(id_col).alias("x")), "__fp")
+            .join(fpmap.select("__fp", F.col(id_col).alias("y")), "__fp")
+            .filter(F.col("x") != F.col("y"))
+            .withColumn("containment", F.lit(1.0))
+            .filter(F.col("containment") >= threshold)
+            .select(
+                F.col("x").alias("contained_id"),
+                F.col("y").alias("container_id"),
+                "containment",
+            )
+        )
+        return cross_docs.unionByName(same_docs)
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
+            "shingle", "left_anti",
+        )
+    sh = sh.cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sized = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("a_id"),
+                         F.col("n_sh").alias("n_a")),
+            "a_id",
+        ).join(
+            sizes.select(F.col(id_col).alias("b_id"),
+                         F.col("n_sh").alias("n_b")),
+            "b_id",
+        )
+    )
+    return emit_both(sized, "a_id", "b_id")
+
+
 #: Corpus size (parquet-footer row count) above which the catalog's
 #: rep-edge consumers (corpus_dedup_report, corpus_keep_best) shingle
 #: once per DISTINCT normalized text instead of once per row — the

@@ -9117,6 +9117,120 @@ ORACLES["corpus_ccnet_buckets"] = f"""
 """
 
 
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs (new round 13):
+    C(a → b) = |A∩B| / |A| ≥ 0.4 over 3-gram shingle sets with the
+    standard df-1000 cap — the asymmetric twin of dedup_ngram_jaccard
+    that catches a short document quoted inside a long one (Jaccard
+    |A|/|B| ≈ 0, containment 1.0), the measure behind
+    contained-document stripping in the exact-substring dedup recipes.
+    Same inverted-index candidate generation (never all-pairs), same
+    shared collapse dial: above it every superlinear stage runs at the
+    distinct-content fingerprint level (operators.dedup)."""
+    from .operators.dedup import (
+        SHINGLE_COLLAPSE_MIN_ROWS,
+        ngram_containment_pairs,
+    )
+    from .sources.readers import collapse_dial
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.4,
+        collapse_distinct=(
+            collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
+        ),
+    )
+
+
+ORACLES["dedup_ngram_containment"] = f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+           JOIN freq ON sh0.shingle = freq.shingle WHERE freq.df <= 1000),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT a_id, b_id, n_inter, na.n_sh AS n_a, nb.n_sh AS n_b
+      FROM inter
+      JOIN sizes na ON na.doc_id = a_id
+      JOIN sizes nb ON nb.doc_id = b_id
+    )
+    SELECT contained_id, container_id, containment FROM (
+      SELECT a_id AS contained_id, b_id AS container_id,
+             ROUND(n_inter / n_a::DOUBLE, 6) AS containment FROM sized
+      UNION ALL
+      SELECT b_id AS contained_id, a_id AS container_id,
+             ROUND(n_inter / n_b::DOUBLE, 6) AS containment FROM sized
+    ) WHERE containment >= 0.4
+"""
+
+
+#: Per-source training-epoch factors for corpus_epoch_upsample (mixing
+#: config, not data): a source with factor e contributes floor(e) full
+#: copies of every document plus one extra copy of a deterministic
+#: frac(e) hash-share of them — the "epochs per source" table of the
+#: published pretraining mixes (LLaMA's Wikipedia 2.45 epochs, books
+#: 2.23, etc.).  Factors < 1 downsample (0 full copies, a frac(e)
+#: keep-share).  Unlisted sources run exactly 1 epoch.
+EPOCH_FACTORS = {"src0": 3.2, "src1": 2.0, "src2": 1.5, "src3": 0.4}
+
+
+def _epoch_rows() -> list[tuple[str, int, int]]:
+    """(source, whole_epochs, fractional-hash threshold) with the
+    threshold computed ONCE here (int(frac · 2³²)) and inlined as the
+    SAME literal into both the Spark expression and the oracle SQL —
+    engine-exact by construction."""
+    return [
+        (k, int(v), int((v - int(v)) * 2**32))
+        for k, v in sorted(EPOCH_FACTORS.items())
+    ]
+
+
+def q_corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch upsampling (new round 13): replicate each
+    document ``floor(e)`` times and give a deterministic ``frac(e)``
+    hash-share of its source one extra copy — the source-repetition
+    step of a pretraining mix, generalizing stratified_sample (pure
+    downsampling) to factors above 1.  The keep/extra decision is the
+    cross-engine md5 hash of doc_id (no RNG state, re-runs never flip
+    a row; same machinery as hash_split/DSIR).  Pure scan-side
+    expressions — ZERO shuffle at any corpus size; the output is the
+    (doc_id, source, n_copies) relation a downstream interleave/pack
+    stage consumes without ever materializing the copies."""
+    from .operators.text import cross_engine_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    whole, thr = F.lit(1), F.lit(0).cast("long")
+    for k, w, fr in _epoch_rows():
+        whole = F.when(F.col("source") == k, F.lit(w)).otherwise(whole)
+        thr = F.when(F.col("source") == k, F.lit(fr)).otherwise(thr)
+    h = cross_engine_hash(F.col("doc_id").cast("string"), seed="epoch")
+    out = docs.withColumn(
+        "n_copies", (whole + (h < thr).cast("int")).cast("long")
+    )
+    return out.filter(F.col("n_copies") > 0).select(
+        "doc_id", "source", "n_copies"
+    )
+
+
+ORACLES["corpus_epoch_upsample"] = f"""
+    WITH e AS (
+      SELECT doc_id, source,
+             CASE source {' '.join(f"WHEN '{k}' THEN {w}" for k, w, _ in _epoch_rows())} ELSE 1 END AS whole,
+             CASE source {' '.join(f"WHEN '{k}' THEN {fr}" for k, _, fr in _epoch_rows())} ELSE 0 END AS thr,
+             {_hash_sql('doc_id', seed='epoch')} AS h
+      FROM documents)
+    SELECT doc_id, source,
+           CAST(whole + CASE WHEN h < thr THEN 1 ELSE 0 END AS BIGINT)
+             AS n_copies
+    FROM e
+    WHERE whole + CASE WHEN h < thr THEN 1 ELSE 0 END > 0
+"""
+
+
 # Dict ORDER is deliberate: the correctness driver records the first
 # ~50 entries into CORRECTNESS_r{N}.json, so verification rotates
 # round-by-round (round-2 verdict #3).  Round-6 front (see the
@@ -9286,6 +9400,8 @@ QUERIES = {
     "corpus_dsir_select": q_corpus_dsir_select,
     "corpus_dsir_resample": q_corpus_dsir_resample,
     "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
+    "dedup_ngram_containment": q_dedup_ngram_containment,
+    "corpus_epoch_upsample": q_corpus_epoch_upsample,
     "corpus_shard_divergence": q_corpus_shard_divergence,
     "corpus_interleave": q_corpus_interleave,
     "doc_array_funcs": q_doc_array_funcs,
@@ -9825,4 +9941,78 @@ _R12_WINDOW = [
 QUERIES = {
     **{k: QUERIES[k] for k in _R12_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
+}
+
+# -- Round-13 driver window (first 50 entries get this round's driver
+# correctness rows).  Ordering: (a) the NINE rows whose newest driver
+# row is r8 — the alphabetical-tail spill the round-12 window note
+# ordered swept FIRST (round-12 verdict Next #2); (b) the TWO
+# round-13 additions needing their first signal; (c) the TWELVE
+# queries whose implementation changed this round — the shared
+# collapse_dial migration (all collapse consumers) and the ccnet
+# range-rank gate — re-verified under the driver ahead of pure
+# staleness rotation; (d) 27 of the 48 remaining rows whose newest
+# driver row is r9 (alphabetical).  The other 21 r9 rows spill to
+# round 14 (alphabetical tail from events_median_arrow through
+# tpch_q21_waiting) — sweep those FIRST in the round-14 window. --
+_R13_WINDOW = [
+    # (a) r8-stale sweep (round-12 verdict #2)
+    "pricing_grouping_sets",
+    "pysource_scan",
+    "tpch_q8_share",
+    "tpch_q9_profit",
+    "tpch_q11_important",
+    "tpch_q12_priority",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    # (b) new in r13
+    "dedup_ngram_containment",
+    "corpus_epoch_upsample",
+    # (c) implementation changed in r13 (collapse_dial migration +
+    # ccnet range-rank gate)
+    "corpus_ccnet_buckets",
+    "corpus_bpe_budget",
+    "corpus_bpe_pack",
+    "corpus_dedup_report",
+    "corpus_dsir_resample",
+    "corpus_dsir_select",
+    "corpus_keep_best",
+    "corpus_keep_best_pairs",
+    "dedup_lsh_recall_report",
+    "dedup_ngram_capped",
+    "dedup_ngram_jaccard",
+    "doc_bigram_perplexity",
+    # (d) r9-stale sweep (alphabetical; 21 rows spill to r14)
+    "corpus_pack_sequences",
+    "corpus_profile",
+    "corpus_source_quota",
+    "corpus_temperature_sample",
+    "corpus_weighted_sample",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_semdedup",
+    "dedup_simhash64_pairs",
+    "dedup_simhash_pairs",
+    "doc_bm25_topk",
+    "doc_dup_span_fraction",
+    "doc_string_funcs",
+    "docs_compaction",
+    "docs_schema_evolution",
+    "docs_stream_dedup_verified",
+    "emb_ivf_recall_report",
+    "emb_ivfpq_append_topk",
+    "emb_ivfpq_recall_report",
+    "emb_pq_refine_recall_report",
+    "emb_pq_refine_topk",
+    "events_anomaly_mad",
+    "events_approx_stats",
+    "events_ewma",
+    "events_first_last_touch",
+    "events_hll_merge",
+    "events_incremental_agg",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R13_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
 }

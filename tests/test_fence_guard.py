@@ -242,3 +242,11 @@ def test_gumbel_noise_matches_reference_formula(spark):
         h = int(hashlib.md5(f"gumbel:{i}".encode()).hexdigest()[:8], 16)
         uu = (h + 0.5) / 2**32
         assert got[i] == round(-math.log(-math.log(uu)), 6), i
+
+
+def test_measure_protocol_volatile_bounds_total_attempts():
+    # a permanently-failing volatile row must terminate (bounded
+    # attempts), and still classify as a violation
+    res, _ = _protocol(["fail"] * 10, ref=10.0, volatile=True)
+    assert res["sec"] == -1.0 and res["outcome"] == "violation"
+    assert len(res["attempts"]) <= 5

@@ -1556,3 +1556,12 @@ def test_ccnet_range_rank_no_per_lang_window(spark):
         physical_plan(_ccnet_bucket_stats(lp, range_rank=False))
     )
     assert ["lang"] in direct_specs
+
+
+def test_epoch_upsample_zero_shuffle(spark):
+    # round 13: the per-source epoch replication decision is pure
+    # scan-side expression work (CASE weight + md5 hash compare) —
+    # zero exchanges at any corpus size
+    df = QUERIES["corpus_epoch_upsample"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+    assert_whole_stage_codegen(df)

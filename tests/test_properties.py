@@ -1798,3 +1798,51 @@ def test_collapse_dial_duplication_regimes(spark, tmp_path):
     assert 0.0 < f1 < 0.1  # ~10/300, HLL error notwithstanding
     assert any(k[0].startswith(heavy) for k in _DISTINCT_FRACTION_MEMO)
     assert distinct_text_fraction(spark, heavy) == f1
+
+
+def test_ngram_containment_collapse_path_identical(spark):
+    # round 13: the directional containment pairs must be bit-identical
+    # between the direct and collapse-to-fingerprint plans, including
+    # clone cliques (1.0 both directions), a short doc contained in a
+    # long one (the asymmetric case Jaccard misses), df-capped
+    # shingles, NULL/empty/short texts
+    from recommendation_translation_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10, 18))  # ⊂ long_text
+    rows = [
+        (0, long_text),
+        (1, short_text),
+        (2, long_text),            # clone of 0
+        (3, "W10 w11 W12 w13 w14 w15 w16 w17"),  # case-normalized clone of 1
+        (4, "completely different text with enough words to shingle"),
+        (5, None),
+        (6, ""),
+        (7, "two words"),          # < n tokens: no shingles
+    ]
+    # clone packs to exercise the df-cap and multiplicity accounting
+    rows += [(100 + i, long_text) for i in range(6)]
+    rows += [(200 + i, short_text) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(collapse, cap):
+        return sorted(
+            (r["contained_id"], r["container_id"], r["containment"])
+            for r in ngram_containment_pairs(
+                df, n=3, threshold=0.4, max_doc_freq=cap,
+                collapse_distinct=collapse,
+            ).collect()
+        )
+
+    for cap in (None, 1000, 5):  # 5 < the 8-clone pack: cap bites
+        assert pairs(False, cap) == pairs(True, cap), f"cap={cap}"
+    got = pairs(True, None)
+    # the asymmetric case: short (1) fully contained in long (0) …
+    assert (1, 0, 1.0) in got
+    # … but NOT the reverse (6/38 shingles ≈ 0.157 < 0.4)
+    assert not any(a == 0 and b == 1 for a, b, _ in got)
+    # clone cliques appear in both directions at exactly 1.0
+    assert (0, 2, 1.0) in got and (2, 0, 1.0) in got
+    assert (1, 3, 1.0) in got and (3, 1, 1.0) in got

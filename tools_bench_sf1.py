@@ -149,7 +149,12 @@ def measure_protocol(
     stormy = False
     if best() is not None and not never_remeasure:
         if volatile:
-            while len(valid()) < VOLATILE_ATTEMPTS:
+            # total-attempt bound: a permanently-failing row must not
+            # spin forever chasing VOLATILE_ATTEMPTS valid timings
+            while (
+                len(valid()) < VOLATILE_ATTEMPTS
+                and len(attempts) < VOLATILE_ATTEMPTS + 2
+            ):
                 b = best()
                 if b is not None and len(attempts) >= 2 and b <= 1.5 * ref:
                     break
