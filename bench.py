@@ -166,6 +166,23 @@ def main() -> int:
 
         spark.catalog.clearCache()
         drop_memory_sink_tables(spark)
+        # r13: release the PREVIOUS queries' leaked blocks before
+        # timing.  localCheckpoint blocks are RDD-level state that
+        # clearCache cannot reach; they are freed by the ContextCleaner
+        # only after a JVM GC notices the dead references, which on a
+        # 48 g heap can lag dozens of queries — measured mid-loop rows
+        # at 2-5x their isolated cost (corpus_bpe_budget 13.6 s in-loop
+        # vs 2.6 s isolated) from exactly this accumulation.  A Python
+        # collect drops the py4j handles, then one explicit JVM GC lets
+        # the cleaner unpersist everything unreferenced.  Referenced
+        # state (the ml model memo) is untouched — GC frees garbage
+        # only — so no timed computation is ever satisfied from a
+        # prior run; this is the same between-query hygiene as
+        # clearCache, one layer lower.
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             n = fn(spark, sf_dir).count()

@@ -75,6 +75,34 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+#: Corpus size below which the vector relation typically lands in ONE
+#: parquet row group — an unsplittable scan, so every broadcast-joined
+#: scoring stage downstream runs as a SINGLE task regardless of
+#: cluster size (measured r13: dedup_emb_cosine spent 10.5 s in a
+#: 1-task pair-scoring stage at sf0.1).  Below this bound one narrow
+#: round-robin exchange of the vectors is negligible (≤ ~0.5 GB)
+#: next to the serialized scoring it unlocks; above it the scan has
+#: real splits and the exchange would be a pure waste — the gate makes
+#: the plan scale-adaptive instead of tuned for either regime.
+SPREAD_MAX_ROWS = 1_000_000
+
+
+def spread_small(df: DataFrame, n_rows: int | None,
+                 max_rows: int = SPREAD_MAX_ROWS) -> DataFrame:
+    """Round-robin repartition a SMALL relation to the cluster's
+    default parallelism before per-row/per-pair-expensive scoring.
+    ``n_rows`` is the caller's parquet-footer count (no Spark job);
+    ``None`` or a count above ``max_rows`` returns ``df`` unchanged.
+    Row order never reaches results on these paths (per-row scoring +
+    keyed windows/aggregations only — no order-sensitive float
+    accumulation), so the output is identical with or without the
+    exchange."""
+    if n_rows is not None and 0 < n_rows <= max_rows:
+        sc = df.sparkSession.sparkContext
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -194,15 +222,46 @@ def hyperplane_weight(i: int, j: int, seed: str = "hp") -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
-def hyperplane_bits(vec: Column, n_bits: int, dim: int, seed: str = "hp") -> Column:
+def _hyperplane_bits_sql(vec_ref: str, n_bits: int, dim: int,
+                         seed: str = "hp") -> str:
+    """SQL text of :func:`hyperplane_bits` — same packed-weight
+    zip_with/aggregate projection per hyperplane, same left-to-right
+    bit adds, same long/int CASE coercion."""
+    total = "CAST(0 AS BIGINT)"
+    for i in range(n_bits):
+        w = _sql_arr(hyperplane_weight(i, j, seed) for j in range(dim))
+        proj = (f"aggregate(zip_with({vec_ref}, {w}, (x, y) -> x * y), "
+                f"0.0D, (acc, x) -> acc + x)")
+        total = (f"{total} + (CASE WHEN {proj} > 0 "
+                 f"THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)")
+    return total
+
+
+def hyperplane_bits(vec: Column | str, n_bits: int, dim: int,
+                    seed: str = "hp") -> Column:
     """LSH bucket id: sign bits of ``n_bits`` deterministic hyperplanes,
     as one long.  Weights are literals → the projections run inside a
-    single codegen'd stage."""
+    single codegen'd stage.
+
+    r13: each hyperplane's weights ride as ONE packed array literal
+    (``F.lit(list)``) folded with ``zip_with``+``aggregate`` instead of
+    ``dim`` separate Literal nodes chained with ``+`` — the projection
+    is the same multiply-adds in the same left-to-right order
+    (bit-identical result; zip_with's NULL padding reproduces the old
+    out-of-bounds-index NULL), but the expression tree shrinks from
+    O(n_bits·dim) to O(n_bits) nodes.  A str ``vec`` additionally
+    takes the SQL-text fast path (one JVM parse; py4j build
+    chattiness, not Catalyst, dominates driver time on this catalog)."""
+    if isinstance(vec, str):
+        return F.expr(_hyperplane_bits_sql(vec, n_bits, dim, seed))
     bucket = F.lit(0).cast("long")
     for i in range(n_bits):
-        proj = F.lit(0.0)
-        for j in range(dim):
-            proj = proj + vec[j] * F.lit(hyperplane_weight(i, j, seed))
+        w = F.lit([hyperplane_weight(i, j, seed) for j in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(proj > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0))
     return bucket
 
@@ -221,12 +280,12 @@ def ann_lsh_topk(
     cand = emb.select(
         F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec")
     )
-    cand = cand.withColumn("bucket", hyperplane_bits(F.col("cvec"), n_bits, dim)) \
+    cand = cand.withColumn("bucket", hyperplane_bits("cvec", n_bits, dim)) \
                .withColumn("cnorm", l2_norm(F.col("cvec")))
     q = queries.select(
         F.col("query_id"), F.col("query_vec").cast("array<double>").alias("qvec")
     )
-    q = q.withColumn("bucket", hyperplane_bits(F.col("qvec"), n_bits, dim)) \
+    q = q.withColumn("bucket", hyperplane_bits("qvec", n_bits, dim)) \
          .withColumn("qnorm", l2_norm(F.col("qvec")))
     scored = (
         cand.join(F.broadcast(q), "bucket")
@@ -309,6 +368,13 @@ def embedding_cosine_pairs(
         n = emb.count() if n_rows is None else n_rows
         n_bits = adaptive_n_bits(n)
     v = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec"))
+    # r13: a small corpus scans as ONE parquet split, and because side
+    # a broadcasts there is no exchange before the pair scoring — the
+    # whole O(N·target) cosine work serialized onto one task (10.5 s
+    # single-task stage at sf0.1).  One narrow exchange restores the
+    # salt mechanism's parallelism; no-op above SPREAD_MAX_ROWS where
+    # the scan has real splits.
+    v = spread_small(v, n_rows)
     # Every row carries ALL table buckets (bkt0..bktT-1, one int each)
     # so a pair colliding in several tables can be claimed by its FIRST
     # colliding table alone — the exact cosine is then computed once
@@ -320,7 +386,7 @@ def embedding_cosine_pairs(
     v = v.withColumn("nrm", l2_norm(F.col("vec")))
     for t in range(n_tables):
         v = v.withColumn(
-            f"bkt{t}", hyperplane_bits(F.col("vec"), n_bits, dim, seed=f"hp{t}")
+            f"bkt{t}", hyperplane_bits("vec", n_bits, dim, seed=f"hp{t}")
         )
     bkts = [f"bkt{t}" for t in range(n_tables)]
     v = v.withColumn(
@@ -399,15 +465,27 @@ def centroids_from_manifest(manifest: dict) -> list:
 
 def centroid_rows_literal(cents: list) -> Column:
     """(label, vector, norm) tuples → ONE literal array column of
-    (l, cv, cn) structs — assign_lists' zero-shuffle input."""
-    return F.array(*[
-        F.struct(
-            F.lit(lbl).alias("l"),
-            F.array(*[F.lit(c) for c in vec]).alias("cv"),
-            F.lit(nrm).alias("cn"),
-        )
-        for lbl, vec, nrm in cents
+    (l, cv, cn) structs — assign_lists' zero-shuffle input.
+
+    r13: the vectors ride as ONE packed nested-array literal zipped
+    against per-centroid (l, cn) structs instead of |cents|·dim
+    Literal nodes — same values, same struct field names/types (the
+    small l/cn literals stay individual nodes so their types match the
+    old construction exactly), ~dim× fewer expression-tree nodes for
+    Catalyst to walk (the literal trees dominate driver planning time
+    on this catalog, not the per-row math)."""
+    cvs = F.lit([[float(c) for c in vec] for _lbl, vec, _nrm in cents])
+    meta = F.array(*[
+        F.struct(F.lit(lbl).alias("l"), F.lit(nrm).alias("cn"))
+        for lbl, _vec, nrm in cents
     ])
+    return F.zip_with(
+        meta,
+        cvs,
+        lambda mc, cv: F.struct(
+            mc["l"].alias("l"), cv.alias("cv"), mc["cn"].alias("cn")
+        ),
+    )
 
 
 def centroid_literal_array(emb: DataFrame, label_col: str = "label",
@@ -562,7 +640,7 @@ def ivfpq_topk_multi(
     cand_codes = assign_lists(cand, cent_arr, "cand_id", "cvec", 1).select(
         "cand_id",
         "list_label",
-        *[pq_code_expr(F.col("cvec"), cbs[m]).alias(f"code{m}") for m in ms],
+        *[pq_code_expr("cvec", cbs[m]).alias(f"code{m}") for m in ms],
     )
     q = queries.select(
         F.col("query_id"), F.col("query_vec").cast("array<double>").alias("qvec")
@@ -572,7 +650,7 @@ def ivfpq_topk_multi(
     ).select("query_id", "list_label", "probe_rank")
     q_lut = q.select(
         "query_id",
-        *[pq_lut_expr(F.col("qvec"), cbs[m]).alias(f"lut{m}") for m in ms],
+        *[pq_lut_expr("qvec", cbs[m]).alias(f"lut{m}") for m in ms],
     )
     panel = q_probe.join(q_lut, "query_id")
     scored = (
@@ -584,7 +662,7 @@ def ivfpq_topk_multi(
             "probe_rank",
             *[
                 F.round(
-                    pq_adc_from_lut(F.col(f"lut{m}"), F.col(f"code{m}"), m), 6
+                    pq_adc_from_lut(f"lut{m}", f"code{m}", m), 6
                 ).alias(f"adc{m}")
                 for m in ms
             ],
@@ -839,16 +917,32 @@ def pq_codebooks(
         sub_total_ss = [0.0] * m
         for r in stats:
             sub_total_ss[int(r["s"])] += r["svv"] - (r["sv"] * r["sv"]) / r["n"]
-        codebooks, costs, sizes_ok = [], [], []
-        for s in range(m):
+        # The m subspace fits are INDEPENDENT jobs over the same cached
+        # corpus — run them from a small thread pool (guide §2.6:
+        # overlap independent jobs so one fit's straggler tail
+        # back-fills with the next fit's tasks) instead of serially
+        # queueing m × (init + maxIter) barrier rounds.  Each fit's
+        # input, seed and iteration count are unchanged, so the
+        # centroids/costs/sizes are bit-identical to the serial loop.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fit(s: int):
             feats = arr.select(
                 array_to_vector(F.slice("e", s * d_sub + 1, d_sub)).alias("features")
             )
             model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(feats)
             sizes = [int(x) for x in model.summary.clusterSizes]
-            sizes_ok.append(sum(sizes) == n_points)
-            codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
-            costs.append(float(model.summary.trainingCost))
+            return (
+                sum(sizes) == n_points,
+                [[float(x) for x in c] for c in model.clusterCenters()],
+                float(model.summary.trainingCost),
+            )
+
+        with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+            fits = list(pool.map(_fit, range(m)))
+        sizes_ok = [f[0] for f in fits]
+        codebooks = [f[1] for f in fits]
+        costs = [f[2] for f in fits]
     finally:
         # unpersist on every path — a failed fit must not pin the
         # double-cast corpus in the long-lived shared session
@@ -861,10 +955,117 @@ def _pq_cents_lit(codebooks: list, s: int) -> Column:
     shared by the ADC lookup and the decode so their literals (and
     thus their bit-exact agreement, which the consistency flag and the
     hash-exact oracle both lean on) cannot drift apart."""
-    return F.array(*[
-        F.array(*[F.lit(x) for x in codebooks[s][j]])
-        for j in range(len(codebooks[s]))
-    ])
+    # r13: ONE packed nested-array literal instead of k·d_sub Literal
+    # nodes — same array<array<double>> values; the packed form cuts
+    # the expression tree (and Catalyst's planning walks) by ~d_sub·k×
+    return F.lit([[float(x) for x in codebooks[s][j]]
+                  for j in range(len(codebooks[s]))])
+
+
+# ---------------------------------------------------------------------------
+# SQL-text expression builders (r13)
+# ---------------------------------------------------------------------------
+# Building the PQ/IVF expressions Column-by-Column costs one py4j
+# round-trip per operation — measured ~1 s of pure Python/py4j time
+# per pq_code_expr call on the r13 bench host, dominating several
+# emb_* rows.  When the caller can name its input columns, the same
+# expression is generated as ONE SQL string and parsed JVM-side in a
+# single call (measured 1019 → 129 ms build, bit-identical output —
+# the SQL text spells out the exact same functions in the same order,
+# so the resolved plan is the same expression tree).  The Column-based
+# builders remain as the generic path (tests and ad-hoc callers);
+# tests/test_properties.py pins the two paths equal.
+
+def _sql_dbl(x: float) -> str:
+    """Exact SQL double literal: ``repr`` is the shortest round-trip
+    form, and the SQL parser's Double.parseDouble returns the
+    identical IEEE double."""
+    import math
+
+    assert math.isfinite(float(x))
+    return repr(float(x)) + "D"
+
+
+def _sql_arr(vals) -> str:
+    return "array(" + ",".join(_sql_dbl(x) for x in vals) + ")"
+
+
+def _sql_mat(rows) -> str:
+    return "array(" + ",".join(_sql_arr(r) for r in rows) + ")"
+
+
+def _sql_l2sq_fold(a_ref: str, b_ref: str) -> str:
+    """SQL text of :func:`_l2sq_fold` — same zip_with/aggregate calls,
+    same (x−y)·(x−y) terms, same 0.0D seed and left-to-right adds."""
+    return (f"aggregate(zip_with({a_ref}, {b_ref}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)")
+
+
+def _pq_code_sql(vec_ref: str, codebooks: list) -> str:
+    """SQL text of :func:`pq_code_expr` over ``vec_ref`` — the same
+    slice/zip_with/fold/array_sort calls in the same order, so the
+    parsed plan computes the identical floats and tie-breaks."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = f"slice({vec_ref}, {s * d_sub + 1}, {d_sub})"
+        idxs = "array(" + ",".join(str(j) for j in range(len(codebooks[s]))) + ")"
+        fold = _sql_l2sq_fold(sub, "cv")
+        scored = (f"zip_with({_sql_mat(codebooks[s])}, {idxs}, "
+                  f"(cv, j) -> named_struct('d', {fold}, 'j', j))")
+        codes.append(
+            f"array_sort({scored}, (x, y) -> CAST(CASE WHEN x.d < y.d THEN -1 "
+            f"WHEN x.d > y.d THEN 1 ELSE x.j - y.j END AS INT))[0].j"
+        )
+    return "array(" + ",".join(codes) + ")"
+
+
+def _pq_lut_sql(vec_ref: str, codebooks: list) -> str:
+    """SQL text of :func:`pq_lut_expr` — one transform per subspace
+    over the packed centroid matrix, same fold per entry."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    parts = []
+    for s in range(m):
+        sub = f"slice({vec_ref}, {s * d_sub + 1}, {d_sub})"
+        parts.append(
+            f"transform({_sql_mat(codebooks[s])}, cv -> {_sql_l2sq_fold(sub, 'cv')})"
+        )
+    return "array(" + ",".join(parts) + ")"
+
+
+def _pq_adc_sql(vec_ref: str, code_ref: str, codebooks: list) -> str:
+    """SQL text of :func:`pq_adc_expr` — 0.0D seed then left-to-right
+    adds of the per-subspace folds, identical term order."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    total = "0.0D"
+    for s in range(m):
+        sub = f"slice({vec_ref}, {s * d_sub + 1}, {d_sub})"
+        cv = f"element_at({_sql_mat(codebooks[s])}, {code_ref}[{s}] + 1)"
+        total = f"{total} + {_sql_l2sq_fold(sub, cv)}"
+    return total
+
+
+def _pq_decode_sql(code_ref: str, codebooks: list) -> str:
+    """SQL text of :func:`pq_decode_expr` — concat of the selected
+    centroid per subspace (same element values; concat is
+    order-preserving so n-ary vs chained binary is immaterial)."""
+    m = len(codebooks)
+    parts = [
+        f"element_at({_sql_mat(codebooks[s])}, {code_ref}[{s}] + 1)"
+        for s in range(m)
+    ]
+    return parts[0] if m == 1 else "concat(" + ",".join(parts) + ")"
+
+
+def _pq_adc_from_lut_sql(lut_ref: str, code_ref: str, m: int) -> str:
+    """SQL text of :func:`pq_adc_from_lut` — same left-to-right adds."""
+    total = "0.0D"
+    for s in range(m):
+        total = f"{total} + element_at({lut_ref}[{s}], {code_ref}[{s}] + 1)"
+    return total
 
 
 def _l2sq_fold(a: Column, b: Column) -> Column:
@@ -878,34 +1079,40 @@ def _l2sq_fold(a: Column, b: Column) -> Column:
     )
 
 
-def pq_code_expr(vec: Column, codebooks: list) -> Column:
+def pq_code_expr(vec: Column | str, codebooks: list) -> Column:
     """Encode ``vec`` (array<double>) to its PQ code — array<int> of
     length m, ``code[s]`` = index of subspace s's nearest centroid by
     L2 (index tie-break).  The codebooks ride as PLAN LITERALS, so
     encoding the full corpus is a pure zero-shuffle projection — the
     same scale mechanism as ``assign_lists`` / ``sq8_quantize``: the
-    100 TB corpus is written once as m bytes per vector."""
+    100 TB corpus is written once as m bytes per vector.
+
+    ``vec`` as a str (column name / SQL fragment) takes the SQL-text
+    fast path — one JVM parse instead of hundreds of py4j calls;
+    tests pin the two paths result-identical."""
+    if isinstance(vec, str):
+        return F.expr(_pq_code_sql(vec, codebooks))
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     codes = []
     for s in range(m):
         sub = F.slice(vec, s * d_sub + 1, d_sub)
-        cents = F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.array(*[F.lit(x) for x in codebooks[s][j]]).alias("cv"),
-            )
-            for j in range(len(codebooks[s]))
-        ])
+        # r13: the subspace's centroids ride as ONE packed literal
+        # (_pq_cents_lit) zipped against small per-index j literals —
+        # same (d, j) structs, same fold, same comparator; the j
+        # literals stay individual int nodes so the struct field type
+        # matches the old construction exactly
+        idxs = F.array(*[F.lit(j) for j in range(len(codebooks[s]))])
         # single-param lambda: PySpark treats a 2-param lambda as
         # (element, index) and would pass the INDEX into zip_with;
-        # F.transform builds the expression eagerly, so closing over
-        # the loop's `sub` is safe
-        scored = F.transform(
-            cents,
-            lambda c: F.struct(
-                _l2sq_fold(sub, c["cv"]).alias("d"),
-                c["j"].alias("j"),
+        # the expression is built eagerly, so closing over the loop's
+        # `sub` is safe
+        scored = F.zip_with(
+            _pq_cents_lit(codebooks, s),
+            idxs,
+            lambda cv, j: F.struct(
+                _l2sq_fold(sub, cv).alias("d"),
+                j.alias("j"),
             ),
         )
         best = F.array_sort(
@@ -919,14 +1126,17 @@ def pq_code_expr(vec: Column, codebooks: list) -> Column:
     return F.array(*codes)
 
 
-def pq_adc_expr(vec: Column, code: Column, codebooks: list) -> Column:
+def pq_adc_expr(vec: Column | str, code: Column | str, codebooks: list) -> Column:
     """Asymmetric-distance computation: ||q − decode(code)||² as the
     sum of per-subspace lookup terms — LUT_s[j] = ||q_sub − c_sj||²
     evaluated against the literal codebooks, selected by ``code[s]``.
     This is the per-subspace-partials formulation (ADC proper); its
     float addition order differs from a whole-vector fold, which is
     exactly what ``q_emb_pq_train_report``'s consistency flag
-    exploits to verify the lookup path against a direct decode."""
+    exploits to verify the lookup path against a direct decode.
+    str refs take the SQL-text fast path (both must be str then)."""
+    if isinstance(vec, str) and isinstance(code, str):
+        return F.expr(_pq_adc_sql(vec, code, codebooks))
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     total = F.lit(0.0)
@@ -937,7 +1147,7 @@ def pq_adc_expr(vec: Column, code: Column, codebooks: list) -> Column:
     return total
 
 
-def pq_lut_expr(vec: Column, codebooks: list) -> Column:
+def pq_lut_expr(vec: Column | str, codebooks: list) -> Column:
     """Per-QUERY ADC lookup table — LUT[s][j] = ||q_sub_s − c_sj||²,
     an array<array<double>> computed ONCE per query row (m·k folds).
     This is ADC as Jégou et al. actually run it: the query pays the
@@ -946,7 +1156,10 @@ def pq_lut_expr(vec: Column, codebooks: list) -> Column:
     entry is the SAME _l2sq_fold over the same elements in the same
     order as pq_adc_expr's inline form, so selecting LUT[s][code_s]
     is bit-identical to computing the term per pair — the oracle SQL
-    (_pq_adc_sql) needs no change."""
+    (queries._pq_adc_sql) needs no change.  A str ``vec`` takes the
+    SQL-text fast path."""
+    if isinstance(vec, str):
+        return F.expr(_pq_lut_sql(vec, codebooks))
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
 
@@ -962,10 +1175,13 @@ def pq_lut_expr(vec: Column, codebooks: list) -> Column:
     ])
 
 
-def pq_adc_from_lut(lut: Column, code: Column, m: int) -> Column:
+def pq_adc_from_lut(lut: Column | str, code: Column | str, m: int) -> Column:
     """ADC from a precomputed per-query LUT: Σ_s LUT[s][code_s],
     partials added left-to-right — the pair-scoring half of
-    pq_lut_expr, bit-identical to pq_adc_expr."""
+    pq_lut_expr, bit-identical to pq_adc_expr.  str refs take the
+    SQL-text fast path (both must be str then)."""
+    if isinstance(lut, str) and isinstance(code, str):
+        return F.expr(_pq_adc_from_lut_sql(lut, code, m))
     total = F.lit(0.0)
     for s in range(m):
         total = total + F.element_at(lut[s], code[s] + 1)
@@ -992,7 +1208,7 @@ def pq_adc_rank(cand: DataFrame, q_lut: DataFrame, m: int, k_nn: int = 5,
             F.col("cand_id") != F.col("query_id")
         )
     scored = joined.withColumn(
-        "adc", F.round(pq_adc_from_lut(F.col("lut"), F.col("code"), m), 6)
+        "adc", F.round(pq_adc_from_lut("lut", "code", m), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("cand_id").asc()
@@ -1033,9 +1249,12 @@ def ivf_rank_topk(cand_lists: DataFrame, q_lists: DataFrame, k: int = 5,
     )
 
 
-def pq_decode_expr(code: Column, codebooks: list) -> Column:
+def pq_decode_expr(code: Column | str, codebooks: list) -> Column:
     """Reconstruct the quantized vector: concat of the selected
-    centroid per subspace (array<double> of the original dim)."""
+    centroid per subspace (array<double> of the original dim).
+    A str ``code`` takes the SQL-text fast path."""
+    if isinstance(code, str):
+        return F.expr(_pq_decode_sql(code, codebooks))
     m = len(codebooks)
     parts = [
         F.element_at(_pq_cents_lit(codebooks, s), code[s] + 1)

@@ -2513,7 +2513,11 @@ def q_ml_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         numFolds=2,
         seed=42,
-        parallelism=2,
+        # 4 = the full fold×grid fit count: all fits run concurrently
+        # (guide §2.6 — independent jobs back-fill each other's
+        # straggler tails).  parallelism only schedules; each fit's
+        # data/seed/params are unchanged, so metrics are identical.
+        parallelism=4,
     )
     model = cv.fit(work)
     best_depth = model.bestModel.getMaxDepth()
@@ -2680,12 +2684,12 @@ def q_emb_pq_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(20)
         .select(F.col("vec_id"), _as_double("embedding").alias("vec"))
-        .withColumn("code", pq_code_expr(F.col("vec"), codebooks))
+        .withColumn("code", pq_code_expr("vec", codebooks))
     )
     direct = F.aggregate(
         F.zip_with(
             F.col("vec"),
-            pq_decode_expr(F.col("code"), codebooks),
+            pq_decode_expr("code", codebooks),
             lambda a, b: (a - b) * (a - b),
         ),
         F.lit(0.0),
@@ -2693,7 +2697,7 @@ def q_emb_pq_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     audit = panel.select(
         F.max(
-            F.abs(pq_adc_expr(F.col("vec"), F.col("code"), codebooks) - direct)
+            F.abs(pq_adc_expr("vec", "code", codebooks) - direct)
         ).alias("max_err")
     ).collect()[0]
     adc_ok = audit["max_err"] is not None and audit["max_err"] < 1e-6
@@ -2753,13 +2757,11 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
-        pq_code_expr(_as_double("embedding"), cb).alias("code"),
+        pq_code_expr("cast(embedding as array<double>)", cb).alias("code"),
     )
     q_lut = _queries_frame(emb).select(
         "query_id",
-        pq_lut_expr(
-            F.col("query_vec").cast("array<double>"), cb
-        ).alias("lut"),
+        pq_lut_expr("cast(query_vec as array<double>)", cb).alias("lut"),
     )
     return pq_adc_rank(cand, q_lut, m, k_nn=5)
 
@@ -2805,7 +2807,7 @@ def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(
         emb.select(
             F.col("vec_id").alias("cand_id"),
-            pq_code_expr(_as_double("embedding"), cb).alias("code"),
+            pq_code_expr("cast(embedding as array<double>)", cb).alias("code"),
         ),
         codes_path,
     )
@@ -2822,9 +2824,7 @@ def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = spark.read.parquet(codes_path)
     q_lut = _queries_frame(emb).select(
         "query_id",
-        pq_lut_expr(
-            F.col("query_vec").cast("array<double>"), cb_loaded
-        ).alias("lut"),
+        pq_lut_expr("cast(query_vec as array<double>)", cb_loaded).alias("lut"),
     )
     return pq_adc_rank(cand, q_lut, m, k_nn=5)
 
@@ -2963,7 +2963,7 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_lists = assign_lists(cand, centroid_rows_literal(cents), "cand_id", "cvec", 1)
     write_parquet(
         cand_lists.select(
-            "cand_id", pq_code_expr(F.col("cvec"), cb).alias("code"), "list_label"
+            "cand_id", pq_code_expr("cvec", cb).alias("code"), "list_label"
         ),
         codes_path,
         partition_by=["list_label"],
@@ -2988,7 +2988,7 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
     ).withColumn("nrm", l2_norm(F.col("qvec")))
     q_lut = q.select(
-        "query_id", pq_lut_expr(F.col("qvec"), cb_loaded).alias("lut")
+        "query_id", pq_lut_expr("qvec", cb_loaded).alias("lut")
     )
     q_probe = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).select(
         "query_id", "list_label"
@@ -3029,13 +3029,13 @@ def q_emb_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
-        pq_code_expr(_as_double("embedding"), cb).alias("code"),
+        pq_code_expr("cast(embedding as array<double>)", cb).alias("code"),
     )
     q = _queries_frame(emb).select(
         "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
     ).withColumn("qnrm", l2_norm(F.col("qvec")))
     q_lut = q.select(
-        "query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut")
+        "query_id", pq_lut_expr("qvec", cb).alias("lut")
     )
     coarse = pq_adc_rank(cand, q_lut, m, k_nn=r_short).select(
         "query_id", "cand_id"
@@ -3104,9 +3104,9 @@ def q_emb_pq_refine_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
-        pq_code_expr(_as_double("embedding"), cb).alias("code"),
+        pq_code_expr("cast(embedding as array<double>)", cb).alias("code"),
     )
-    q_lut = q.select("query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut"))
+    q_lut = q.select("query_id", pq_lut_expr("qvec", cb).alias("lut"))
     short = pq_adc_rank(cand, q_lut, m, k_nn=r_short).localCheckpoint(
         eager=False
     )
@@ -3204,9 +3204,9 @@ def q_emb_pq_refine_r_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
-        pq_code_expr(_as_double("embedding"), cb).alias("code"),
+        pq_code_expr("cast(embedding as array<double>)", cb).alias("code"),
     )
-    q_lut = q.select("query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut"))
+    q_lut = q.select("query_id", pq_lut_expr("qvec", cb).alias("lut"))
     short = pq_adc_rank(cand, q_lut, m, k_nn=r_max).localCheckpoint(
         eager=False
     )
@@ -3534,7 +3534,7 @@ def q_emb_ivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_lists = assign_lists(bcand, centroid_rows_literal(cents), "cand_id", "cvec", 1)
     write_parquet(
         base_lists.select(
-            "cand_id", pq_code_expr(F.col("cvec"), cb).alias("code"), "list_label"
+            "cand_id", pq_code_expr("cvec", cb).alias("code"), "list_label"
         ),
         codes_path,
         partition_by=["list_label"],
@@ -3561,7 +3561,7 @@ def q_emb_ivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(
         batch_lists.select(
             "cand_id",
-            pq_code_expr(F.col("cvec"), cb_loaded).alias("code"),
+            pq_code_expr("cvec", cb_loaded).alias("code"),
             "list_label",
         ),
         codes_path,
@@ -3574,7 +3574,7 @@ def q_emb_ivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
     ).withColumn("nrm", l2_norm(F.col("qvec")))
     q_lut = q.select(
-        "query_id", pq_lut_expr(F.col("qvec"), cb_loaded).alias("lut")
+        "query_id", pq_lut_expr("qvec", cb_loaded).alias("lut")
     )
     q_probe = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).select(
         "query_id", "list_label"
@@ -3625,14 +3625,14 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cvec")
     ).withColumn("nrm", l2_norm(F.col("cvec")))
     cand_codes = assign_lists(cand, cent_arr, "cand_id", "cvec", 1).select(
-        "cand_id", "list_label", pq_code_expr(F.col("cvec"), cb).alias("code")
+        "cand_id", "list_label", pq_code_expr("cvec", cb).alias("code")
     )
     q = _queries_frame(emb).select(
         "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
     ).withColumn("nrm", l2_norm(F.col("qvec")))
     # the LUT builds ONCE per query (before the nprobe explode), then
     # rides the probe rows through a panel-sized equi-join
-    q_lut = q.select("query_id", pq_lut_expr(F.col("qvec"), cb).alias("lut"))
+    q_lut = q.select("query_id", pq_lut_expr("qvec", cb).alias("lut"))
     q_probe = assign_lists(q, cent_arr, "query_id", "qvec", nprobe).select(
         "query_id", "list_label"
     ).join(q_lut, "query_id")

@@ -1846,3 +1846,42 @@ def test_ngram_containment_collapse_path_identical(spark):
     # clone cliques appear in both directions at exactly 1.0
     assert (0, 2, 1.0) in got and (2, 0, 1.0) in got
     assert (1, 3, 1.0) in got and (3, 1, 1.0) in got
+
+
+def test_sql_text_builders_match_column_builders(spark):
+    """r13: the SQL-text fast paths of the similarity expression
+    builders (str column refs -> one JVM-parsed F.expr) must produce
+    results AND schemas identical to the legacy Column paths — the
+    hash-exact oracle gate leans on this equivalence."""
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.operators import similarity as S
+
+    rows = [
+        (i, [((i * 31 + j * 7) % 2001 - 1000) / 1000.0 for j in range(64)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cb = S.pq_det_codebooks(m=4, k=16, d_sub=16)
+    cb8 = S.pq_det_codebooks(m=8, k=16, d_sub=8)
+
+    def check(a, b):
+        assert a.schema == b.schema
+        assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+    for c in (cb, cb8):
+        check(df.select("vec_id", S.pq_code_expr(F.col("v"), c).alias("x")),
+              df.select("vec_id", S.pq_code_expr("v", c).alias("x")))
+    check(df.select("vec_id", S.pq_lut_expr(F.col("v"), cb).alias("x")),
+          df.select("vec_id", S.pq_lut_expr("v", cb).alias("x")))
+    coded = df.withColumn("code", S.pq_code_expr("v", cb))
+    check(coded.select("vec_id", S.pq_adc_expr(F.col("v"), F.col("code"), cb).alias("x")),
+          coded.select("vec_id", S.pq_adc_expr("v", "code", cb).alias("x")))
+    check(coded.select("vec_id", S.pq_decode_expr(F.col("code"), cb).alias("x")),
+          coded.select("vec_id", S.pq_decode_expr("code", cb).alias("x")))
+    lutd = coded.withColumn("lut", S.pq_lut_expr("v", cb))
+    check(lutd.select("vec_id", S.pq_adc_from_lut(F.col("lut"), F.col("code"), 4).alias("x")),
+          lutd.select("vec_id", S.pq_adc_from_lut("lut", "code", 4).alias("x")))
+    for nb in (1, 4, 12):
+        check(df.select("vec_id", S.hyperplane_bits(F.col("v"), nb, 64, seed="hp1").alias("x")),
+              df.select("vec_id", S.hyperplane_bits("v", nb, 64, seed="hp1").alias("x")))
