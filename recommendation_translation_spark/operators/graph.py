@@ -67,6 +67,11 @@ def pagerank_integer(
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
+    # r13: checkpoint BEFORE counting — the count used to compute the
+    # node-set distinct once and the eager checkpoint below recomputed
+    # it; checkpointing first makes the count a cheap scan of the
+    # materialized blocks (one distinct pass instead of two).
+    nodes = nodes.repartition("node").localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_int", F.lit(0).cast("long"))
@@ -100,7 +105,6 @@ def pagerank_integer(
         .repartition("e_src")
         .localCheckpoint(eager=True)
     )
-    nodes = nodes.repartition("node").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank_int", F.lit(int(base)).cast("long"))
     for _ in range(n_iter):
         contrib = e.join(ranks, e["e_src"] == ranks["node"]).select(
