@@ -557,25 +557,6 @@ def q_dedup_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _t_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embeddings table with the r13 small-corpus SPREAD applied:
-    below ``SPREAD_MAX_ROWS`` (parquet-footer count — no Spark job)
-    the whole table lands in ONE row group, so every downstream
-    per-row-expensive stage — PQ/SQ8 encode projections, KMeans
-    aggregation, broadcast-joined pair scoring — runs as a single task
-    regardless of cluster size.  One narrow round-robin exchange
-    restores parallelism; above the gate the scan has real splits and
-    the helper is a no-op (scale-adaptive, not tuned to local[32]).
-    Row order never reaches results on these paths (keyed windows /
-    aggregations / per-row scoring only)."""
-    from .operators.similarity import spread_small
-    from .sources.readers import table_row_count
-
-    return spread_small(
-        _t(spark, sf_dir, "embeddings"), table_row_count(sf_dir, "embeddings")
-    )
-
-
 def _queries_frame(emb: DataFrame) -> DataFrame:
     """Deterministic BOUNDED query panel: every 50th vector with
     vec_id < 4000.
@@ -627,7 +608,7 @@ def _audit_sample_cte(src: str = "embeddings", id_col: str = "vec_id") -> str:
 
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, _queries_frame(emb), k=5)
     return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
 
@@ -636,13 +617,13 @@ def q_emb_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized brute-force cosine top-k (mapInPandas + BLAS
     matmul with per-batch local top-k) — same relation as
     emb_cosine_topk at 4dp rounding."""
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     out = cosine_topk_np(emb, _queries_frame(emb), k=5, decimals=4)
     return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
 
 
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     out = ann_lsh_topk(emb, _queries_frame(emb), k=5, n_bits=4, dim=64)
     return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
 
@@ -650,7 +631,7 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: per-label centroid lists, nprobe=2, exact top-k within
     the probed lists."""
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     out = ivf_topk(emb, _queries_frame(emb), k=5, nprobe=2)
     return out.select("query_id", "cand_id", "cosine", F.col("rk").cast("long").alias("rk"))
 
@@ -2178,7 +2159,7 @@ def q_emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-summation ambiguity, 4-8× less vector bandwidth at scale."""
     from .operators.similarity import sq8_topk
 
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     out = sq8_topk(emb, _queries_frame(emb), k=5)
     return out.select("query_id", "cand_id", "dot_q8", F.col("rk").cast("long").alias("rk"))
 
@@ -2611,7 +2592,7 @@ def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     arr = emb.select(F.col("embedding").cast("array<double>").alias("e"))
     dim_stats = (
         arr.select(F.posexplode("e").alias("pos", "v"))
@@ -2692,7 +2673,7 @@ def q_emb_pq_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_decode_expr,
     )
 
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     m, k = 4, 16
     codebooks, costs, sub_ss, n_points, sizes_ok = pq_codebooks(
         emb, m=m, k=k, dim=64, seed=42, vec_col="embedding"
@@ -2773,7 +2754,7 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = 4
     cb = pq_det_codebooks(m=m)
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
         pq_code_expr("cast(embedding as array<double>)", cb).alias("code"),
@@ -2820,7 +2801,7 @@ def q_emb_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _run_dir("pq_index", sf_dir)
     codes_path = os.path.join(d, "codes")
     manifest_path = os.path.join(d, "codebook_manifest.json")
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     # ---- BUILD: encode (zero-shuffle projection) + persist ----
     cb = pq_det_codebooks(m=m, k=k, d_sub=d_sub)
     write_parquet(
@@ -2900,7 +2881,7 @@ def q_emb_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _run_dir("ivf_index", sf_dir)
     lists_path = os.path.join(d, "lists")
     manifest_path = os.path.join(d, "centroid_manifest.json")
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     # ---- BUILD: coarse-assign (zero shuffle) + persist per-list ----
     cents = centroid_rows(emb)
     cand = emb.select(
@@ -2972,7 +2953,7 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _run_dir("ivfpq_index", sf_dir)
     codes_path = os.path.join(d, "codes")
     manifest_path = os.path.join(d, "index_manifest.json")
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     # ---- BUILD: one pass — coarse-assign + PQ-encode + persist ----
     cents = centroid_rows(emb)
     cb = pq_det_codebooks(m=m)
@@ -3045,7 +3026,7 @@ def q_emb_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m, r_short, k_nn = 4, 50, 5
     cb = pq_det_codebooks(m=m)
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
         pq_code_expr("cast(embedding as array<double>)", cb).alias("code"),
@@ -3112,7 +3093,7 @@ def q_emb_pq_refine_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
 
     m, r_short, k_nn = 4, 50, 5
     cb = pq_det_codebooks(m=m)
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     q = _queries_frame(emb).select(
         "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
     ).withColumn("qnrm", l2_norm(F.col("qvec")))
@@ -3212,7 +3193,7 @@ def q_emb_pq_refine_r_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_max = max(_REFINE_R_GRID)
     cb = pq_det_codebooks(m=m)
     s = _audit_sample_modulus(sf_dir)
-    emb = _t_emb(spark, sf_dir).filter(F.col("vec_id") % s == 0)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % s == 0)
     q = _queries_frame(emb).select(
         "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
     ).withColumn("qnrm", l2_norm(F.col("qvec")))
@@ -3541,7 +3522,7 @@ def q_emb_ivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _run_dir("ivfpq_append_index", sf_dir)
     codes_path = os.path.join(d, "codes")
     manifest_path = os.path.join(d, "index_manifest.json")
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 10 != 7)
     batch = emb.filter(F.col("vec_id") % 10 == 7)
     # ---- BUILD (base only): coarse-assign + encode + persist ----
@@ -3637,7 +3618,7 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     nprobe, k_nn, m = 2, 5, 4
-    emb = _t_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     cb = pq_det_codebooks(m=m)
     cent_arr = centroid_literal_array(emb)
     cand = emb.select(
@@ -7894,7 +7875,7 @@ def q_emb_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parameter sweep must not cost |settings| corpus passes)."""
     from .operators.similarity import ivf_topk_multi
 
-    truth_emb = _t_emb(spark, sf_dir)
+    truth_emb = _t(spark, sf_dir, "embeddings")
     q = _queries_frame(truth_emb)
     truth = (
         cosine_topk(truth_emb, q, k=5)
@@ -7973,7 +7954,7 @@ def q_emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair under every m; each setting is then a filter + window).
     At 100 TB the audit runs on a bounded sub-corpus —
     emb_ivfpq_recall_sampled is that form, measured in SCALE.md."""
-    return _ivfpq_recall_grid_frame(_t_emb(spark, sf_dir))
+    return _ivfpq_recall_grid_frame(_t(spark, sf_dir, "embeddings"))
 
 
 def _ivfpq_recall_grid_frame(emb: DataFrame) -> DataFrame:
@@ -8156,7 +8137,7 @@ def q_emb_ivfpq_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate itself hash-checked, because the DuckDB oracle recomputes
     s from COUNT(*) and audits the identical sub-corpus."""
     s = _audit_sample_modulus(sf_dir)
-    emb = _t_emb(spark, sf_dir).filter(F.col("vec_id") % s == 0)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % s == 0)
     return _ivfpq_recall_grid_frame(emb)
 
 
@@ -8175,7 +8156,7 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     web-scale pretraining-data pruning."""
     from .operators.similarity import semdedup_keep
 
-    return semdedup_keep(_t_emb(spark, sf_dir), threshold=0.3)
+    return semdedup_keep(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 _SEMDEDUP_CDOT = (

@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = [
     "write_parquet",
@@ -31,7 +32,20 @@ __all__ = [
 def write_parquet(df: DataFrame, path: str, mode: str = "errorifexists",
                   partition_by: list[str] | None = None) -> None:
     """S5/S7 — parquet sink.  At scale, pass ``partition_by`` (e.g. a date
-    or site column) so downstream reads get partition pruning."""
+    or site column) so downstream reads get partition pruning.
+
+    r13: a partitioned write CLUSTERS by the partition columns first
+    (guide §6 — the Iceberg ``write.distribution-mode=hash``
+    behaviour): without it every input task opens one file per
+    partition value it touches, so file count = tasks × values — a
+    32-way input writing a 10-list index emitted ~320 tiny files and
+    the downstream DPP scan paid per-file open cost (measured:
+    emb_ivfpq_append_topk 3.6 → 15 s when its encode input gained real
+    parallelism).  One exchange of the narrow code rows buys
+    one-file-per-partition-value output at ANY input parallelism.
+    Row values are untouched; parquet readers are order-independent."""
+    if partition_by:
+        df = df.repartition(*[F.col(c) for c in partition_by])
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
