@@ -332,7 +332,8 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
     # strict ">0" guard: driver_threshold=0 must force the distributed
     # path even on an EMPTY edge set (the escape hatch the property
     # tests rely on), and skipping the count() saves a job there
-    if driver_threshold > 0 and edges.count() <= driver_threshold:
+    n_edges = edges.count() if driver_threshold > 0 else None
+    if driver_threshold > 0 and n_edges <= driver_threshold:
         # exact union-find over the bounded, checkpointed edge set;
         # min-id-per-component matches the distributed fixpoint
         # exactly.  Arrow fetch, not collect(): a row-based py4j
@@ -372,44 +373,53 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
             ]
         )
         return pairs.sparkSession.createDataFrame(rows, out_schema)
-    labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("minv"))
-        .select(F.col("u").alias("node"), F.least("minv", "u").alias("label"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        # 1-hop: smallest label among my neighbours
-        neigh = (
-            edges.join(labels, edges["v"] == labels["node"], "inner")
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        hop = labels.join(neigh, labels["node"] == neigh["u"], "left").select(
-            "node",
-            F.col("label").alias("old"),
-            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-        )
-        # pointer jump: adopt my label's label (labels are node ids, so
-        # every label resolves; left+coalesce guards the root case)
-        parent = hop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
-        # localCheckpoint materializes the round AND truncates lineage,
-        # keeping every round's analyzed plan the same (small) size.
-        # Measured (round 4, sf0.1 best-of-3): eager 7.7-8.3 s for the
-        # whole query vs 8.5-9.3 s with eager=False — the lazy form
-        # still pays a checkpoint-completion job after the limit(1)
-        # count (LocalRDDCheckpointData computes missing partitions
-        # before truncating), so it saves nothing and loses AQE's
-        # sizing on the count.  Keep eager.
-        new_labels = (
-            hop.join(parent, hop["label"] == parent["pnode"], "left")
-            .select("node", "old", F.coalesce("plabel", F.col("label")).alias("label"))
+    # r13: the whole iterative path runs under fixpoint_scope — the
+    # per-round relations are edge/label-sized, and the profile showed
+    # the query was job-floor-bound (66 jobs, no stage over 1 s) from
+    # AQE materializing every tiny exchange as its own re-planned job.
+    # Inside the scope each eager checkpoint is ONE job; the scope is
+    # inert (AQE untouched) above FIXPOINT_SCOPE_MAX_ROWS edges.
+    from .fixpoint import fixpoint_scope
+
+    with fixpoint_scope(pairs.sparkSession, n_edges):
+        labels = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("minv"))
+            .select(F.col("u").alias("node"), F.least("minv", "u").alias("label"))
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
+        for _ in range(max_iter):
+            # 1-hop: smallest label among my neighbours
+            neigh = (
+                edges.join(labels, edges["v"] == labels["node"], "inner")
+                .groupBy("u")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            hop = labels.join(neigh, labels["node"] == neigh["u"], "left").select(
+                "node",
+                F.col("label").alias("old"),
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            # pointer jump: adopt my label's label (labels are node ids, so
+            # every label resolves; left+coalesce guards the root case)
+            parent = hop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+            # localCheckpoint materializes the round AND truncates lineage,
+            # keeping every round's analyzed plan the same (small) size.
+            # Measured (round 4, sf0.1 best-of-3): eager 7.7-8.3 s for the
+            # whole query vs 8.5-9.3 s with eager=False — the lazy form
+            # still pays a checkpoint-completion job after the limit(1)
+            # count (LocalRDDCheckpointData computes missing partitions
+            # before truncating), so it saves nothing and loses AQE's
+            # sizing on the count.  Keep eager.
+            new_labels = (
+                hop.join(parent, hop["label"] == parent["pnode"], "left")
+                .select("node", "old", F.coalesce("plabel", F.col("label")).alias("label"))
+                .localCheckpoint()
+            )
+            changed = new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

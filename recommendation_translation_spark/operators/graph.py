@@ -62,69 +62,86 @@ def pagerank_integer(
     # co-purchase self-join) re-executes three times before the first
     # iteration even starts.
     edges = edges.localCheckpoint(eager=True)
-    nodes = (
+    # r13: materialize the node-set distinct FIRST (one distinct pass,
+    # full AQE — this input is data-scale), count it from the blocks,
+    # and only then enter the fixpoint scope: the count is what gates
+    # the scope, and everything from here on is node/edge-sized.
+    nodes0 = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-    )
-    # r13: checkpoint BEFORE counting — the count used to compute the
-    # node-set distinct once and the eager checkpoint below recomputed
-    # it; checkpointing first makes the count a cheap scan of the
-    # materialized blocks (one distinct pass instead of two).
-    nodes = nodes.repartition("node").localCheckpoint(eager=True)
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank_int", F.lit(0).cast("long"))
-    base = scale // n
-    teleport = (100 - damping_pct) * base // 100
-    # One row per SOURCE NODE — domain-bounded for the graphs this
-    # engine builds (parts, users, hosts), so broadcast it EXPLICITLY:
-    # at sf1 (200k sources) AQE broadcasts on its own size estimate,
-    # but at sf3 (600k) the estimate crosses the 10 MB default and the
-    # plan silently degrades to a sort-merge join that sorts the full
-    # edge relation (measured 3.1 s → 25.5 s for 3x data, the round-7
-    # sf3 curve's one superlinear cliff).  Billion-node webgraphs pass
-    # broadcast_out_weights=False and pay the shuffled join instead of
-    # a driver-OOM broadcast — the opt-out is a parameter, not a
-    # library edit.
-    out_w = edges.groupBy(src).agg(F.sum(weight).alias("w_out"))
-    if broadcast_out_weights:
-        out_w = F.broadcast(out_w)
-    # Static per-iteration inputs: materialize once, reuse n_iter times,
-    # PRE-PARTITIONED on their join keys.  localCheckpoint preserves the
-    # physical partitioning, and the rank relation exits each iteration
-    # hash-partitioned by node (it is the output of a node-keyed join),
-    # so the per-iteration edge⋈rank join is exchange-free on both
-    # sides — the only shuffle each round is the inherent transpose
-    # (contributions regroup by DESTINATION).  Without this, every
-    # iteration re-shuffles the full edge list.
-    e = (
-        edges.join(out_w, src)
-        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
-                F.col(weight).alias("e_w"), "w_out")
-        .repartition("e_src")
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.withColumn("rank_int", F.lit(int(base)).cast("long"))
-    for _ in range(n_iter):
-        contrib = e.join(ranks, e["e_src"] == ranks["node"]).select(
-            F.col("e_dst").alias("node"),
-            F.expr("rank_int * e_w div w_out").alias("c"),
+    n = nodes0.count()
+    if n == 0:
+        return nodes0.withColumn("rank_int", F.lit(0).cast("long"))
+    base = scale // n
+    teleport = (100 - damping_pct) * base // 100
+    from .fixpoint import fixpoint_scope
+
+    # Under the scope (small graphs) AQE is off and the shuffle width
+    # derives from the node count, so the 6-round lazy chain below
+    # materializes as ONE job instead of ~40 adaptively re-planned
+    # ones (the r13 profile's per-job scheduling floor); above the
+    # gate the scope is inert and the plan is unchanged.
+    with fixpoint_scope(edges.sparkSession, n) as scoped:
+        # node relation PRE-PARTITIONED on the join key at the width
+        # every in-scope shuffle uses (the distinct's own partitioning
+        # is reused when the widths already match — no extra pass)
+        nodes = nodes0.repartition("node").localCheckpoint(eager=True)
+        # One row per SOURCE NODE — domain-bounded for the graphs this
+        # engine builds (parts, users, hosts), so broadcast it EXPLICITLY:
+        # at sf1 (200k sources) AQE broadcasts on its own size estimate,
+        # but at sf3 (600k) the estimate crosses the 10 MB default and the
+        # plan silently degrades to a sort-merge join that sorts the full
+        # edge relation (measured 3.1 s → 25.5 s for 3x data, the round-7
+        # sf3 curve's one superlinear cliff).  Billion-node webgraphs pass
+        # broadcast_out_weights=False and pay the shuffled join instead of
+        # a driver-OOM broadcast — the opt-out is a parameter, not a
+        # library edit.
+        out_w = edges.groupBy(src).agg(F.sum(weight).alias("w_out"))
+        if broadcast_out_weights:
+            out_w = F.broadcast(out_w)
+        # Static per-iteration inputs: materialize once, reuse n_iter times,
+        # PRE-PARTITIONED on their join keys.  localCheckpoint preserves the
+        # physical partitioning, and the rank relation exits each iteration
+        # hash-partitioned by node (it is the output of a node-keyed join),
+        # so the per-iteration edge⋈rank join is exchange-free on both
+        # sides — the only shuffle each round is the inherent transpose
+        # (contributions regroup by DESTINATION).  Without this, every
+        # iteration re-shuffles the full edge list.
+        e = (
+            edges.join(out_w, src)
+            .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                    F.col(weight).alias("e_w"), "w_out")
+            .repartition("e_src")
+            .localCheckpoint(eager=True)
         )
-        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(int(teleport)).cast("long")
-                    + F.expr(f"{int(damping_pct)} * coalesce(s, 0L) div 100")
-                ).alias("rank_int"),
+        ranks = nodes.withColumn("rank_int", F.lit(int(base)).cast("long"))
+        for _ in range(n_iter):
+            contrib = e.join(ranks, e["e_src"] == ranks["node"]).select(
+                F.col("e_dst").alias("node"),
+                F.expr("rank_int * e_w div w_out").alias("c"),
             )
-            # LAZY checkpoint: lineage still truncates at first compute,
-            # but the driver submits ONE action for the whole 6-round
-            # chain instead of six synchronous materialization barriers
-            # (~0.5 s scheduling overhead per round at local[32])
-            .localCheckpoint(eager=False)
-        )
+            summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = (
+                nodes.join(summed, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(int(teleport)).cast("long")
+                        + F.expr(f"{int(damping_pct)} * coalesce(s, 0L) div 100")
+                    ).alias("rank_int"),
+                )
+                # LAZY checkpoint: lineage still truncates at first compute,
+                # but the driver submits ONE action for the whole 6-round
+                # chain instead of six synchronous materialization barriers
+                # (~0.5 s scheduling overhead per round at local[32])
+                .localCheckpoint(eager=False)
+            )
+        if scoped:
+            # materialize the whole chain while AQE is still off — the
+            # caller's action would otherwise execute it after the
+            # scope exits, re-inflating it into per-exchange jobs
+            ranks.count()
     return ranks

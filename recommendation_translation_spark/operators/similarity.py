@@ -37,6 +37,8 @@ __all__ = [
     "ivf_topk",
     "ivf_topk_multi",
     "ivfpq_topk_multi",
+    "spread_small",
+    "spread_small_by",
     "centroid_literal_array",
     "centroid_rows",
     "centroids_from_manifest",
@@ -100,6 +102,22 @@ def spread_small(df: DataFrame, n_rows: int | None,
     if n_rows is not None and 0 < n_rows <= max_rows:
         sc = df.sparkSession.sparkContext
         return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def spread_small_by(df: DataFrame, n_rows: int | None, *cols: str,
+                    max_rows: int = SPREAD_MAX_ROWS) -> DataFrame:
+    """Keyed twin of :func:`spread_small`: hash-repartition a SMALL
+    relation on ``cols`` at the cluster's default parallelism.  Used
+    ahead of per-key windows so the window pass is both exchange-free
+    and |cores|-wide instead of AQE-coalesced to one task (a
+    few-MB-sized relation always is).  Same gate as spread_small:
+    above ``max_rows`` the relation is data-scale, the per-leg window
+    exchanges already size themselves adaptively, and a fixed-width
+    exchange here would be a scale bug — return ``df`` unchanged."""
+    if n_rows is not None and 0 < n_rows <= max_rows:
+        sc = df.sparkSession.sparkContext
+        return df.repartition(sc.defaultParallelism, *cols)
     return df
 
 
@@ -557,6 +575,7 @@ def ivf_topk_multi(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    spread_rows: int | None = None,
 ) -> DataFrame:
     """``ivf_topk`` evaluated at SEVERAL nprobe settings for the cost
     of ONE: the expensive work — centroid assignment of the corpus and
@@ -566,9 +585,16 @@ def ivf_topk_multi(
     window over the already-scored candidates.  Per-slice output is
     EXACTLY ivf_topk(nprobe=n) (pinned by a parity test); rows carry a
     leading ``nprobe`` column.  This is the audit-sweep pattern: a
-    parameter curve must not cost |settings| corpus passes."""
+    parameter curve must not cost |settings| corpus passes.
+
+    ``spread_rows`` (caller's footer count) gates the r13 small-corpus
+    spread of the candidate side plus the query-keyed pre-partition of
+    the scored relation — see ivfpq_topk_multi for the rationale; the
+    centroid pass reads the unspread scan."""
     cent_arr = centroid_literal_array(emb, label_col=label_col, vec_col=vec_col)
-    cand = emb.select(F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec2"))
+    cand = spread_small(emb, spread_rows).select(
+        F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec2")
+    )
     cand = cand.withColumn("nrm", l2_norm(F.col("cvec2")))
     cand_lists = assign_lists(cand, cent_arr, "cand_id", "cvec2", 1).withColumnRenamed("nrm", "cnrm")
     q = queries.select(F.col("query_id"), F.col("query_vec").cast("array<double>").alias("qvec"))
@@ -584,6 +610,7 @@ def ivf_topk_multi(
             F.round(dot(F.col("qvec"), F.col("cvec2")) / (F.col("qnrm") * F.col("cnrm")), 8),
         )
         .select("query_id", "cand_id", "cosine", "probe_rank")
+        .transform(lambda d: spread_small_by(d, spread_rows, "query_id"))
         .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -617,6 +644,7 @@ def ivfpq_topk_multi(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    spread_rows: int | None = None,
 ) -> DataFrame:
     """The IVF-ADC search (q_emb_ivfpq_topk's composition) evaluated at
     EVERY (m, nprobe) setting for the cost of ONE corpus pass — the
@@ -634,7 +662,14 @@ def ivfpq_topk_multi(
     assert all(dim % m == 0 for m in ms)
     cent_arr = centroid_literal_array(emb, label_col=label_col, vec_col=vec_col)
     cbs = {m: pq_det_codebooks(m=m, k=n_codes, d_sub=dim // m) for m in ms}
-    cand = emb.select(
+    # spread the CANDIDATE side only (r13): a small corpus scans as one
+    # parquet split, so the whole coarse-assign + PQ-encode + ADC
+    # scoring chain downstream of the broadcast join would run on a
+    # single task; the per-row work here is large (two m-subspace code
+    # folds plus a per-pair LUT sum), which is exactly the gated-spread
+    # case.  The centroid pass above reads the UNSPREAD scan — its
+    # distributed avg never sees a partitioning change.
+    cand = spread_small(emb, spread_rows).select(
         F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec")
     ).withColumn("nrm", l2_norm(F.col("cvec")))
     cand_codes = assign_lists(cand, cent_arr, "cand_id", "cvec", 1).select(
@@ -653,6 +688,17 @@ def ivfpq_topk_multi(
         *[pq_lut_expr("qvec", cbs[m]).alias(f"lut{m}") for m in ms],
     )
     panel = q_probe.join(q_lut, "query_id")
+    # Pre-partition the scored pairs BY QUERY before checkpointing
+    # (small-corpus gated): every (m, nprobe) leg below re-ranks this
+    # relation under a Window.partitionBy("query_id"), and without an
+    # explicit keyed exchange each leg inserts its own window exchange
+    # which AQE then coalesces to ONE partition (the relation is only a
+    # few MB) — at local[32] that left the six top-k passes as six
+    # ~1.9 s single-task stages (r13 profile).  One hash exchange here
+    # makes every leg's window exchange-free AND |cores|-wide; row
+    # order within a partition never reaches results (row_number ties
+    # break on cand_id).  Above the spread gate the relation is
+    # data-scale and the legs' own adaptive exchanges stay.
     scored = (
         cand_codes.join(F.broadcast(panel), "list_label")
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -667,6 +713,7 @@ def ivfpq_topk_multi(
                 for m in ms
             ],
         )
+        .transform(lambda d: spread_small_by(d, spread_rows, "query_id"))
         .localCheckpoint(eager=False)
     )
     legs = []

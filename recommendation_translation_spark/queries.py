@@ -64,7 +64,7 @@ from .operators.similarity import (
     ivf_topk,
 )
 from .operators.text import LANG_MARKERS, STOPWORDS, fingerprint, lang_id, quality_score, token_stats, tokens
-from .sources.readers import read_events
+from .sources.readers import read_events, table_row_count
 from . import queries_analytics as _qa
 
 # ---------------------------------------------------------------------------
@@ -7873,44 +7873,46 @@ def q_emb_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truth relation is localCheckpoint'd once, and all probe
     settings come from ONE assignment/scoring pass (ivf_topk_multi —
     the parameter sweep must not cost |settings| corpus passes)."""
-    from .operators.similarity import ivf_topk_multi
+    from .operators.similarity import ivf_topk_multi, spread_small
 
     truth_emb = _t(spark, sf_dir, "embeddings")
+    n_rows = table_row_count(sf_dir, "embeddings")
     q = _queries_frame(truth_emb)
     truth = (
-        cosine_topk(truth_emb, q, k=5)
+        cosine_topk(spread_small(truth_emb, n_rows), q, k=5)
         .select("query_id", "cand_id")
         .localCheckpoint(eager=False)
     )
     s_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     multi = ivf_topk_multi(
-        truth_emb, q, k=5, nprobes=_IVF_AUDIT_NPROBES
-    ).localCheckpoint(eager=False)
-    legs = []
-    for nprobe in _IVF_AUDIT_NPROBES:
-        approx = multi.filter(F.col("nprobe") == nprobe).select(
-            "query_id", "cand_id"
+        truth_emb, q, k=5, nprobes=_IVF_AUDIT_NPROBES, spread_rows=n_rows
+    )
+    # ONE grouped pass instead of |nprobes| scalar legs (r13, same
+    # restructure as the IVFPQ grid): per-setting counts via groupBy
+    # over the nprobe-tagged sweep output, hits via one left join
+    # against the unique truth pairs, n_truth as one broadcast scalar.
+    # Same counts, same rounding, same schema; comparison is
+    # order-insensitive.
+    flagged = multi.join(
+        F.broadcast(truth.withColumn("hit", F.lit(1))),
+        ["query_id", "cand_id"],
+        "left",
+    )
+    return (
+        flagged.groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_approx"),
+            F.count("hit").alias("n_hit"),
         )
-        hit = truth.join(approx, ["query_id", "cand_id"], "left_semi")
-        s_a = approx.agg(F.count(F.lit(1)).alias("n_approx"))
-        s_h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-        legs.append(
-            s_t.crossJoin(F.broadcast(s_a))
-            .crossJoin(F.broadcast(s_h))
-            .select(
-                F.lit(nprobe).cast("long").alias("nprobe"),
-                "n_truth",
-                "n_approx",
-                "n_hit",
-                F.round(F.col("n_hit") / F.col("n_truth"), 6).alias(
-                    "recall_at_5"
-                ),
-            )
+        .crossJoin(F.broadcast(s_t))
+        .select(
+            "nprobe",
+            "n_truth",
+            "n_approx",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall_at_5"),
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    )
 
 
 def _ivf_recall_leg_sql(nprobe: int) -> str:
@@ -7954,52 +7956,63 @@ def q_emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair under every m; each setting is then a filter + window).
     At 100 TB the audit runs on a bounded sub-corpus —
     emb_ivfpq_recall_sampled is that form, measured in SCALE.md."""
-    return _ivfpq_recall_grid_frame(_t(spark, sf_dir, "embeddings"))
+    return _ivfpq_recall_grid_frame(
+        _t(spark, sf_dir, "embeddings"),
+        n_rows=table_row_count(sf_dir, "embeddings"),
+    )
 
 
-def _ivfpq_recall_grid_frame(emb: DataFrame) -> DataFrame:
+def _ivfpq_recall_grid_frame(emb: DataFrame, n_rows: int | None = None) -> DataFrame:
     """The (m, nprobe) recall grid over a given embeddings relation —
     shared by the exact audit (full corpus) and the sampled audit
-    (deterministic bounded sub-corpus)."""
-    from .operators.similarity import ivfpq_topk_multi
+    (deterministic bounded sub-corpus).  ``n_rows`` (parquet footer
+    count) gates the small-corpus spread of the two scoring legs —
+    per-pair cosine and ADC values are row-local, so the exchange
+    cannot perturb any value."""
+    from .operators.similarity import ivfpq_topk_multi, spread_small
 
     q = _queries_frame(emb)
     truth = (
-        cosine_topk(emb, q, k=5)
+        cosine_topk(spread_small(emb, n_rows), q, k=5)
         .select("query_id", "cand_id")
         .localCheckpoint(eager=False)
     )
     s_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     multi = ivfpq_topk_multi(
-        emb, q, k=5, nprobes=_IVFPQ_AUDIT_NPROBES, ms=_IVFPQ_AUDIT_MS
-    ).localCheckpoint(eager=False)
-    legs = []
-    for m in _IVFPQ_AUDIT_MS:
-        for nprobe in _IVFPQ_AUDIT_NPROBES:
-            approx = multi.filter(
-                (F.col("m") == m) & (F.col("nprobe") == nprobe)
-            ).select("query_id", "cand_id")
-            hit = truth.join(approx, ["query_id", "cand_id"], "left_semi")
-            s_a = approx.agg(F.count(F.lit(1)).alias("n_approx"))
-            s_h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-            legs.append(
-                s_t.crossJoin(F.broadcast(s_a))
-                .crossJoin(F.broadcast(s_h))
-                .select(
-                    F.lit(m).cast("long").alias("m"),
-                    F.lit(nprobe).cast("long").alias("nprobe"),
-                    "n_truth",
-                    "n_approx",
-                    "n_hit",
-                    F.round(F.col("n_hit") / F.col("n_truth"), 6).alias(
-                        "recall_at_5"
-                    ),
-                )
-            )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+        emb, q, k=5, nprobes=_IVFPQ_AUDIT_NPROBES, ms=_IVFPQ_AUDIT_MS,
+        spread_rows=n_rows,
+    )
+    # ONE grouped pass instead of six scalar legs (r13): the per-leg
+    # form (filter + semi-join + two single-row aggregates + two
+    # broadcasts, x6, unioned) planned ~40 AQE stage-jobs for a 6-row
+    # report — pure scheduling floor at any scale.  Per-setting counts
+    # are a groupBy over the (m, nprobe)-tagged search output, hits
+    # come from one left join against the truth relation (truth pairs
+    # are unique per (query_id, cand_id) — top-k with distinct
+    # candidates — so the join cannot duplicate rows), and n_truth is
+    # one broadcast scalar.  Same counts, same rounding, same schema;
+    # order-insensitive comparison unaffected by groupBy output order.
+    flagged = multi.join(
+        F.broadcast(truth.withColumn("hit", F.lit(1))),
+        ["query_id", "cand_id"],
+        "left",
+    )
+    return (
+        flagged.groupBy("m", "nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_approx"),
+            F.count("hit").alias("n_hit"),
+        )
+        .crossJoin(F.broadcast(s_t))
+        .select(
+            "m",
+            "nprobe",
+            "n_truth",
+            "n_approx",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall_at_5"),
+        )
+    )
 
 
 def _ivfpq_recall_report_sql(k_nn: int = 5, dim: int = 64,
@@ -8138,7 +8151,9 @@ def q_emb_ivfpq_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     s from COUNT(*) and audits the identical sub-corpus."""
     s = _audit_sample_modulus(sf_dir)
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % s == 0)
-    return _ivfpq_recall_grid_frame(emb)
+    return _ivfpq_recall_grid_frame(
+        emb, n_rows=table_row_count(sf_dir, "embeddings") // s
+    )
 
 
 ORACLES["emb_ivfpq_recall_sampled"] = _ivfpq_recall_report_sql(sampled=True)
