@@ -264,14 +264,16 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
 # runs as a driver-side union-find instead of iterated distributed
 # joins: the iterative path costs ~5 Spark jobs PER ROUND regardless of
 # edge count, so a 240-edge graph pays ~2 s of pure scheduling for
-# microseconds of actual work.  20k edges fetch to well under a MB —
-# the same bounded-relation standard as a broadcast threshold — and
-# the distributed pointer-jumping path remains the plan above the
-# gate.  Measured A/B at sf0.1: 240 edges (corpus_keep_best) driver
-# path wins ~1.5-2 s; 75k edges (dedup_clusters' rep graph) is a wash
-# (the shared candidate pipeline dominates both), so the threshold
-# sits where the win is unambiguous rather than at the wash point.
-DRIVER_CC_MAX_EDGES = 20_000
+# microseconds of actual work.  200k edges Arrow-fetch to ~3 MB — the
+# same bounded-relation standard as a broadcast threshold — and the
+# distributed pointer-jumping path remains the plan above the gate.
+# r13 re-measure (3 alternating same-window rounds, dedup_clusters'
+# 75k-edge rep graph): driver 2.9-4.6 s vs distributed 5.1-7.1 s —
+# the r10 "wash" at this size predated the fixpoint scope's job
+# accounting and was host-noise; the win is now unambiguous, so the
+# gate moved up a decade (r10 value 20k).  Union-find on 200k edges is
+# single-digit milliseconds; the fetch, not the find, is the bound.
+DRIVER_CC_MAX_EDGES = 200_000
 
 
 def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",

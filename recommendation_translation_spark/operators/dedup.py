@@ -137,6 +137,19 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 DEFAULT_MAX_DOC_FREQ = 1000
 
 
+def _spread_by(df: DataFrame, spread_rows: int | None, *cols: str) -> DataFrame:
+    """Footer-gated keyed spread (similarity.spread_small_by): pin a
+    SMALL compute-heavy stream cores-wide ahead of per-row-expensive
+    probes, where AQE's bytes-based coalescing would serialize it to
+    ~2 tasks.  Above the gate (or with ``spread_rows`` None) the
+    relation is data-scale: keep the planner's adaptive exchanges — a
+    pinned width there would be the local-mode scale bug the round
+    rules name."""
+    from .similarity import spread_small_by
+
+    return spread_small_by(df, spread_rows, *cols)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -145,6 +158,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     collapse_distinct: bool = False,
+    spread_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -181,8 +195,8 @@ def ngram_jaccard_pairs(
             rsh = rsh.join(
                 F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
                 "shingle", "left_anti",
-            )
-        rsh = rsh.cache()  # same trade-off note as the direct path below
+            ).cache()  # capped twin; same trade-off note as below
+        # (uncapped: rsh is already the _fp_shingles cache)
         sizes = rsh.groupBy("__fp").agg(F.count("*").alias("n_sh"))
         a, b = rsh.alias("a"), rsh.alias("b")
         inter = (
@@ -254,6 +268,13 @@ def ngram_jaccard_pairs(
         id_col, F.xxhash64("shingle").alias("shingle")
     )
     if max_doc_freq is not None:
+        # cache the RAW stream too: the df-cap aggregate below and the
+        # capped relation's cache fill both consume it, and without a
+        # cache each re-runs tokenize+shingle+hash from the corpus
+        # text — a full extra pass (r13 profile: twin ~25
+        # executor-second stages).  Narrow (id, long) rows;
+        # MEMORY_AND_DISK spills at scale.
+        sh = sh.cache()
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
         sh = (
             sh.join(F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
@@ -265,7 +286,10 @@ def ngram_jaccard_pairs(
     # synchronous extra materialization job (~0.5-1 s per query,
     # +5% catalog wall).  Cached entries do outlive the query, so
     # LONG-LIVED sessions should clearCache() periodically — both
-    # bench harnesses do, between every query.
+    # bench harnesses do, between every query.  (r13 note: a
+    # shingle-keyed _spread_cached here was tried and reverted — the
+    # self-join legs BROADCAST one cached side, so the keyed fill
+    # exchange bought nothing and cost a barrier; measured +0.9 s.)
     sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -297,6 +321,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     collapse_distinct: bool = False,
+    spread_rows: int | None = None,
 ) -> DataFrame:
     """DIRECTIONAL near-containment pairs by exact n-gram containment
     C(a → b) = |A ∩ B| / |A| — the fraction of ``a``'s shingles found
@@ -348,8 +373,8 @@ def ngram_containment_pairs(
             rsh = rsh.join(
                 F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
                 "shingle", "left_anti",
-            )
-        rsh = rsh.cache()  # same trade-off note as ngram_jaccard_pairs
+            ).cache()  # capped twin; note as in ngram_jaccard_pairs
+        # (uncapped: rsh is already the _fp_shingles cache)
         sizes = rsh.groupBy("__fp").agg(F.count("*").alias("n_sh"))
         a, b = rsh.alias("a"), rsh.alias("b")
         inter = (
@@ -410,6 +435,9 @@ def ngram_containment_pairs(
         id_col, F.xxhash64("shingle").alias("shingle")
     )
     if max_doc_freq is not None:
+        # raw-stream cache: see ngram_jaccard_pairs (one tokenize
+        # pass, not one per consumer)
+        sh = sh.cache()
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
         sh = sh.join(
             F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
@@ -463,12 +491,22 @@ def _fp_shingles(
     (fp, xxhash64(shingle)), one row per (distinct text, distinct
     shingle)."""
     norm = normalize_text(text_col)
-    fpmap = df.select(F.col(id_col), F.md5(norm).alias("__fp"))
+    # Both relations are multiply consumed by EVERY caller (fpmap: the
+    # multiplicity aggregate + the final doc expansion; rsh: the df-cap
+    # aggregate + the capped index) — without a cache each extra
+    # consumer re-scans the corpus TEXT and re-runs md5/tokenize/
+    # shingle (r13 profile: two ~25 executor-second twin stages per
+    # query, one per consumer).  Lazy cache, not localCheckpoint: the
+    # entries populate inside the first consuming job and the narrow
+    # (id, fp)/(fp, hash) rows are a fraction of the text they replace;
+    # MEMORY_AND_DISK (the DataFrame default) spills instead of OOMing
+    # at corpus scale.  Bench/driver clearCache() between queries.
+    fpmap = df.select(F.col(id_col), F.md5(norm).alias("__fp")).cache()
     rsh = word_shingles(
         df.select(F.md5(norm).alias("__fp"), F.col(text_col))
         .dropDuplicates(["__fp"]),
         n=n, text_col=text_col, id_col="__fp",
-    ).select("__fp", F.xxhash64("shingle").alias("shingle"))
+    ).select("__fp", F.xxhash64("shingle").alias("shingle")).cache()
     return fpmap, rsh
 
 
@@ -480,6 +518,7 @@ def ngram_rep_edges(
     text_col: str = "text",
     id_col: str = "doc_id",
     collapse_distinct: bool = False,
+    spread_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate edges against shingle-bucket REPRESENTATIVES —
     the group-shaped escape from pairwise enumeration (round-6 verdict
@@ -546,9 +585,22 @@ def ngram_rep_edges(
             g.select("shingle", "rep_id", "rep_fp"), "shingle"
         ).cache()
         sizes = rshc.groupBy("__fp").agg(F.count("*").alias("n_sh"))
-        candfp = rshc.select(
-            "rep_id", "rep_fp", F.col("__fp").alias("b_fp")
-        ).distinct()
+        # r13: pin the candidate stream cores-wide after its distinct
+        # (footer-gated spread_small_by) — AQE coalesces the few-MB
+        # distinct exchange to ~2 partitions on byte size alone, and
+        # the SAME stage then runs the two intersection probes, the
+        # pipeline's heaviest per-row work, nearly serial.  The keyed
+        # exchange moves only the small pair stream; the probe sides
+        # stay broadcast.  (A pre-partitioned CACHE was tried instead
+        # and reverted: co-partitioning flips the probes from
+        # broadcast joins to sort-merge joins over the full shingle
+        # stream — measured 2x worse.)
+        candfp = _spread_by(
+            rshc.select(
+                "rep_id", "rep_fp", F.col("__fp").alias("b_fp")
+            ).distinct(),
+            spread_rows, "rep_fp",
+        )
         sa = rshc.select(F.col("__fp").alias("rep_fp"), "shingle")
         sb = rshc.select(F.col("__fp").alias("b_fp"), "shingle")
         inter = (
@@ -590,7 +642,10 @@ def ngram_rep_edges(
         )
     sh0 = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
         id_col, F.xxhash64("shingle").alias("shingle")
-    )
+    # raw-stream cache: the rep/df aggregation below and the join-back
+    # that builds ``sh`` both consume sh0 — see ngram_jaccard_pairs
+    # (one tokenize pass, not one per consumer)
+    ).cache()
     # ONE aggregation yields both the document frequency (for the cap)
     # and the bucket representative: the cap drops whole shingle
     # buckets, never rows within a bucket, so min(id) over the raw rows
@@ -608,10 +663,14 @@ def ngram_rep_edges(
     # this trade-off)
     sh = sh0.join(g.select("shingle", "rep"), "shingle").cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    cand = (
+    # r13: footer-gated cores-wide pin of the candidate pair stream —
+    # see the collapse path's note above (same AQE byte-blind coalesce,
+    # same broadcast-preserving fix)
+    cand = _spread_by(
         sh.filter(F.col(id_col) > F.col("rep"))
         .select(F.col("rep").alias("a_id"), F.col(id_col).alias("b_id"))
-        .distinct()
+        .distinct(),
+        spread_rows, "a_id",
     )
     # exact capped-set intersection for the candidate pairs only:
     # expand each pair by the rep's shingles, keep the ones the other
@@ -1191,6 +1250,38 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
     # as word_shingles, minus the shuffle that used to follow)
     base = df.repartition(par).filter(F.size(toks) > 0).select(*cols)
 
+    return base.select(F.col(id_col), _simhash_sum_expr(bits).alias("simhash"))
+
+
+def _simhash_sum_expr(bits: int, via_sql: bool = True) -> F.Column:
+    """The per-row signature fold over the projected ``_hl``/``_hh``/
+    ``_n`` columns.  ``via_sql`` (default) emits the whole fold as ONE
+    SQL string parsed JVM-side — the r13 SQL-text fast path: the
+    Column form issues ~10 py4j round-trips per bit (≈1.5 s of pure
+    driver time per simhash build at 32 bits), which dominated the
+    dedup_clusters/simhash rows' build cost.  Same functions, same
+    per-bit CASE, same left-to-right sum (each term is a distinct
+    power of two or 0, so partial sums never overflow and the total is
+    exactly the signed 64-bit pattern) — result- and schema-identical,
+    pinned by tests/test_properties.py alongside the ANN builders."""
+
+    def _ones_sql(b: int) -> str:
+        src = "_hl" if b < 32 else "_hh"
+        return f"size(filter({src}, h -> (shiftright(h, {b % 32}) & 1) = 1))"
+
+    def _weight_sql(b: int) -> str:
+        # bit 63 is the two's-complement sign bit: the +2⁶³ literal
+        # overflows a BIGINT, so spell −2⁶³ as arithmetic
+        return "(-9223372036854775807L - 1L)" if b == 63 else f"{2 ** b}L"
+
+    if via_sql:
+        terms = " + ".join(
+            f"(CASE WHEN {_ones_sql(b)} * 2 > _n"
+            f" THEN {_weight_sql(b)} ELSE 0L END)"
+            for b in range(bits)
+        )
+        return F.expr(terms)
+
     def _ones(b: int) -> F.Column:
         src = F.col("_hl") if b < 32 else F.col("_hh")
         return F.size(
@@ -1205,14 +1296,13 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
         # long, the SIGNED weight −2⁶³ sets exactly that bit
         return F.lit(-(2**63) if b == 63 else 2**b).cast("long")
 
-    sim = sum(
+    return sum(
         (
             F.when(_ones(b) * 2 > F.col("_n"), _weight(b))
             .otherwise(F.lit(0).cast("long"))
         )
         for b in range(bits)
     )
-    return base.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
@@ -1378,13 +1468,24 @@ def simhash_clusters_collapsed(
     # byte-identical punctuation-only/empty docs the direct path
     # (and the oracle) never emit
     eligible = docs.filter(F.size(tokens(normalize_text(text_col))) > 0)
+    # (id, fp) is consumed twice — the rep aggregate and the final
+    # member map-back — and each uncached consumer re-runs the full
+    # text scan + sha2 + tokenize-eligibility filter (r13 profile:
+    # one ~10 executor-second stage per consumer).  Narrow rows; lazy
+    # cache populates inside the first job; bench/driver clearCache()
+    # between queries.
     member = eligible.select(
         F.col(id_col), F.sha2(F.col(text_col), 256).alias("_fp")
-    )
+    ).cache()
     reps = member.groupBy("_fp").agg(
         F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
     )
-    rep_docs = eligible.join(
+    # semi-join the RAW docs, not ``eligible``: every _rep id came out
+    # of the eligible set, so the filter is implied by the join — and
+    # skipping it saves a second full tokenize pass over the corpus
+    # text (r13 profile: the query's single heaviest stage, ~20
+    # executor-seconds at sf0.1)
+    rep_docs = docs.join(
         reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
     rep_pairs = simhash_pairs(

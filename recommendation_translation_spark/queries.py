@@ -496,6 +496,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
+        spread_rows=table_row_count(sf_dir, "documents"),
     )
 
 
@@ -3941,6 +3942,7 @@ def q_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
+        spread_rows=table_row_count(sf_dir, "documents"),
     )
     clusters = dup_clusters(edges)
     narrow = docs.select("doc_id", F.length("text").cast("long").alias("q_len"))
@@ -3975,6 +3977,7 @@ def q_corpus_keep_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
+        spread_rows=table_row_count(sf_dir, "documents"),
     )
     kept = keep_best_per_pair(with_q, pairs, "q_len")
     return kept.select("doc_id", "q_len")
@@ -6782,6 +6785,7 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
+        spread_rows=table_row_count(sf_dir, "documents"),
     ).select("a_id", "b_id", "jaccard")
 
 
@@ -6919,6 +6923,7 @@ def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
+        spread_rows=table_row_count(sf_dir, "documents"),
     )
     clusters = dup_clusters(edges)
     s_docs = docs.agg(F.count("*").alias("n_docs"))
@@ -9153,6 +9158,7 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
+        spread_rows=table_row_count(sf_dir, "documents"),
     )
 
 

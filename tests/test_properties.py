@@ -1885,3 +1885,45 @@ def test_sql_text_builders_match_column_builders(spark):
     for nb in (1, 4, 12):
         check(df.select("vec_id", S.hyperplane_bits(F.col("v"), nb, 64, seed="hp1").alias("x")),
               df.select("vec_id", S.hyperplane_bits("v", nb, 64, seed="hp1").alias("x")))
+
+
+def test_simhash_sql_fold_matches_column_fold(spark):
+    """r13: the simhash signature fold's SQL-text fast path must equal
+    the legacy Column fold bit-for-bit at both widths — including the
+    sign-bit (−2⁶³) weight at bits=64 and the zero-token no-row rule.
+    Same pinning discipline as the similarity builder test above."""
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.operators.dedup import (
+        _simhash_sum_expr,
+        normalize_text,
+    )
+    from recommendation_translation_spark.operators.text import (
+        cross_engine_hash,
+        cross_engine_hash_hi,
+        tokens,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark optimization"),
+        (4, "ALL CAPS   with   runs    of whitespace"),
+        (5, "unicode tökens und ümlaute everywhere"),
+        (6, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokens(normalize_text("text"))
+    base = df.filter(F.size(toks) > 0).select(
+        "doc_id",
+        F.size(toks).alias("_n"),
+        F.transform(toks, lambda t: cross_engine_hash(t, seed="sh")).alias("_hl"),
+        F.transform(toks, lambda t: cross_engine_hash_hi(t, seed="sh")).alias("_hh"),
+    )
+    for bits in (32, 64):
+        a = base.select("doc_id", _simhash_sum_expr(bits).alias("s"))
+        b = base.select(
+            "doc_id", _simhash_sum_expr(bits, via_sql=False).alias("s")
+        )
+        assert a.schema == b.schema
+        assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
