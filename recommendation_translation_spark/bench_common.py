@@ -65,6 +65,60 @@ def warmup(spark: SparkSession, sf_dir: str) -> None:
     from .sources.readers import distinct_text_fraction
 
     distinct_text_fraction(spark, sf_dir)
+    # r13: streaming is a dominant shape too (12 catalog rows) and the
+    # engine's one-time costs — microbatch planner classes, state-store
+    # provider init, the symmetric-hash stream-stream join codegen —
+    # otherwise land on whichever streaming row the loop times first
+    # (measured ~1.8 s on the first drain at sf0.1).  Two tiny drains
+    # over the 25-row nation table warm a stateful aggregation and a
+    # watermarked stream-stream join; both sink tables are dropped.
+    from .streaming.events_stream import (
+        drop_memory_sink_tables,
+        run_stream_to_memory,
+    )
+
+    nation_schema = spark.read.parquet(
+        os.path.join(sf_dir, "nation.parquet")
+    ).schema
+    tiny = (
+        spark.readStream.schema(nation_schema)
+        .option("pathGlobFilter", "nation.parquet").parquet(sf_dir)
+    )
+    run_stream_to_memory(
+        tiny.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+    ).count()
+    ts = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    a = tiny.select("n_nationkey", ts.alias("ts")).withWatermark("ts", "1 hour")
+    b = tiny.select(
+        F.col("n_nationkey").alias("k2"), ts.alias("ts2")
+    ).withWatermark("ts2", "1 hour")
+    run_stream_to_memory(
+        a.join(
+            b,
+            (F.col("n_nationkey") == F.col("k2"))
+            & (F.col("ts2") >= F.col("ts") - F.expr("interval 30 minutes"))
+            & (F.col("ts2") <= F.col("ts")),
+        ),
+        output_mode="append",
+    ).count()
+    drop_memory_sink_tables(spark)
+    # r13: MLlib is a dominant shape as well (8+ catalog rows) and its
+    # one-time costs — optimizer/aggregator class loading, the
+    # treeAggregate codegen — measured ~8 s on whichever ML row the
+    # loop times first.  One 2-iteration LogisticRegression fit on 200
+    # synthetic rows absorbs them (~4 s untimed).
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    _tiny_ml = VectorAssembler(
+        inputCols=["x"], outputCol="features"
+    ).transform(
+        spark.range(200).select(
+            F.col("id").cast("double").alias("x"),
+            (F.col("id") % 2).cast("double").alias("label"),
+        )
+    )
+    LogisticRegression(maxIter=2, labelCol="label").fit(_tiny_ml)
 
 #: Probe of the ANCHOR host class — the machine class on which the
 #: BASELINE.md sf0.1 anchors are considered valid (min-of-3 quiet

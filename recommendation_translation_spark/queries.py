@@ -3684,6 +3684,13 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import quality_flags as _qflags
     from .operators.text import quality_score as _qscore
 
+    # r13 note: a gated spread_small of the 1-split corpus scan was
+    # tried here and reverted — cold it wins (4.2 vs 6.2 s: the
+    # feature pass parallelizes), but with warm codegen the 10 LBFGS
+    # iterations over 5k cached rows run FASTER on one task than on
+    # 32 (0.6 vs 1.9 s: per-iteration task overhead × 32 dwarfs the
+    # row work), and the bench measures the warm regime.  At real
+    # corpus scale the scan has real splits and nothing here pins it.
     docs = _t(spark, sf_dir, "documents")
     feats = _qscore(docs)
     labels = _qflags(docs, min_words=20).select(
