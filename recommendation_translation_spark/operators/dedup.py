@@ -491,22 +491,26 @@ def _fp_shingles(
     (fp, xxhash64(shingle)), one row per (distinct text, distinct
     shingle)."""
     norm = normalize_text(text_col)
-    # Both relations are multiply consumed by EVERY caller (fpmap: the
-    # multiplicity aggregate + the final doc expansion; rsh: the df-cap
-    # aggregate + the capped index) — without a cache each extra
-    # consumer re-scans the corpus TEXT and re-runs md5/tokenize/
-    # shingle (r13 profile: two ~25 executor-second twin stages per
-    # query, one per consumer).  Lazy cache, not localCheckpoint: the
-    # entries populate inside the first consuming job and the narrow
-    # (id, fp)/(fp, hash) rows are a fraction of the text they replace;
-    # MEMORY_AND_DISK (the DataFrame default) spills instead of OOMing
-    # at corpus scale.  Bench/driver clearCache() between queries.
+    # fpmap is multiply consumed by EVERY caller (the multiplicity
+    # aggregate + the final doc expansion(s)) and each uncached
+    # consumer re-scans the corpus TEXT and re-runs the md5 — a full
+    # data-scale pass.  Lazy cache: narrow (id, fp) rows populated
+    # inside the first consuming job; MEMORY_AND_DISK spills at scale;
+    # bench/driver clearCache() between queries.
+    #
+    # rsh is deliberately NOT cached: its consumers fork ABOVE the
+    # dropDuplicates exchange, so Spark's shuffle reuse already shares
+    # the scan+md5+dedup work, and the residual per-consumer recompute
+    # (explode+xxhash over distinct texts) is cheaper than encoding/
+    # decoding the exploded stream through the columnar cache —
+    # measured +0.6-0.8 s at sf1 (dedup_ngram_capped) when it was
+    # cached this round.
     fpmap = df.select(F.col(id_col), F.md5(norm).alias("__fp")).cache()
     rsh = word_shingles(
         df.select(F.md5(norm).alias("__fp"), F.col(text_col))
         .dropDuplicates(["__fp"]),
         n=n, text_col=text_col, id_col="__fp",
-    ).select("__fp", F.xxhash64("shingle").alias("shingle")).cache()
+    ).select("__fp", F.xxhash64("shingle").alias("shingle"))
     return fpmap, rsh
 
 
