@@ -60,12 +60,16 @@ def main() -> int:
     from recommendation_translation_spark.bench_common import (
         host_probe as _host_probe,
         probe_factor,
+        probe_factor_raw,
         same_probe_class,
     )
 
     host_probe = _host_probe(spark)
-    # factor vs the BASELINE.md anchor class (clamped, see bench_common)
+    # factor vs the BASELINE.md anchor class (clamped, see bench_common);
+    # r14: the RAW factor rides beside it in the sidecar/summary so a
+    # clamp saturation is always visible (r13 verdict #7)
     anchor_factor = probe_factor(host_probe)
+    anchor_factor_raw = probe_factor_raw(host_probe)
 
     qmap = entry_mod.queries()
     only = sys.argv[1:]  # optional subset: bench.py q1 q2 ...
@@ -302,6 +306,7 @@ def main() -> int:
                        "queries": timings, "remeasured": sorted(reruns),
                        "host_probe": host_probe,
                        "anchor_probe_factor": anchor_factor,
+                       "anchor_probe_factor_raw": anchor_factor_raw,
                        "best": best,
                        # the class the best map belongs to — current
                        # run's probe either way (same class on merge,
@@ -378,6 +383,7 @@ def main() -> int:
             {
                 "n_with_baseline": len(ratios),
                 "anchor_probe_factor": anchor_factor,
+                "anchor_probe_factor_raw": anchor_factor_raw,
                 "max_vs_baseline": ratios_norm.get(worst),
                 "max_vs_baseline_query": worst,
                 "max_vs_baseline_raw": ratios.get(worst_raw),

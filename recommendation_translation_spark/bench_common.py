@@ -138,10 +138,28 @@ ANCHOR_PROBE = {"md5_2m_sec": 0.115, "regex_200k_sec": 0.130}
 
 #: Clamp bounds for the normalization factor: the probe measures two
 #: expression families, not the whole engine, so it must never scale
-#: an anchor by more than the plausible host spread (r9→r10 measured
-#: ~1.4x).  Outside the clamp the factor saturates and the raw ratio
-#: (always reported beside the normalized one) is the honest signal.
-PROBE_FACTOR_BOUNDS = (0.7, 1.5)
+#: an anchor by more than the plausible host spread.  r14 (judge
+#: sign-off, r13 verdict #7): the upper bound was 1.5 and saturated on
+#: the 2-3x-slower sandboxes r12/r13 actually ran on, inflating every
+#: normalized ratio there; widened to 3.0 — the observed sandbox
+#: spread (r13 recorded probes 0.25-0.87 vs the 0.245 anchor, ~3.5x) —
+#: with the RAW (unclamped) factor now printed in the summary line
+#: beside the clamped one so saturation is always visible.
+PROBE_FACTOR_BOUNDS = (0.7, 3.0)
+
+
+def probe_factor_raw(
+    current: dict[str, float] | None,
+    anchor: dict[str, float] | None = None,
+) -> float | None:
+    """UNCLAMPED probe factor for the sidecar/summary audit trail —
+    the honest signal when :func:`probe_factor` saturates at a clamp
+    bound.  None when either probe is missing/invalid."""
+    cur = probe_sum(current)
+    ref = probe_sum(anchor if anchor is not None else ANCHOR_PROBE)
+    if not cur or not ref:
+        return None
+    return round(cur / ref, 3)
 
 
 def host_probe(spark: SparkSession, runs: int = 3) -> dict[str, float]:

@@ -212,6 +212,7 @@ def main() -> int:
         host_probe as _host_probe,
         merged_timing,
         probe_factor,
+        probe_factor_raw,
         warmup,
     )
 
@@ -396,6 +397,7 @@ def main() -> int:
         "attempts": attempts_log,
         "host_probe": host_probe,
         "anchor_probe_factor": anchor_factor,
+        "anchor_probe_factor_raw": probe_factor_raw(host_probe, anchor_probe),
         "volatile": sorted(volatile & set(baseline)),
         "remeasured": sorted(reruns),
         "remeasure_failed": rerun_failures,
