@@ -374,6 +374,19 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
                 T.StructField("cluster_id", utype),
             ]
         )
+        # r14 (guide §6 "Arrow for driver transfers"): ship the label
+        # table back as ONE Arrow frame — createDataFrame over a python
+        # list pickles row-by-row into defaultParallelism slices
+        # (measured 1.2 s of a 32-task stage for ~5k labels inside
+        # corpus_dedup_report); the pandas path is Arrow-batched under
+        # this session's arrow conf and degrades gracefully (identical
+        # values) on vanilla driver sessions.  Empty stays on the
+        # list path: pandas cannot carry dtype for zero rows.
+        if rows:
+            import pandas as _pd
+
+            pdf_out = _pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+            return pairs.sparkSession.createDataFrame(pdf_out, out_schema)
         return pairs.sparkSession.createDataFrame(rows, out_schema)
     # r13: the whole iterative path runs under fixpoint_scope — the
     # per-round relations are edge/label-sized, and the profile showed

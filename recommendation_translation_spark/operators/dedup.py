@@ -158,7 +158,6 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     collapse_distinct: bool = False,
-    spread_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -196,7 +195,9 @@ def ngram_jaccard_pairs(
                 F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
                 "shingle", "left_anti",
             ).cache()  # capped twin; same trade-off note as below
-        # (uncapped: rsh is already the _fp_shingles cache)
+        # (uncapped: rsh deliberately UNCACHED — its consumers fork
+        # above the dropDuplicates exchange, so shuffle reuse already
+        # shares the scan+md5+dedup work; see the _fp_shingles note)
         sizes = rsh.groupBy("__fp").agg(F.count("*").alias("n_sh"))
         a, b = rsh.alias("a"), rsh.alias("b")
         inter = (
@@ -274,6 +275,16 @@ def ngram_jaccard_pairs(
         # text — a full extra pass (r13 profile: twin ~25
         # executor-second stages).  Narrow (id, long) rows;
         # MEMORY_AND_DISK spills at scale.
+        #
+        # SCALE WATCH (r13 ADVICE #3): this cache holds one row per
+        # (doc, distinct shingle) — at corpus scale the fill spills the
+        # whole exploded stream to executor disk, a cost justified here
+        # only by the measured two-consumer recompute it replaces
+        # (sf0.1/sf1 profiles); the operator takes a DataFrame, not a
+        # table path, so no footer gate is reachable from this API.
+        # Entries outlive the query: LONG-LIVED sessions must
+        # clearCache() between queries (both bench harnesses do) or
+        # the operators leak cached storage.
         sh = sh.cache()
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
         sh = (
@@ -321,7 +332,6 @@ def ngram_containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     collapse_distinct: bool = False,
-    spread_rows: int | None = None,
 ) -> DataFrame:
     """DIRECTIONAL near-containment pairs by exact n-gram containment
     C(a → b) = |A ∩ B| / |A| — the fraction of ``a``'s shingles found
@@ -374,7 +384,9 @@ def ngram_containment_pairs(
                 F.broadcast(freq.filter(F.col("df_") > max_doc_freq)),
                 "shingle", "left_anti",
             ).cache()  # capped twin; note as in ngram_jaccard_pairs
-        # (uncapped: rsh is already the _fp_shingles cache)
+        # (uncapped: rsh deliberately UNCACHED — its consumers fork
+        # above the dropDuplicates exchange, so shuffle reuse already
+        # shares the scan+md5+dedup work; see the _fp_shingles note)
         sizes = rsh.groupBy("__fp").agg(F.count("*").alias("n_sh"))
         a, b = rsh.alias("a"), rsh.alias("b")
         inter = (

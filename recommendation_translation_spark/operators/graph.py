@@ -88,7 +88,7 @@ def pagerank_integer(
         # node relation PRE-PARTITIONED on the join key at the width
         # every in-scope shuffle uses (the distinct's own partitioning
         # is reused when the widths already match — no extra pass)
-        nodes = nodes0.repartition("node").localCheckpoint(eager=True)
+        nodes = nodes0.repartition("node")
         # One row per SOURCE NODE — domain-bounded for the graphs this
         # engine builds (parts, users, hosts), so broadcast it EXPLICITLY:
         # at sf1 (200k sources) AQE broadcasts on its own size estimate,
@@ -115,8 +115,19 @@ def pagerank_integer(
             .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
                     F.col(weight).alias("e_w"), "w_out")
             .repartition("e_src")
-            .localCheckpoint(eager=True)
         )
+        # r14 (guide §2.6 overlap independent jobs): the two in-scope
+        # static inputs are independent single-pass materializations
+        # over already-checkpointed blocks — submit them concurrently
+        # so one's barrier tail back-fills with the other's tasks.
+        # Each is localCheckpoint(eager) so the per-iteration joins
+        # read partitioned blocks, exactly as before.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_nodes = pool.submit(lambda: nodes.localCheckpoint(eager=True))
+            f_e = pool.submit(lambda: e.localCheckpoint(eager=True))
+            nodes, e = f_nodes.result(), f_e.result()
         ranks = nodes.withColumn("rank_int", F.lit(int(base)).cast("long"))
         for _ in range(n_iter):
             contrib = e.join(ranks, e["e_src"] == ranks["node"]).select(
@@ -136,7 +147,11 @@ def pagerank_integer(
                 # LAZY checkpoint: lineage still truncates at first compute,
                 # but the driver submits ONE action for the whole 6-round
                 # chain instead of six synchronous materialization barriers
-                # (~0.5 s scheduling overhead per round at local[32])
+                # (~0.5 s scheduling overhead per round at local[32]).
+                # r14: a final-round-only checkpoint was tried and measured
+                # 2x SLOWER on the chain job (3.4-3.8 s vs 1.5-2.0 s — the
+                # per-round RDD boundary is what keeps each round's SMJ
+                # reading partitioned, materialized blocks); reverted.
                 .localCheckpoint(eager=False)
             )
         if scoped:

@@ -496,7 +496,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
-        spread_rows=table_row_count(sf_dir, "documents"),
     )
 
 
@@ -1973,8 +1972,21 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # distinct first: a part appearing on several lines of one order
     # must count that order once, and the pair self-join runs over the
-    # deduped (order, part) relation — smaller fan-out, same graph
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # deduped (order, part) relation — smaller fan-out, same graph.
+    # r14 (guide §2.4 share one exchange): repartition by l_orderkey
+    # BEFORE the distinct — hash(l_orderkey) clusters every (o, p)
+    # duplicate into one partition, so it satisfies the distinct's
+    # ClusteredDistribution([o, p]) AND is exactly the partitioning the
+    # self-join needs; the former plan shuffled by (o, p) for the
+    # distinct and then re-shuffled both aliases by o for the join
+    # (plan diff: 2 Exchange subtrees on the big relation -> 1,
+    # plans/r14/part_pagerank_edges_{before,after}.txt).
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
@@ -3984,7 +3996,6 @@ def q_corpus_keep_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
-        spread_rows=table_row_count(sf_dir, "documents"),
     )
     kept = keep_best_per_pair(with_q, pairs, "q_len")
     return kept.select("doc_id", "q_len")
@@ -6792,7 +6803,6 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
-        spread_rows=table_row_count(sf_dir, "documents"),
     ).select("a_id", "b_id", "jaccard")
 
 
@@ -6923,7 +6933,6 @@ def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import SHINGLE_COLLAPSE_MIN_ROWS, ngram_rep_edges
     from .sources.readers import collapse_dial
 
-    exact = dedup_exact(docs)
     edges = ngram_rep_edges(
         docs, n=3, threshold=0.05,
         # same footer gate as corpus_keep_best (round-11 verdict #5)
@@ -6933,14 +6942,29 @@ def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_rows=table_row_count(sf_dir, "documents"),
     )
     clusters = dup_clusters(edges)
-    s_docs = docs.agg(F.count("*").alias("n_docs"))
-    s_contents = exact.agg(F.count("*").alias("n_distinct_contents"))
+    # r14 (guide §1.2 — don't scan twice for one pass's worth of
+    # answers): n_docs and n_distinct_contents fold into ONE aggregate
+    # over one md5(normalized-text) projection.  The former shape ran
+    # dedup_exact (scan + md5 + groupBy(fp)) just to count its groups,
+    # plus a separate count(*) scan; count-of-groups ==
+    # COUNT(DISTINCT fp), which is exactly the oracle's own
+    # formulation (`COUNT(DISTINCT fp) FROM norm`).  Plan diff: the
+    # dedup_exact Exchange+HashAggregate subtree is gone
+    # (plans/r14/corpus_dedup_report_{before,after}.txt).
+    from .operators.dedup import normalize_text
+
+    s_docs_contents = docs.select(
+        F.md5(normalize_text("text")).alias("fp_md5")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp_md5").alias("n_distinct_contents"),
+    )
     s_cl = clusters.agg(
         F.countDistinct("cluster_id").alias("n_dup_clusters"),
         F.count("*").alias("n_clustered_docs"),
     )
     return (
-        s_docs.crossJoin(F.broadcast(s_contents))
+        s_docs_contents
         .crossJoin(F.broadcast(s_cl))
         .select(
             "n_docs",
@@ -9165,7 +9189,6 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_distinct=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
-        spread_rows=table_row_count(sf_dir, "documents"),
     )
 
 

@@ -24,7 +24,7 @@ from .operators.ordering import (
     range_partitioned_running_sum,
 )
 from .operators.text import tokens
-from .sources.readers import read_events, table_row_count
+from .sources.readers import read_events
 
 # canonical copies live at queries.py:135-136 (kept in sync by
 # tests/test_oracle_parity — any drift hash-mismatches immediately)
@@ -1164,7 +1164,6 @@ ANALYTICS_ORACLES["orders_month_spine"] = _MONTH_SPINE_SQL.format(orders="orders
 
 def _lsh_recall_report_frame(
     docs: DataFrame, collapse_truth: bool = False,
-    spread_rows: int | None = None,
 ) -> DataFrame:
     """Shared plan of the LSH approximation-quality audit: exact-truth
     pair set, band-collision candidate set, verified intersection, one
@@ -1185,7 +1184,6 @@ def _lsh_recall_report_frame(
     truth = ngram_jaccard_pairs(
         docs, n=3, threshold=0.02, max_doc_freq=None,
         collapse_distinct=collapse_truth,
-        spread_rows=spread_rows,
     ).select("a_id", "b_id")
     # narrow band join + distinct (the minhash_lsh_pairs shape — see
     # the claiming boundary note there): the candidate COUNT is the
@@ -1244,7 +1242,6 @@ def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_truth=(
             collapse_dial(spark, sf_dir, min_rows=SHINGLE_COLLAPSE_MIN_ROWS)
         ),
-        spread_rows=table_row_count(sf_dir, "documents"),
     )
 
 
