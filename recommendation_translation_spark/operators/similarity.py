@@ -274,7 +274,9 @@ def hyperplane_bits(vec: Column | str, n_bits: int, dim: int,
         return F.expr(_hyperplane_bits_sql(vec, n_bits, dim, seed))
     bucket = F.lit(0).cast("long")
     for i in range(n_bits):
-        w = F.lit([hyperplane_weight(i, j, seed) for j in range(dim)])
+        # r14: one SQL-parsed array literal per hyperplane (see
+        # centroid_rows_literal) — F.lit(list) costs dim py4j calls
+        w = F.expr(_sql_arr([hyperplane_weight(i, j, seed) for j in range(dim)]))
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, y: x * y),
             F.lit(0.0),
@@ -492,7 +494,14 @@ def centroid_rows_literal(cents: list) -> Column:
     old construction exactly), ~dim× fewer expression-tree nodes for
     Catalyst to walk (the literal trees dominate driver planning time
     on this catalog, not the per-row math)."""
-    cvs = F.lit([[float(c) for c in vec] for _lbl, vec, _nrm in cents])
+    # r14: the packed matrix parses as ONE SQL array literal —
+    # PySpark's F.lit(list) maps lit() over every element (one py4j
+    # round-trip each; ~0.7 s of the 2-3 s emb_* build times went to
+    # exactly this), while F.expr of the _sql_mat text is a single
+    # round-trip and the parsed literal is the identical
+    # array<array<double>> (repr -> Double.parseDouble is an exact
+    # IEEE round-trip, asserted finite in _sql_dbl).
+    cvs = F.expr(_sql_mat([[float(c) for c in vec] for _lbl, vec, _nrm in cents]))
     meta = F.array(*[
         F.struct(F.lit(lbl).alias("l"), F.lit(nrm).alias("cn"))
         for lbl, _vec, nrm in cents
@@ -1004,9 +1013,11 @@ def _pq_cents_lit(codebooks: list, s: int) -> Column:
     hash-exact oracle both lean on) cannot drift apart."""
     # r13: ONE packed nested-array literal instead of k·d_sub Literal
     # nodes — same array<array<double>> values; the packed form cuts
-    # the expression tree (and Catalyst's planning walks) by ~d_sub·k×
-    return F.lit([[float(x) for x in codebooks[s][j]]
-                  for j in range(len(codebooks[s]))])
+    # the expression tree (and Catalyst's planning walks) by ~d_sub·k×.
+    # r14: parsed as ONE SQL literal (see centroid_rows_literal) —
+    # F.lit(list) itself cost k·d_sub py4j round-trips.
+    return F.expr(_sql_mat([[float(x) for x in codebooks[s][j]]
+                            for j in range(len(codebooks[s]))]))
 
 
 # ---------------------------------------------------------------------------

@@ -8742,16 +8742,29 @@ def q_orders_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM parquet.`{sf_dir}/orders.parquet`
         """
     )
-    return capped_balance_walk(spark, ord_df, cap=50000000, chunk_size=8)
+    return capped_balance_walk(
+        spark, ord_df, cap=50000000, chunk_size=8,
+        n_rows=table_row_count(sf_dir, "orders"),
+    )
 
 
 def capped_balance_walk(spark: SparkSession, ord_df: DataFrame,
-                        cap: int, chunk_size: int = 8) -> DataFrame:
+                        cap: int, chunk_size: int = 8,
+                        n_rows: int | None = None) -> DataFrame:
     """The chunked recursive clamp fold behind q_orders_capped_balance,
     factored so property tests can drive it with generated chains.
     ``ord_df`` is (custkey, cents, rn) with rn 1-based per custkey;
     returns (custkey, chunk, bal_cents) — the clamped balance
-    checkpoint after each ``chunk_size``-order chunk."""
+    checkpoint after each ``chunk_size``-order chunk.
+
+    ``n_rows`` (optional, the caller's parquet-footer row count) gates
+    a ``fixpoint_scope`` around the recursive execution (r14, r13
+    verdict #5): the recursion is exactly the small-relation iterative
+    shape the scope exists for — each level re-plans adaptively and
+    materializes 3-4 jobs for sub-second work — so below the scope's
+    row gate AQE is off, shuffle width derives from the data, and the
+    chain materializes in-scope; inert above the gate and when
+    ``n_rows`` is None (the property tests' direct calls)."""
     chunks = (
         ord_df.withColumn(
             "chunk", F.expr(f"CAST((rn - 1) DIV {chunk_size} AS BIGINT)")
@@ -8763,19 +8776,32 @@ def capped_balance_walk(spark: SparkSession, ord_df: DataFrame,
                 " x -> x.cents)"
             ).alias("cents_arr")
         )
-        .repartition("custkey")
+        # r14: no repartition("custkey") — the rn window upstream
+        # already hash-partitions by custkey (the groupBy reuses it,
+        # ClusteredDistribution on a key superset), and the
+        # broadcast-frontier join below streams `chunks` map-side, so
+        # a keyed layout buys nothing; the explicit exchange was one
+        # full extra pass over the chunk table (profiled ~0.25 s).
         .localCheckpoint(eager=True)
     )
     chunks.createOrReplaceTempView("capped_balance_chunks")
     clamp = f"(acc, x) -> LEAST(CAST({cap} AS BIGINT), acc + x)"
-    return spark.sql(
+    # BROADCAST the frontier (w): the live-chain side shrinks every
+    # level while `chunks` is the already-materialized, pre-partitioned
+    # relation — broadcasting w makes each level a map-side join with
+    # ZERO shuffle.  Under AQE the runtime stats picked this plan
+    # anyway; the hint pins it where the scope below turns AQE off
+    # (an RDD-backed relation has no stats, so the planner would
+    # otherwise fall back to a sort-merge join of the full chunk
+    # table per level).
+    walk = spark.sql(
         f"""
         WITH RECURSIVE walk(custkey, chunk, bal_cents) AS (
           SELECT custkey, chunk,
                  aggregate(cents_arr, CAST(0 AS BIGINT), {clamp})
           FROM capped_balance_chunks WHERE chunk = 0
           UNION ALL
-          SELECT c.custkey, c.chunk,
+          SELECT /*+ BROADCAST(w) */ c.custkey, c.chunk,
                  aggregate(c.cents_arr, w.bal_cents, {clamp})
           FROM walk w JOIN capped_balance_chunks c
             ON c.custkey = w.custkey AND c.chunk = w.chunk + 1
@@ -8783,6 +8809,15 @@ def capped_balance_walk(spark: SparkSession, ord_df: DataFrame,
         SELECT custkey, chunk, bal_cents FROM walk
         """
     )
+    from .operators.fixpoint import fixpoint_scope
+
+    with fixpoint_scope(spark, n_rows) as scoped:
+        if scoped:
+            # materialize the recursion while AQE is off (the pagerank
+            # discipline): the caller's action then reads blocks
+            walk = walk.localCheckpoint(eager=False)
+            walk.count()
+    return walk
 
 
 ORACLES["orders_capped_balance"] = """

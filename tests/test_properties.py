@@ -1927,3 +1927,109 @@ def test_simhash_sql_fold_matches_column_fold(spark):
         )
         assert a.schema == b.schema
         assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+
+def test_minhash_sql_aggs_match_column_aggs(spark):
+    """r14 (r13 verdict #2): minhash_signatures' K-M aggregate array
+    and minhash_bands_wide's band digests now parse as SQL text — they
+    must equal the legacy Column construction bit-for-bit (schema and
+    values), same pinning discipline as the r13 builder tests."""
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.operators.dedup import (
+        _MH_P,
+        minhash_signatures,
+        word_shingles,
+    )
+    from recommendation_translation_spark.operators.text import (
+        cross_engine_hash,
+        cross_engine_hash_hi,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark optimization"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "unicode tökens und ümlaute everywhere in this text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, n = 16, 3
+    got = minhash_signatures(df, k=k, n=n)
+
+    # legacy Column twin, spelled exactly as dedup.py r13 had it
+    sh = word_shingles(df, n=n)
+    base = sh.select(
+        F.col("doc_id"),
+        cross_engine_hash(F.col("shingle"), seed="mh").alias("x1"),
+        cross_engine_hash_hi(F.col("shingle"), seed="mh").alias("x2"),
+    )
+    aggs = [
+        F.min(
+            (F.col("x1") + F.lit(i) * F.col("x2")) % F.lit(_MH_P)
+        ).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    want = base.groupBy("doc_id").agg(*aggs)
+    assert got.schema == want.schema
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+    # band digests: SQL-text wide table vs the legacy Column spelling
+    from recommendation_translation_spark.operators.dedup import (
+        minhash_bands_wide,
+    )
+
+    bands, rows_per = 4, 4
+    got_w = minhash_bands_wide(df, k=k, bands=bands, n=n)
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"sig_{bi * rows_per + j}") for j in range(rows_per)]
+        band_cols.append(
+            F.xxhash64(
+                F.concat_ws("_", *[c.cast("string") for c in cols])
+            ).alias(f"band_{bi}")
+        )
+    want_w = want.select(F.col("doc_id"), *band_cols)
+    assert got_w.schema == want_w.schema
+    assert got_w.exceptAll(want_w).count() + want_w.exceptAll(got_w).count() == 0
+
+
+def test_packed_sql_literals_match_column_literals(spark):
+    """r14: centroid_rows_literal / _pq_cents_lit / hyperplane_bits'
+    packed matrices now parse as ONE SQL array literal; values and
+    schemas must equal the F.lit(list) construction exactly (repr ->
+    Double.parseDouble is an exact IEEE-754 round-trip)."""
+    from pyspark.sql import functions as F
+
+    from recommendation_translation_spark.operators import similarity as S
+
+    cents = [
+        (0, [0.1, -2.5e-17, 3.0], 1.23),
+        (1, [1e300, -1e-300, 0.0], 4.56),
+        (2, [float(i) / 7 for i in range(3)], 7.89),
+    ]
+    lit_df = spark.range(1).select(
+        S.centroid_rows_literal(cents).alias("a"),
+        F.zip_with(
+            F.array(*[
+                F.struct(F.lit(l).alias("l"), F.lit(nr).alias("cn"))
+                for l, _v, nr in cents
+            ]),
+            F.lit([[float(c) for c in v] for _l, v, _n in cents]),
+            lambda mc, cv: F.struct(
+                mc["l"].alias("l"), cv.alias("cv"), mc["cn"].alias("cn")
+            ),
+        ).alias("b"),
+    )
+    row = lit_df.collect()[0]
+    assert row["a"] == row["b"]
+    ta = {f.name: f.dataType for f in lit_df.schema}
+    assert ta["a"] == ta["b"]
+
+    cb = S.pq_det_codebooks(m=2, k=4, d_sub=3)
+    pq_df = spark.range(1).select(
+        S._pq_cents_lit(cb, 0).alias("a"),
+        F.lit([[float(x) for x in cb[0][j]] for j in range(len(cb[0]))]).alias("b"),
+    )
+    row = pq_df.collect()[0]
+    assert row["a"] == row["b"]
