@@ -493,6 +493,24 @@ def ngram_containment_pairs(
 SHINGLE_COLLAPSE_MIN_ROWS = 20_000
 
 
+def content_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The (id → md5 content-fingerprint) map — the dedup_exact digest
+    standard — lazily cached.  Factored out of ``_fp_shingles`` (r14)
+    so report-type consumers (q_corpus_dedup_report's corpus scalars)
+    build the IDENTICAL analyzed plan and therefore hit the SAME cache
+    entry as the collapse prelude: one text+md5 pass serves the
+    n_docs/n_distinct_contents aggregate AND every collapse-path
+    consumer in the same query.  Narrow (id, fp) rows populated inside
+    the first consuming job; MEMORY_AND_DISK spills at scale;
+    bench/driver clearCache() between queries (same lifetime caveat as
+    the raw shingle-stream cache below)."""
+    return df.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("__fp")
+    ).cache()
+
+
 def _fp_shingles(
     df: DataFrame, n: int, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -506,9 +524,8 @@ def _fp_shingles(
     # fpmap is multiply consumed by EVERY caller (the multiplicity
     # aggregate + the final doc expansion(s)) and each uncached
     # consumer re-scans the corpus TEXT and re-runs the md5 — a full
-    # data-scale pass.  Lazy cache: narrow (id, fp) rows populated
-    # inside the first consuming job; MEMORY_AND_DISK spills at scale;
-    # bench/driver clearCache() between queries.
+    # data-scale pass.  Lazy cache (via content_fingerprints — shared
+    # plan shape, shared cache entry).
     #
     # rsh is deliberately NOT cached: its consumers fork ABOVE the
     # dropDuplicates exchange, so Spark's shuffle reuse already shares
@@ -517,7 +534,7 @@ def _fp_shingles(
     # decoding the exploded stream through the columnar cache —
     # measured +0.6-0.8 s at sf1 (dedup_ngram_capped) when it was
     # cached this round.
-    fpmap = df.select(F.col(id_col), F.md5(norm).alias("__fp")).cache()
+    fpmap = content_fingerprints(df, text_col=text_col, id_col=id_col)
     rsh = word_shingles(
         df.select(F.md5(norm).alias("__fp"), F.col(text_col))
         .dropDuplicates(["__fp"]),

@@ -6951,13 +6951,16 @@ def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulation (`COUNT(DISTINCT fp) FROM norm`).  Plan diff: the
     # dedup_exact Exchange+HashAggregate subtree is gone
     # (plans/r14/corpus_dedup_report_{before,after}.txt).
-    from .operators.dedup import normalize_text
+    # The projection comes from content_fingerprints so its analyzed
+    # plan is IDENTICAL to the collapse prelude's cached fpmap — above
+    # the collapse dial (sf1+) the scalar aggregate reads the same
+    # cache entry the rep-edges legs fill, and the corpus text+md5
+    # pass runs ONCE for the whole report (r13 verdict #4).
+    from .operators.dedup import content_fingerprints
 
-    s_docs_contents = docs.select(
-        F.md5(normalize_text("text")).alias("fp_md5")
-    ).agg(
+    s_docs_contents = content_fingerprints(docs).agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct("fp_md5").alias("n_distinct_contents"),
+        F.countDistinct("__fp").alias("n_distinct_contents"),
     )
     s_cl = clusters.agg(
         F.countDistinct("cluster_id").alias("n_dup_clusters"),
