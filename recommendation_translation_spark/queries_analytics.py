@@ -24,7 +24,7 @@ from .operators.ordering import (
     range_partitioned_running_sum,
 )
 from .operators.text import tokens
-from .sources.readers import read_events
+from .sources.readers import read_events, table_row_count
 
 # canonical copies live at queries.py:135-136 (kept in sync by
 # tests/test_oracle_parity — any drift hash-mismatches immediately)
@@ -446,16 +446,32 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bigram_ppl(
         docs,
         collapse=collapse_dial(spark, sf_dir, min_rows=BPE_COLLAPSE_MIN_ROWS),
+        spread_rows=table_row_count(sf_dir, "documents"),
     )
 
 
-def _bigram_ppl(docs: DataFrame, collapse: bool = False) -> DataFrame:
+def _bigram_ppl(docs: DataFrame, collapse: bool = False,
+                spread_rows: int | None = None) -> DataFrame:
     """Corpus-bigram-LM scoring core for q_doc_bigram_perplexity (and,
     through it, corpus_ccnet_buckets) — see that docstring for the
-    algorithm and the ``collapse`` contract."""
+    algorithm and the ``collapse`` contract.
+
+    ``spread_rows`` (caller's footer count, r14): below the spread
+    gate the documents scan is ONE parquet split, and every consumer
+    of the bigram stream (two model aggregations' broadcast builds +
+    the scoring legs) re-ran tokenize+explode as a ~0.5-1 s
+    SINGLE-TASK job (profiled 4-6 such jobs inside
+    corpus_ccnet_buckets).  A round-robin spread of the raw rows
+    before tokenization runs each pass cores-wide; each document's
+    rows stay whole, so every per-doc float fold keeps its exact
+    order and the result is bit-identical (the spread_small
+    contract)."""
+    from .operators.similarity import spread_small
 
     def bigrams(df: DataFrame, key: str) -> DataFrame:
-        base = df.withColumn("t", tokens(F.lower(F.col("text")))).filter(
+        base = spread_small(df, spread_rows).withColumn(
+            "t", tokens(F.lower(F.col("text")))
+        ).filter(
             F.size("t") >= 2
         )
         return base.select(
